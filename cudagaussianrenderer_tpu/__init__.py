@@ -1,0 +1,42 @@
+"""cudagaussianrenderer_tpu — a TPU-native 3D Gaussian-splat renderer.
+
+A from-scratch JAX/Pallas re-design of the capabilities of the CUDA
+reference renderer (etienne-p/CUDAGaussianRenderer): .ply gaussian-splat
+scene ingestion, spherical harmonics to degree 4, EWA para-perspective
+splat projection, exact ellipse/tile binning, depth-ordered tile lists,
+and a front-to-back alpha-compositing tile rasterizer with Gaussian or
+Epanechnikov falloff — expressed as statically-shaped XLA/Pallas
+computations with a headless framebuffer output.
+
+Quick start::
+
+    from cudagaussianrenderer_tpu import (
+        RenderConfig, Renderer, load_gaussian_ply, Camera,
+    )
+    scene = load_gaussian_ply("scene.ply")
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    image = Renderer(scene, RenderConfig()).render(cam)  # [1024,1024,4] u8
+"""
+
+from .config import RenderConfig
+from .models.camera import Camera, CameraController, InputState, orbit_cameras
+from .models.scene import GaussianScene, random_scene, scene_from_arrays
+from .ply import load_gaussian_ply, write_gaussian_ply
+from .render import Renderer, render_frame
+
+__all__ = [
+    "Camera",
+    "CameraController",
+    "GaussianScene",
+    "InputState",
+    "RenderConfig",
+    "Renderer",
+    "load_gaussian_ply",
+    "orbit_cameras",
+    "random_scene",
+    "render_frame",
+    "scene_from_arrays",
+    "write_gaussian_ply",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,123 @@
+"""Render configuration.
+
+The CUDA reference hardcodes its configuration at compile time
+(/root/reference/src/Consts.h:4-8, GaussianRender.cu:8-9, Demo.cpp:325,
+CameraControls.h:35-37).  Here every knob is promoted to a frozen, hashable
+dataclass so it can be a static argument to ``jax.jit`` — changing a value
+recompiles the pipeline, mirroring the reference's "recompile to change"
+semantics while exposing a real API.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration of the rendering pipeline.
+
+    Defaults reproduce the CUDA reference exactly:
+    1024x1024 screen, 16px tiles (=> 64x64 = 4096 tiles), Gaussian falloff
+    with a 3-sigma confidence ellipse, tile-list capacity of 8 entries per
+    splat, early saturation exit at transmittance 0.02.
+    """
+
+    # --- framebuffer geometry (reference: Consts.h:4-7) ---
+    screen_size: int = 1024
+    tile_size: int = 16
+
+    # --- splat falloff kernel (reference: GaussianRender.cu:8-9, 298-302, 977-981) ---
+    # "gaussian": density = exp(-dx/2), ellipse extent = 3 * sqrt(lambda)
+    # "epanechnikov": density = 1 - dx/7, ellipse extent = sqrt(7) * sqrt(lambda)
+    falloff: str = "gaussian"
+
+    # --- tile list ---
+    # Initial capacity = capacity_factor * splat_count (reference: Demo.cpp:325).
+    capacity_factor: int = 8
+    # Explicit capacity override (entries).  None -> capacity_factor * count
+    # rounded up to a multiple of 1024.
+    capacity: Optional[int] = None
+
+    # --- sort key layout ---
+    # Number of bits of quantized linear depth carried in the sort key.
+    # 19 (default): a single uint32 key packs (tile_id << 19) | depth19 —
+    #   TPU-friendly single-operand sort.
+    # 32: two-operand lexicographic (tile, depth32) sort matching the
+    #   reference's full 32-bit depth precision (GaussianRender.cu:446-454).
+    depth_bits: int = 19
+
+    # --- rasterization ---
+    # Splats processed per VMEM batch in the raster kernel (reference uses
+    # the 32-wide warp, GaussianRender.cu:950).  Early saturation exit
+    # happens at this granularity.
+    raster_chunk: int = 32
+    # Tile is considered opaque when every pixel transmittance <= this
+    # (reference: GaussianRender.cu:995).
+    transmittance_eps: float = 0.02
+    # Optional gamma on output (the reference ships it commented out,
+    # GaussianRender.cu:1001-1005).
+    gamma: Optional[float] = None
+    # Use the Pallas kernel for rasterization; False falls back to the pure
+    # jnp reference rasterizer (slow, for testing).
+    use_pallas_raster: bool = True
+    # Tiles processed per Pallas grid step (amortizes per-step overhead).
+    tiles_per_cell: int = 8
+
+    # --- numerics (reference: GaussianRender.cu:267-307) ---
+    # Epsilon guarding the eigenvalue radius and conic inverse determinant.
+    epsilon: float = 1e-12
+
+    def __post_init__(self):
+        if self.screen_size % self.tile_size != 0:
+            raise ValueError("screen_size must be a multiple of tile_size")
+        if self.falloff not in ("gaussian", "epanechnikov"):
+            raise ValueError(f"unknown falloff kernel {self.falloff!r}")
+        if self.depth_bits not in (19, 32):
+            raise ValueError("depth_bits must be 19 (packed u32) or 32 (lex)")
+        if self.tiles_per_screen**2 % self.tiles_per_cell != 0:
+            raise ValueError("tiles_per_cell must divide the tile count")
+
+    # --- derived quantities ---
+    @property
+    def tiles_per_screen(self) -> int:
+        """Tiles along one screen edge (reference: Consts.h:6)."""
+        return self.screen_size // self.tile_size
+
+    @property
+    def total_tiles(self) -> int:
+        """Total tile count (reference: Consts.h:7)."""
+        return self.tiles_per_screen**2
+
+    @property
+    def pixels_per_tile(self) -> int:
+        return self.tile_size**2
+
+    @property
+    def sigma_factor(self) -> float:
+        """Confidence-ellipse radius in units of sqrt(eigenvalue).
+
+        3-sigma for the Gaussian falloff; sqrt(7) for Epanechnikov, whose
+        density 1 - dx/7 reaches zero at dx = 7
+        (reference: GaussianRender.cu:295-302).
+        """
+        return 3.0 if self.falloff == "gaussian" else 7.0**0.5
+
+    @property
+    def sentinel_tile(self) -> int:
+        """Tile id given to invalid tile-list entries so they sort last."""
+        return self.total_tiles
+
+    def tile_capacity(self, splat_count: int) -> int:
+        """Tile-list capacity for a scene of ``splat_count`` splats."""
+        if self.capacity is not None:
+            return self.capacity
+        cap = self.capacity_factor * splat_count
+        return max(1024, -(-cap // 1024) * 1024)
+
+
+# Camera defaults (reference: CameraControls.h:35-37).
+DEFAULT_NEAR = 0.1
+DEFAULT_FAR = 100.0
+DEFAULT_FOV_Y_DEG = 60.0

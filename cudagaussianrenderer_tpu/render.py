@@ -1,0 +1,214 @@
+"""Frame pipeline orchestration.
+
+The reference drives six CUDA kernel stages from a host frame loop with
+constant-struct uploads, two memsets, counter resets, a device->host
+counter readback and per-stage synchronizing timers between them
+(Demo.cpp:394-479; see SURVEY.md §3.2).  On TPU the whole frame is ONE
+jitted computation — project -> bin -> sort -> ranges -> gather -> raster —
+with no mid-frame host synchronization.  The only optional readback is the
+candidate-pair count used for capacity management.
+
+Capacity management mirrors the reference's saturation-doubling
+(Demo.cpp:356-366, cu:700-703) at recompile granularity: when a frame's
+candidate count exceeds the static list capacity, that frame renders with a
+truncated list and the next frame recompiles with doubled capacity.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RenderConfig
+from .models.camera import Camera
+from .models.scene import GaussianScene
+from .ops.binning import build_tile_pairs
+from .ops.projection import project_splats
+from .ops.ranges import tile_ranges
+from .ops.raster import gather_pair_data, rasterize_tiles, tiles_to_image
+from .ops.sh import evaluate_sh_colors
+from .ops.sorting import sort_pairs
+
+
+def _splat_colors(scene: GaussianScene, camera_data: dict) -> jnp.ndarray:
+    """Stage A: per-frame view-dependent colors when the scene has SH,
+    otherwise the baked import-time colors (Demo.cpp:432-436)."""
+    if scene.sh is not None and scene.sh_degree > 0:
+        return evaluate_sh_colors(
+            scene.means, scene.sh, camera_data["position"], scene.sh_degree
+        )
+    return scene.colors
+
+
+def render_frame(
+    scene: GaussianScene,
+    camera_data: dict,
+    config: RenderConfig,
+    capacity: int,
+    *,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Render one frame.  Jittable end-to-end (config/capacity static).
+
+    Returns (image uint8 [S, S, 4], aux dict with pair statistics).
+    """
+    colors = _splat_colors(scene, camera_data)
+    clip = project_splats(scene.means, scene.scales, scene.quats, camera_data, config)
+    pairs = build_tile_pairs(clip, config, capacity)
+    sorted_keys, sorted_vals = sort_pairs(pairs)
+    starts, counts = tile_ranges(sorted_keys, config)
+    pair_data = gather_pair_data(
+        sorted_vals, clip.clip_xy, clip.conic, colors, scene.opacities,
+        config.raster_chunk,
+    )
+    tiles = rasterize_tiles(pair_data, starts, counts, config, interpret=interpret)
+    image = tiles_to_image(tiles, config)
+    aux = dict(
+        num_candidates=pairs.num_candidates,
+        num_pairs=pairs.num_pairs,
+    )
+    return image, aux
+
+
+# Stage names exactly as the reference prints them at exit
+# (Demo.cpp:556-562), for comparable profiling reports.
+STAGE_NAMES = (
+    "evaluateSphericalHarmonics",
+    "evaluateClipData",
+    "buildTileList",
+    "sortTileList",
+    "evaluateTileRanges",
+    "renderDepthBuffer",
+)
+
+
+class Renderer:
+    """Stateful host-side renderer: jit caching, capacity management,
+    optional per-stage profiling."""
+
+    def __init__(
+        self,
+        scene: GaussianScene,
+        config: RenderConfig = RenderConfig(),
+        *,
+        interpret: Optional[bool] = None,
+    ):
+        self.config = config
+        self.scene = scene.pad_to_multiple(256)
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+        self.capacity = config.tile_capacity(self.scene.count)
+        self.saturated = False
+        self._fns: dict = {}
+        self.stats = {name: 0.0 for name in STAGE_NAMES}
+        self.frame_count = 0
+
+    def _get_fn(self):
+        key = self.capacity
+        if key not in self._fns:
+            cfg, cap, interp = self.config, self.capacity, self.interpret
+
+            @jax.jit
+            def fn(scene, camera_data):
+                return render_frame(scene, camera_data, cfg, cap, interpret=interp)
+
+            self._fns[key] = fn
+        return self._fns[key]
+
+    def render(self, camera: Camera, *, check_saturation: bool = True) -> np.ndarray:
+        """Render and return a [S, S, 4] uint8 numpy image."""
+        if self.saturated:
+            self.capacity *= 2  # Demo.cpp:356-366
+            self.saturated = False
+        image, aux = self._get_fn()(self.scene, camera.camera_data())
+        self.frame_count += 1
+        if check_saturation:
+            self.saturated = bool(aux["num_candidates"] >= self.capacity)
+        return np.asarray(image)
+
+    # ------------------------------------------------------------------
+    # Profiling mode: stage-sliced timing with reference-matching names.
+    # ------------------------------------------------------------------
+
+    def profile_frame(self, camera: Camera, *, warmup: bool = False) -> Dict[str, float]:
+        """Time each pipeline stage (ms) via stage-sliced jits.
+
+        This is the analog of the reference's CudaTimer bracketing of every
+        launch (Utilities.h:155-187, Demo.cpp:432-476); like the reference
+        it serializes stage boundaries, so the total exceeds the fused
+        whole-frame time.
+        """
+        cfg, cap, interp = self.config, self.capacity, self.interpret
+        scene, cam = self.scene, camera.camera_data()
+
+        has_sh = scene.sh is not None and scene.sh_degree > 0
+
+        stages = {}
+
+        def timed(name, fn, *args):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) * 1e3
+            stages[name] = stages.get(name, 0.0) + dt
+            return out
+
+        sh_fn = jax.jit(lambda s, c: _splat_colors(s, c))
+        proj_fn = jax.jit(
+            lambda s, c: project_splats(s.means, s.scales, s.quats, c, cfg)
+        )
+        bin_fn = jax.jit(lambda clip: build_tile_pairs(clip, cfg, cap))
+        sort_fn = jax.jit(sort_pairs)
+        rng_fn = jax.jit(lambda keys: tile_ranges(keys, cfg))
+        rast_fn = jax.jit(
+            lambda vals, clip, colors, s, starts, counts: rasterize_tiles(
+                gather_pair_data(
+                    vals, clip.clip_xy, clip.conic, colors, s.opacities,
+                    cfg.raster_chunk,
+                ),
+                starts, counts, cfg, interpret=interp,
+            )
+        )
+
+        if warmup:
+            for _ in range(1):
+                colors = sh_fn(scene, cam)
+                clip = proj_fn(scene, cam)
+                pairs = bin_fn(clip)
+                keys, vals = sort_fn(pairs)
+                starts, counts = rng_fn(keys)
+                jax.block_until_ready(
+                    rast_fn(vals, clip, colors, scene, starts, counts)
+                )
+            stages.clear()
+
+        colors = timed("evaluateSphericalHarmonics" if has_sh else "_baked", sh_fn, scene, cam)
+        clip = timed("evaluateClipData", proj_fn, scene, cam)
+        pairs = timed("buildTileList", bin_fn, clip)
+        keys, vals = timed("sortTileList", sort_fn, pairs)
+        starts, counts = timed("evaluateTileRanges", rng_fn, keys)
+        timed("renderDepthBuffer", rast_fn, vals, clip, colors, scene, starts, counts)
+
+        stages.pop("_baked", None)
+        for name, ms in stages.items():
+            if name in self.stats:
+                self.stats[name] += ms
+        return stages
+
+    def report(self) -> str:
+        """Exit-time style averages report (Demo.cpp:541-562)."""
+        n = max(1, self.frame_count)
+        lines = []
+        total = 0.0
+        for name in STAGE_NAMES:
+            avg = self.stats[name] / n
+            lines.append(f"{name} average time ms: {avg:2.6f}")
+            if name != "evaluateSphericalHarmonics":
+                total += avg
+        lines.append(f"Total average time ms: {total:2.6f}")
+        return "\n".join(lines)

@@ -1,0 +1,119 @@
+"""Spherical harmonics vs an independent associated-Legendre oracle.
+
+The reference's SH code is generated offline by sh_gen.py (sympy); our
+basis is hand-derived.  The oracle here re-derives real SH from the
+Legendre recurrences (no Condon-Shortley phase, matching the generated
+table's all-positive convention) so all three agree only if the math is
+right.
+"""
+
+import numpy as np
+import pytest
+
+from cudagaussianrenderer_tpu.ops.sh import evaluate_sh_colors, num_sh_coeffs, sh_basis
+
+
+def _assoc_legendre_no_cs(l, m, x):
+    """P_l^m(x) without the Condon-Shortley (-1)^m factor."""
+    pmm = np.ones_like(x)
+    if m > 0:
+        somx2 = np.sqrt(np.maximum(0.0, 1.0 - x * x))
+        fact = 1.0
+        for _ in range(m):
+            pmm = pmm * fact * somx2
+            fact += 2.0
+    if l == m:
+        return pmm
+    pmmp1 = x * (2 * m + 1) * pmm
+    if l == m + 1:
+        return pmmp1
+    for ll in range(m + 2, l + 1):
+        pll = (x * (2 * ll - 1) * pmmp1 - (ll + m - 1) * pmm) / (ll - m)
+        pmm, pmmp1 = pmmp1, pll
+    return pmmp1
+
+
+def _factorial(n):
+    import math
+
+    return float(math.factorial(n))
+
+
+def oracle_sh_basis(dirs, degree):
+    """Real SH with the y-up 3DGS index order: within degree l the m index
+    runs -l..l and the cartesian mapping is (x, y, z) with phi measured in
+    the x/y plane from x, theta from z."""
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    phi = np.arctan2(y, x)
+    out = []
+    for l in range(degree + 1):
+        for m in range(-l, l + 1):
+            am = abs(m)
+            k = np.sqrt(
+                (2 * l + 1)
+                / (4 * np.pi)
+                * _factorial(l - am)
+                / _factorial(l + am)
+            )
+            p = _assoc_legendre_no_cs(l, am, z)
+            if m == 0:
+                out.append(k * p)
+            elif m > 0:
+                out.append(np.sqrt(2.0) * k * p * np.cos(am * phi))
+            else:
+                out.append(np.sqrt(2.0) * k * p * np.sin(am * phi))
+    return np.stack(out, axis=-1)
+
+
+@pytest.mark.parametrize("degree", [0, 1, 2, 3, 4])
+def test_sh_basis_matches_legendre_oracle(degree):
+    rng = np.random.default_rng(42)
+    dirs = rng.normal(size=(512, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    got = np.asarray(sh_basis(dirs.astype(np.float32), degree))
+    want = oracle_sh_basis(dirs, degree)
+    assert got.shape == (512, num_sh_coeffs(degree))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_sh_basis_matches_reference_generated_form():
+    """Spot-check the x^2+y^2 expanded forms the reference's codegen emits
+    (GaussianRender.cu:100-149) equal our canonical z forms on unit dirs."""
+    rng = np.random.default_rng(1)
+    d = rng.normal(size=(128, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    xx, yy = x * x, y * y
+    b = np.asarray(sh_basis(d.astype(np.float64), 4))
+    # degree 2, m=0 band:
+    np.testing.assert_allclose(
+        b[:, 6], -0.946174696 * xx - 0.946174696 * yy + 0.630783131, atol=1e-6
+    )
+    # degree 3, m=-1 band:
+    np.testing.assert_allclose(
+        b[:, 11], 3.6563664 * y * (-0.625 * xx - 0.625 * yy + 0.5), atol=1e-6
+    )
+    # degree 4, m=0 band:
+    np.testing.assert_allclose(
+        b[:, 20],
+        7.40498828 * xx * yy - 4.23142188 * xx + 3.70249414 * xx * xx
+        - 4.23142188 * yy + 3.70249414 * yy * yy + 0.846284375,
+        atol=1e-6,
+    )
+
+
+def test_evaluate_sh_colors_clamps_and_degree0():
+    rng = np.random.default_rng(3)
+    n, k = 64, 25
+    means = rng.normal(size=(n, 3)).astype(np.float32)
+    sh = rng.normal(size=(n, k, 3)).astype(np.float32) * 2.0
+    cam = np.array([0.0, 0.0, 5.0], np.float32)
+
+    colors = np.asarray(evaluate_sh_colors(means, sh, cam, 0))
+    # Degree 0: color = clamp(C0 * sh0 + 0.5).
+    want = np.clip(0.28209479177387814 * sh[:, 0, :] + 0.5, 0.0, 1.0)
+    np.testing.assert_allclose(colors, want, rtol=1e-5, atol=1e-6)
+
+    colors4 = np.asarray(evaluate_sh_colors(means, sh, cam, 4))
+    assert colors4.min() >= 0.0 and colors4.max() <= 1.0
+    assert not np.allclose(colors4, colors)
