@@ -1,0 +1,165 @@
+"""Headless command-line renderer.
+
+The reference app is ``GaussianRender <scene.ply>`` — a GLFW window with a
+60 FPS frame loop and an exit-time per-stage timing report
+(/root/reference/src/Demo.cpp:196-566).  The TPU equivalent renders frames
+headlessly to PNG: single views, scripted orbit fly-throughs, and a
+benchmark mode printing the same per-stage stat names.
+
+Usage:
+    python -m cudagaussianrenderer_tpu.cli render scene.ply -o out.png
+    python -m cudagaussianrenderer_tpu.cli orbit scene.ply -o frames/ -n 60
+    python -m cudagaussianrenderer_tpu.cli bench scene.ply --frames 30
+    python -m cudagaussianrenderer_tpu.cli bench --procedural 100000
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--size", type=int, default=1024, help="framebuffer size (square)")
+    p.add_argument("--falloff", choices=["gaussian", "epanechnikov"], default="gaussian")
+    p.add_argument("--depth-bits", type=int, choices=[19, 32], default=19)
+    p.add_argument("--raster-chunk", type=int, default=None)
+    p.add_argument("--tiles-per-cell", type=int, default=None)
+    p.add_argument("--capacity-factor", type=int, default=8)
+    p.add_argument("--gamma", type=float, default=None)
+    p.add_argument(
+        "--procedural",
+        type=int,
+        default=None,
+        metavar="N",
+        help="use N random splats instead of a .ply scene (Demo.cpp:256-269)",
+    )
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sh-degree", type=int, default=0, help="SH degree for procedural scenes")
+
+
+def _build(args):
+    # Import late so --help stays fast.
+    from .config import RenderConfig
+    from .models.camera import Camera
+    from .models.scene import random_scene
+    from .ply import load_gaussian_ply
+    from .render import Renderer
+
+    kwargs = dict(
+        screen_size=args.size,
+        falloff=args.falloff,
+        depth_bits=args.depth_bits,
+        capacity_factor=args.capacity_factor,
+        gamma=args.gamma,
+    )
+    if args.raster_chunk:
+        kwargs["raster_chunk"] = args.raster_chunk
+    if args.tiles_per_cell:
+        kwargs["tiles_per_cell"] = args.tiles_per_cell
+    config = RenderConfig(**kwargs)
+
+    if args.procedural is not None:
+        scene = random_scene(args.procedural, seed=args.seed, sh_degree=args.sh_degree)
+    elif args.scene:
+        scene = load_gaussian_ply(args.scene)
+    else:
+        raise SystemExit("provide a scene .ply or --procedural N")
+
+    print(
+        f"scene: {scene.count} splats, SH degree {scene.sh_degree}, "
+        f"bounds {np.round(scene.bounds_min, 3)}..{np.round(scene.bounds_max, 3)}",
+        file=sys.stderr,
+    )
+    renderer = Renderer(scene, config)
+    camera = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    return renderer, camera, scene, config
+
+
+def cmd_render(args):
+    from .utils.png import write_png
+
+    renderer, camera, _, _ = _build(args)
+    t0 = time.perf_counter()
+    image = renderer.render(camera)
+    print(f"rendered in {(time.perf_counter() - t0) * 1e3:.1f} ms (incl. compile)",
+          file=sys.stderr)
+    write_png(args.output, image)
+    print(f"wrote {args.output}", file=sys.stderr)
+
+
+def cmd_orbit(args):
+    from .models.camera import orbit_cameras
+    from .utils.png import write_png
+
+    renderer, _, scene, _ = _build(args)
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, args.frames)
+    for i, cam in enumerate(cams):
+        image = renderer.render(cam)
+        write_png(out / f"frame_{i:04d}.png", image)
+    print(f"wrote {args.frames} frames to {out}", file=sys.stderr)
+
+
+def cmd_bench(args):
+    from .models.camera import orbit_cameras
+
+    renderer, camera, scene, config = _build(args)
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, args.frames)
+
+    # Warmup / compile.
+    renderer.render(cams[0])
+
+    import jax
+
+    t0 = time.perf_counter()
+    for cam in cams:
+        img = renderer.render(cam, check_saturation=False)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    fps = args.frames / dt
+    print(f"{args.frames} frames in {dt * 1e3:.1f} ms -> {fps:.1f} FPS", file=sys.stderr)
+
+    if args.profile:
+        renderer.profile_frame(camera, warmup=True)
+        stages = renderer.profile_frame(camera)
+        for name, ms in stages.items():
+            print(f"{name} average time ms: {ms:2.6f}")
+        print(f"Total average time ms: {sum(stages.values()):2.6f}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="cudagaussianrenderer_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="render one framed view to PNG")
+    p.add_argument("scene", nargs="?", default=None)
+    p.add_argument("-o", "--output", default="out.png")
+    _add_common(p)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("orbit", help="render an orbit fly-through")
+    p.add_argument("scene", nargs="?", default=None)
+    p.add_argument("-o", "--output", default="frames")
+    p.add_argument("-n", "--frames", type=int, default=60)
+    _add_common(p)
+    p.set_defaults(fn=cmd_orbit)
+
+    p = sub.add_parser("bench", help="benchmark an orbit fly-through")
+    p.add_argument("scene", nargs="?", default=None)
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--profile", action="store_true", help="per-stage timing report")
+    _add_common(p)
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

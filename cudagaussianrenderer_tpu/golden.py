@@ -149,7 +149,7 @@ def golden_render(
     if sh_degree > 0 and scene_numpy.get("sh") is not None:
         d = np.asarray(camera["position"])[None, :] - means
         d = d / np.linalg.norm(d, axis=1, keepdims=True)
-        basis = np.asarray(sh_basis(d, sh_degree))
+        basis = sh_basis(d, sh_degree, xp=np)
         k = (sh_degree + 1) ** 2
         colors = np.einsum("nk,nkc->nc", basis, scene_numpy["sh"][:, :k])
         colors = np.clip(colors + 0.5, 0.0, 1.0)

@@ -26,7 +26,13 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+
+# The 3x3-sized contractions here are tiny but precision-critical: on TPU
+# the default ("fastest") matmul precision routes f32 through bf16 MXU
+# passes, costing ~3 decimal digits on clip positions.  Force full f32.
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 from ..config import RenderConfig
 from ..utils.quantize import decode_quat_xyzw, quat_xyzw_to_rotation_matrix
@@ -63,10 +69,10 @@ def project_splats(
     rot = quat_xyzw_to_rotation_matrix(q, xp=jnp)          # [N, 3, 3]
     # Sigma = R * diag(s^2) * R^T
     rs2 = rot * (scales**2)[:, None, :]                    # R * diag(s^2)
-    sigma = jnp.einsum("nik,njk->nij", rs2, rot)           # [N, 3, 3]
+    sigma = jnp.einsum("nik,njk->nij", rs2, rot, precision=_HIGHEST)           # [N, 3, 3]
 
     # --- view-space center (cu:227) ---
-    view_pos = means @ view[:3, :3].T + view[:3, 3]        # [N, 3]
+    view_pos = jnp.einsum("ni,ji->nj", means, view[:3, :3], precision=_HIGHEST) + view[:3, 3]        # [N, 3]
     vx, vy, vz = view_pos[:, 0], view_pos[:, 1], view_pos[:, 2]
 
     # --- para-perspective Jacobian terms (cu:234-259) ---
@@ -76,8 +82,6 @@ def project_splats(
     scale_y = -fov_cot[1] * z_rcp
     shear_x = fov_cot[0] * vx * z_rcp_sqr
     shear_y = fov_cot[1] * vy * z_rcp_sqr
-    trans_x = -fov_cot[0] * vx * z_rcp
-    trans_y = -fov_cot[1] * vy * z_rcp
 
     # Rows of (J @ view3x3); only the two rows feeding the 2x2 covariance.
     v3 = view[:3, :3]
@@ -85,8 +89,8 @@ def project_splats(
     row_y = scale_y[:, None] * v3[1] + shear_y[:, None] * v3[2]
 
     # cov2d = M Sigma M^T restricted to the x/y rows (cu:262-264).
-    s_rx = jnp.einsum("nij,nj->ni", sigma, row_x)
-    s_ry = jnp.einsum("nij,nj->ni", sigma, row_y)
+    s_rx = jnp.einsum("nij,nj->ni", sigma, row_x, precision=_HIGHEST)
+    s_ry = jnp.einsum("nij,nj->ni", sigma, row_y, precision=_HIGHEST)
     cov_a = jnp.sum(row_x * s_rx, axis=-1)
     cov_b = jnp.sum(row_y * s_rx, axis=-1)
     cov_c = jnp.sum(row_y * s_ry, axis=-1)
@@ -98,8 +102,12 @@ def project_splats(
     cov_c = cov_c + trace_bump
 
     # --- clip-space center (cu:265) ---
-    clip_x = scale_x * vx + shear_x * vz + trans_x
-    clip_y = scale_y * vy + shear_y * vz + trans_y
+    # The affine projection applied to its own linearization point reduces
+    # exactly to the perspective point -cot * v / vz; evaluating that form
+    # directly avoids the catastrophic shear*vz + translation cancellation
+    # the three-term float32 evaluation suffers.
+    clip_x = scale_x * vx
+    clip_y = scale_y * vy
     clip_z = depth_sb[0] * vz + depth_sb[1]
 
     # --- closed-form 2x2 eigendecomposition (cu:279-292) ---

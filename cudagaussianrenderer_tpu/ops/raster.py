@@ -180,6 +180,7 @@ def _raster_kernel(
                 rgb,
                 weight,
                 (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )  # [3, pixels]
             t_out = t_in * acc[chunk - 1 : chunk, :]
@@ -225,18 +226,17 @@ def rasterize_tiles(
     counts2 = counts.reshape(num_cells, tpc)
 
     kernel = functools.partial(_raster_kernel, config=config)
-    grid_spec = pl.GridSpec(
+    return pl.pallas_call(
+        kernel,
         grid=(num_cells,),
         in_specs=[
             pl.BlockSpec((1, tpc), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tpc), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((4, tpc, pixels), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
+        out_specs=pl.BlockSpec(
+            (4, tpc, pixels), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((4, t, pixels), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((4, pixels), jnp.float32),

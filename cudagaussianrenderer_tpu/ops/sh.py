@@ -16,6 +16,7 @@ m = -l..l, flattened: index = l^2 + l + m.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -23,16 +24,17 @@ def num_sh_coeffs(degree: int) -> int:
     return (degree + 1) ** 2
 
 
-def sh_basis(dirs, degree: int):
+def sh_basis(dirs, degree: int, xp=jnp):
     """Real SH basis values for unit directions.
 
-    dirs: [..., 3] float (assumed normalized).
+    dirs: [..., 3] float (assumed normalized).  ``xp`` selects the array
+    module (jnp on device, numpy for the golden oracle).
     Returns [..., (degree+1)^2].
     """
     if not 0 <= degree <= 4:
         raise ValueError("SH degree must be in [0, 4]")
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
-    one = jnp.ones_like(x)
+    one = xp.ones_like(x)
     out = [0.28209479177387814 * one]
     if degree >= 1:
         c1 = 0.4886025119029199
@@ -69,7 +71,7 @@ def sh_basis(dirs, degree: int):
             1.7701307697799304 * xz * (xx - 3.0 * yy),
             0.6258357354491761 * (xx * xx - 6.0 * xx * yy + yy * yy),
         ]
-    return jnp.stack(out, axis=-1)
+    return xp.stack(out, axis=-1)
 
 
 def evaluate_sh_colors(means, sh, camera_position, degree: int):
@@ -86,5 +88,6 @@ def evaluate_sh_colors(means, sh, camera_position, degree: int):
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
     basis = sh_basis(d, degree)  # [N, K]
     k = num_sh_coeffs(degree)
-    rgb = jnp.einsum("nk,nkc->nc", basis, sh[:, :k, :])
+    rgb = jnp.einsum("nk,nkc->nc", basis, sh[:, :k, :],
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.clip(rgb + 0.5, 0.0, 1.0)

@@ -6,7 +6,24 @@ exercised without TPU hardware.  Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, not setdefault: the environment presets JAX_PLATFORMS to the TPU
+# plugin, and tests must run on the virtual-device CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# On 1-core hosts jax's async CPU dispatch can deadlock while lowering
+# embeds device constants (observed: array._value futex-wait inside
+# ir_constant).  Synchronous dispatch avoids it.
+os.environ["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
+
+# The TPU plugin in this image overrides jax_platforms at import time
+# (config becomes "axon,cpu" regardless of the env var), so re-force the
+# CPU backend after import as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: repeat test runs skip XLA compilation.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,213 @@
+"""Tile binning: overlap geometry, expansion, keys, sort + range invariants."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cudagaussianrenderer_tpu.config import RenderConfig
+from cudagaussianrenderer_tpu.golden import golden_ellipse_rect_overlap, golden_project, scene_to_numpy
+from cudagaussianrenderer_tpu.models.camera import Camera
+from cudagaussianrenderer_tpu.models.scene import random_scene
+from cudagaussianrenderer_tpu.ops.binning import (
+    DEPTH_BITS_PACKED,
+    SENTINEL_KEY_U32,
+    build_tile_pairs,
+    ellipse_rect_overlap,
+    splat_tile_rects,
+)
+from cudagaussianrenderer_tpu.ops.projection import project_splats
+from cudagaussianrenderer_tpu.ops.ranges import tile_ranges
+from cudagaussianrenderer_tpu.ops.sorting import sort_pairs
+
+
+def test_overlap_matches_golden_scalar():
+    rng = np.random.default_rng(0)
+    n = 500
+    center = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    theta = rng.uniform(0, np.pi, n)
+    cos_sin = np.stack([np.cos(theta), np.sin(theta)], axis=1).astype(np.float32)
+    extent = rng.uniform(0.01, 0.5, (n, 2)).astype(np.float32)
+    extent[:, 1] = np.minimum(extent[:, 0], extent[:, 1])
+    rmin = rng.uniform(-1, 0.8, (n, 2)).astype(np.float32)
+    rsize = rng.uniform(0.01, 0.5, (n, 2)).astype(np.float32)
+    rmax = rmin + rsize
+
+    got = np.asarray(
+        jax.jit(ellipse_rect_overlap)(
+            jnp.asarray(center),
+            jnp.asarray(cos_sin),
+            jnp.asarray(extent),
+            jnp.asarray(rmin[:, 0]),
+            jnp.asarray(rmin[:, 1]),
+            jnp.asarray(rmax[:, 0]),
+            jnp.asarray(rmax[:, 1]),
+        )
+    )
+    for i in range(n):
+        want = golden_ellipse_rect_overlap(
+            center[i], cos_sin[i], extent[i], rmin[i], rmax[i]
+        )
+        assert got[i] == want, f"mismatch at {i}"
+
+
+def test_overlap_vs_monte_carlo():
+    """Property test: the exact test must agree with dense point sampling
+    whenever the sampled verdict is unambiguous."""
+    rng = np.random.default_rng(1)
+    overlap_fn = jax.jit(ellipse_rect_overlap)
+    for i in range(50):
+        center = rng.uniform(-0.5, 0.5, 2)
+        theta = rng.uniform(0, np.pi)
+        extent = np.array([rng.uniform(0.05, 0.4), rng.uniform(0.02, 0.2)])
+        rmin = rng.uniform(-0.6, 0.4, 2)
+        rmax = rmin + rng.uniform(0.05, 0.4, 2)
+        # Sample the rect densely; check if any point falls inside ellipse.
+        xs = np.linspace(rmin[0], rmax[0], 40)
+        ys = np.linspace(rmin[1], rmax[1], 40)
+        gx, gy = np.meshgrid(xs, ys)
+        dx, dy = gx - center[0], gy - center[1]
+        c, s = np.cos(theta), np.sin(theta)
+        lx = (dx * c + dy * s) / extent[0]
+        ly = (dy * c - dx * s) / extent[1]
+        r2 = lx * lx + ly * ly
+        sampled_overlap = bool((r2 < 0.98).any())
+        sampled_clear = bool((r2 < 1.02).any())
+        got = bool(
+            np.asarray(
+                overlap_fn(
+                    jnp.asarray(center, jnp.float32),
+                    jnp.asarray([c, s], jnp.float32),
+                    jnp.asarray(extent, jnp.float32),
+                    jnp.float32(rmin[0]),
+                    jnp.float32(rmin[1]),
+                    jnp.float32(rmax[0]),
+                    jnp.float32(rmax[1]),
+                )
+            )
+        )
+        if sampled_overlap:
+            assert got, f"case {i}: sampling found overlap, exact test missed it"
+        if not sampled_clear:
+            assert not got, f"case {i}: no sampled overlap, exact test claimed one"
+
+
+@pytest.fixture(scope="module")
+def pipeline_state():
+    scene = random_scene(512, seed=11)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    config = RenderConfig(screen_size=256)
+    capacity = 16384  # ample: the 512-splat fixture emits ~9k candidates
+
+    @jax.jit
+    def fn(m, s, q, c):
+        clip = project_splats(m, s, q, c, config)
+        return clip, build_tile_pairs(clip, config, capacity)
+
+    clip, pairs = fn(scene.means, scene.scales, scene.quats, cam.camera_data())
+    return scene, cam, config, clip, capacity, pairs
+
+
+def test_counts_match_golden_aabbs(pipeline_state):
+    scene, cam, config, clip, capacity, pairs = pipeline_state
+    rects = jax.jit(lambda c: splat_tile_rects(c, config))(clip)
+    sn = scene_to_numpy(scene)
+    gold = golden_project(sn["means"], sn["scales"], sn["quats"], cam.camera_data(), config)
+    tps = config.tiles_per_screen
+    counts = np.asarray(rects.counts)
+    for i in range(scene.count):
+        cx, cy = gold["clip_xy"][i]
+        ct, st, e0, e1 = gold["ellipse"][i]
+        hx = abs(ct * e0) + abs(st * e1)
+        hy = abs(st * e0) + abs(ct * e1)
+        x0 = min(max(int(np.floor((cx - hx + 1) * 0.5 * tps)), 0), tps)
+        y0 = min(max(int(np.floor((cy - hy + 1) * 0.5 * tps)), 0), tps)
+        x1 = min(max(int(np.ceil((cx + hx + 1) * 0.5 * tps)), 0), tps)
+        y1 = min(max(int(np.ceil((cy + hy + 1) * 0.5 * tps)), 0), tps)
+        want = max(0, (x1 - x0) * (y1 - y0))
+        # f32/f64 boundary flips can change the AABB by one tile row/col.
+        assert abs(counts[i] - want) <= max(3, x1 - x0, y1 - y0), i
+
+
+def test_pair_list_structure(pipeline_state):
+    scene, cam, config, clip, capacity, pairs = pipeline_state
+    keys = np.asarray(pairs.keys[0])
+    values = np.asarray(pairs.values)
+    n_cand = int(pairs.num_candidates)
+    n_pairs = int(pairs.num_pairs)
+    assert 0 < n_pairs <= min(n_cand, capacity)
+    assert n_cand <= capacity  # fixture is sized to avoid saturation
+    valid = keys != np.uint32(SENTINEL_KEY_U32)
+    assert valid.sum() == n_pairs
+    # Valid entries reference real splats; sentinels carry -1.
+    assert np.all(values[valid] >= 0)
+    assert np.all(values[valid] < scene.padded_count)
+    assert np.all(values[~valid] == -1)
+    # Tile ids in range.
+    tiles = keys[valid] >> DEPTH_BITS_PACKED
+    assert tiles.max() < config.total_tiles
+
+
+def test_sorted_ranges_partition_list(pipeline_state):
+    scene, cam, config, clip, capacity, pairs = pipeline_state
+
+    @jax.jit
+    def fn(pairs):
+        sorted_keys, sorted_vals = sort_pairs(pairs)
+        starts, counts = tile_ranges(sorted_keys, config)
+        return sorted_keys, sorted_vals, starts, counts
+
+    sorted_keys, sorted_vals, starts, counts = fn(pairs)
+    keys = np.asarray(sorted_keys[0])
+    assert np.all(keys[:-1] <= keys[1:])  # sorted
+    starts, counts = np.asarray(starts), np.asarray(counts)
+    n_pairs = int(pairs.num_pairs)
+    # Ranges are disjoint, ordered, and cover exactly the valid prefix.
+    assert counts.sum() == n_pairs
+    ends = starts + counts
+    assert np.all(starts[1:] >= ends[:-1])
+    # Within each tile, depth is non-decreasing.
+    depth_mask = (1 << DEPTH_BITS_PACKED) - 1
+    for t in np.nonzero(counts > 1)[0][:50]:
+        seg = keys[starts[t] : ends[t]]
+        assert np.all((seg >> DEPTH_BITS_PACKED) == t)
+        d = seg & depth_mask
+        assert np.all(d[:-1] <= d[1:])
+
+
+def test_lex_sort_mode_equivalent(pipeline_state):
+    scene, cam, config, clip, capacity, pairs19 = pipeline_state
+    cfg32 = RenderConfig(screen_size=256, depth_bits=32)
+
+    @jax.jit
+    def fn32(clip):
+        pairs32 = build_tile_pairs(clip, cfg32, capacity)
+        return tile_ranges(sort_pairs(pairs32)[0], cfg32)
+
+    @jax.jit
+    def fn19(pairs):
+        return tile_ranges(sort_pairs(pairs)[0], config)
+
+    starts32, counts32 = fn32(clip)
+    starts19, counts19 = fn19(pairs19)
+    np.testing.assert_array_equal(np.asarray(counts32), np.asarray(counts19))
+    np.testing.assert_array_equal(np.asarray(starts32), np.asarray(starts19))
+
+
+def test_capacity_truncation():
+    """When capacity is too small, the list truncates (the reference aborts
+    writes at capacity, cu:700-703) and reports saturation via counts."""
+    scene = random_scene(512, seed=11)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    config = RenderConfig(screen_size=256, capacity=256)
+
+    @jax.jit
+    def fn(m, s, q, c):
+        clip = project_splats(m, s, q, c, config)
+        return build_tile_pairs(clip, config, 256)
+
+    pairs = fn(scene.means, scene.scales, scene.quats, cam.camera_data())
+    assert int(pairs.num_candidates) > 256  # saturated
+    assert int(pairs.num_pairs) <= 256
+    assert np.asarray(pairs.keys[0]).shape == (256,)

@@ -70,7 +70,7 @@ def test_sh_basis_matches_legendre_oracle(degree):
     rng = np.random.default_rng(42)
     dirs = rng.normal(size=(512, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    got = np.asarray(sh_basis(dirs.astype(np.float32), degree))
+    got = sh_basis(dirs.astype(np.float32), degree, xp=np)
     want = oracle_sh_basis(dirs, degree)
     assert got.shape == (512, num_sh_coeffs(degree))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
@@ -84,7 +84,7 @@ def test_sh_basis_matches_reference_generated_form():
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     x, y, z = d[:, 0], d[:, 1], d[:, 2]
     xx, yy = x * x, y * y
-    b = np.asarray(sh_basis(d.astype(np.float64), 4))
+    b = sh_basis(d.astype(np.float64), 4, xp=np)
     # degree 2, m=0 band:
     np.testing.assert_allclose(
         b[:, 6], -0.946174696 * xx - 0.946174696 * yy + 0.630783131, atol=1e-6
