@@ -49,10 +49,12 @@ class RenderConfig:
     depth_bits: int = 19
 
     # --- rasterization ---
-    # Splats processed per VMEM batch in the raster kernel (reference uses
-    # the 32-wide warp, GaussianRender.cu:950).  Early saturation exit
-    # happens at this granularity.
-    raster_chunk: int = 32
+    # Splats processed per VMEM batch in the raster kernel; must be a
+    # multiple of 128 (the TPU lane width, which DMA slices align to).
+    # The reference's analog is its 32-wide warp chunk
+    # (GaussianRender.cu:950).  Early saturation exit happens at this
+    # granularity.
+    raster_chunk: int = 128
     # Tile is considered opaque when every pixel transmittance <= this
     # (reference: GaussianRender.cu:995).
     transmittance_eps: float = 0.02
@@ -78,6 +80,8 @@ class RenderConfig:
             raise ValueError("depth_bits must be 19 (packed u32) or 32 (lex)")
         if self.tiles_per_screen**2 % self.tiles_per_cell != 0:
             raise ValueError("tiles_per_cell must divide the tile count")
+        if self.raster_chunk % 128 != 0 or self.raster_chunk & (self.raster_chunk - 1):
+            raise ValueError("raster_chunk must be a power-of-two multiple of 128")
 
     # --- derived quantities ---
     @property

@@ -8,21 +8,26 @@ front-to-back alpha blending with a cooperative early-saturation exit
 
 TPU re-design:
   * The random splat gather is hoisted OUT of the kernel entirely: after
-    sorting, one bulk XLA gather materializes a [C, 16] float32 streaming
-    buffer holding (center, conic, rgb, alpha) per sorted pair.  The kernel
-    then only ever reads *contiguous* chunks — sequential HBM traffic at
+    sorting, one bulk XLA gather materializes a planar [16, C] float32
+    streaming buffer (attribute rows x sorted pairs).  The kernel then
+    only ever reads *contiguous* lane-slices — sequential HBM traffic at
     full bandwidth instead of per-splat random loads.
+  * TPU DMA slices along the minor (lane) dimension must be 128-aligned,
+    so chunks are 128 pairs wide and each tile's streaming starts at
+    ``start & ~127`` — over-fetching into the previous tile's tail and
+    masking it out, rather than re-padding the sorted list.
   * Grid steps own ``tiles_per_cell`` tiles each (amortizing per-step
-    overhead); each tile runs a ``while_loop`` over CHUNK-sized batches
-    with double-buffered async DMA from the streaming buffer into VMEM.
-  * Blending is vectorized over the whole [CHUNK, 256] (splat, pixel)
-    block: the front-to-back transmittance recurrence T *= (1 - a) becomes
-    an O(log CHUNK) Hillis-Steele cumulative product along the splat axis,
-    and the color accumulation sum_k w_k * rgb_k is a [3, CHUNK] x
-    [CHUNK, 256] matmul on the MXU.
+    overhead); each tile runs a ``while_loop`` over chunks with
+    double-buffered async DMA into VMEM.
+  * Blending is vectorized over the whole [256 pixels, 128 splats] block
+    (pixels on sublanes, splats on lanes — broadcast-friendly, no
+    transposes): the front-to-back transmittance recurrence T *= (1 - a)
+    becomes an O(log chunk) Hillis-Steele cumulative product along the
+    lane axis, and the color accumulation sum_k w_k * rgb_k is a
+    [256, 128] x [3, 128]^T matmul on the MXU.
   * Early exit happens at chunk granularity via the loop condition
-    max(T) > eps, exactly like the reference's __syncthreads_count break
-    (cu:994-998).
+    max(T) > eps, the analog of the reference's __syncthreads_count break
+    (cu:994-998) at 128-splat instead of 32-splat granularity.
 
 Pixel centers use clip = pixel * (2 / screen) - 1 with no half-texel
 offset, matching cu:933-939.
@@ -39,11 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 
-# Streaming-buffer column layout.
-COL_CX, COL_CY = 0, 1
-COL_CON_A, COL_CON_B, COL_CON_C = 2, 3, 4
-COL_R, COL_G, COL_B, COL_ALPHA = 5, 6, 7, 8
-PAIR_COLS = 16  # padded to a power of two for clean DMA shapes
+# Streaming-buffer row layout ([16, C] planar).
+ROW_CX, ROW_CY = 0, 1
+ROW_CON_A, ROW_CON_B, ROW_CON_C = 2, 3, 4
+ROW_R, ROW_G, ROW_B, ROW_ALPHA = 5, 6, 7, 8
+PAIR_ROWS = 16  # padded to a power of two for clean DMA shapes
+
+LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
 
 
 def gather_pair_data(
@@ -54,35 +61,39 @@ def gather_pair_data(
     opacities: jnp.ndarray,
     chunk: int,
 ) -> jnp.ndarray:
-    """Build the [C + chunk, PAIR_COLS] streaming buffer.
+    """Build the [PAIR_ROWS, C + 2*chunk] planar streaming buffer.
 
     One parallel gather replaces the reference's per-chunk uncoalesced
-    shared-memory staging (cu:950-963).  The extra ``chunk`` rows of
-    zero padding let the kernel's fixed-size DMAs run past the last
-    partial chunk safely.
+    shared-memory staging (cu:950-963).  The tail padding absorbs the
+    kernel's fixed-size DMAs running past the last partial chunk.
     """
     idx = jnp.maximum(sorted_values, 0)  # sentinels carry -1
     n = sorted_values.shape[0]
-    buf = jnp.zeros((n + chunk, PAIR_COLS), jnp.float32)
-    cols = jnp.concatenate(
+    rows = jnp.stack(
         [
-            clip_xy[idx],                      # cx, cy
-            conic[idx],                        # a, b, c
-            colors[idx],                       # r, g, b
-            opacities[idx][:, None],           # alpha
-        ],
-        axis=1,
-    )
-    return buf.at[:n, : cols.shape[1]].set(cols)
+            clip_xy[idx, 0],
+            clip_xy[idx, 1],
+            conic[idx, 0],
+            conic[idx, 1],
+            conic[idx, 2],
+            colors[idx, 0],
+            colors[idx, 1],
+            colors[idx, 2],
+            opacities[idx],
+        ]
+    )  # [9, C]
+    pad_r = PAIR_ROWS - rows.shape[0]
+    pad_c = 2 * chunk
+    return jnp.pad(rows, ((0, pad_r), (0, pad_c)))
 
 
 def _raster_kernel(
-    starts_ref,    # SMEM [1, tiles_per_cell] int32
-    counts_ref,    # SMEM [1, tiles_per_cell] int32
-    pairs_hbm,     # ANY  [C + CHUNK, PAIR_COLS] float32
-    out_ref,       # VMEM [4, tiles_per_cell, 256] float32
-    state,         # VMEM scratch [4, 256] (rows: r, g, b, transmittance)
-    chunk_buf,     # VMEM scratch [2, CHUNK, PAIR_COLS]
+    starts_ref,    # SMEM [total_tiles] int32 (scalar prefetch)
+    counts_ref,    # SMEM [total_tiles] int32 (scalar prefetch)
+    pairs_hbm,     # HBM  [PAIR_ROWS, C + 2*chunk] float32
+    out_ref,       # VMEM [tiles_per_cell, pixels, 4] float32
+    state,         # VMEM scratch [pixels, 8] (cols: r, g, b, transmittance)
+    chunk_buf,     # VMEM scratch [2, PAIR_ROWS, chunk]
     sems,          # DMA semaphores (2,)
     *,
     config: RenderConfig,
@@ -92,41 +103,45 @@ def _raster_kernel(
     tile_size = config.tile_size
     pixels = tile_size * tile_size
     tps = config.tiles_per_screen
-    inv_half_screen = 2.0 / float(config.screen_size)
+    pix_to_clip = 2.0 / float(config.screen_size)
     eps = config.transmittance_eps
     cell = pl.program_id(0)
 
-    # Pixel offsets within a tile, flattened row-major like the reference's
-    # threadIdx mapping (cu:934).
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, pixels), 1)
+    # Pixel coordinates within a tile, flattened row-major like the
+    # reference's threadIdx mapping (cu:934); pixels ride the sublane axis.
+    pix = jax.lax.broadcasted_iota(jnp.int32, (pixels, 1), 0)
     px_in_tile = (pix % tile_size).astype(jnp.float32)
     py_in_tile = (pix // tile_size).astype(jnp.float32)
-    krow = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-    def make_dma(slot, start, c):
+    def make_dma(slot, astart, c):
         return pltpu.make_async_copy(
-            pairs_hbm.at[pl.ds(start + c * chunk, chunk), :],
+            pairs_hbm.at[:, pl.ds(astart + c * chunk, chunk)],
             chunk_buf.at[slot],
             sems.at[slot],
         )
 
     for ti in range(tpc):
         tile = cell * tpc + ti
-        start = starts_ref[0, ti]
-        count = counts_ref[0, ti]
-        num_chunks = pl.cdiv(count, chunk)
+        start = starts_ref[tile]
+        count = counts_ref[tile]
+        # DMA offsets must be lane-aligned: stream from the aligned floor
+        # of the segment and mask the over-fetched prefix.
+        astart = (start // chunk) * chunk
+        span = start - astart + count
+        num_chunks = pl.cdiv(span, chunk)
 
         tile_x = (tile % tps).astype(jnp.float32)
         tile_y = (tile // tps).astype(jnp.float32)
-        pcx = (tile_x * tile_size + px_in_tile) * inv_half_screen - 1.0
-        pcy = (tile_y * tile_size + py_in_tile) * inv_half_screen - 1.0
+        pcx = (tile_x * tile_size + px_in_tile) * pix_to_clip - 1.0  # [pixels,1]
+        pcy = (tile_y * tile_size + py_in_tile) * pix_to_clip - 1.0
 
-        state[0:3, :] = jnp.zeros((3, pixels), jnp.float32)
-        state[3:4, :] = jnp.ones((1, pixels), jnp.float32)
+        state[:, 0:3] = jnp.zeros((pixels, 3), jnp.float32)
+        state[:, 3:4] = jnp.ones((pixels, 1), jnp.float32)
 
         @pl.when(num_chunks > 0)
         def _():
-            make_dma(0, start, 0).start()
+            make_dma(0, astart, 0).start()
 
         def cond(carry):
             c, t_max = carry
@@ -138,54 +153,52 @@ def _raster_kernel(
 
             @pl.when(c + 1 < num_chunks)
             def _():
-                make_dma(1 - slot, start, c + 1).start()
+                make_dma(1 - slot, astart, c + 1).start()
 
-            make_dma(slot, start, c).wait()
-            data = chunk_buf[slot]  # [CHUNK, PAIR_COLS]
+            make_dma(slot, astart, c).wait()
+            data = chunk_buf[slot]  # [PAIR_ROWS, chunk]
 
-            cx = data[:, COL_CX : COL_CX + 1]
-            cy = data[:, COL_CY : COL_CY + 1]
-            con_a = data[:, COL_CON_A : COL_CON_A + 1]
-            con_b = data[:, COL_CON_B : COL_CON_B + 1]
-            con_c = data[:, COL_CON_C : COL_CON_C + 1]
-            a_s = data[:, COL_ALPHA : COL_ALPHA + 1]
+            cx = data[ROW_CX : ROW_CX + 1, :]          # [1, chunk]
+            cy = data[ROW_CY : ROW_CY + 1, :]
+            con_a = data[ROW_CON_A : ROW_CON_A + 1, :]
+            con_b = data[ROW_CON_B : ROW_CON_B + 1, :]
+            con_c = data[ROW_CON_C : ROW_CON_C + 1, :]
+            a_s = data[ROW_ALPHA : ROW_ALPHA + 1, :]
 
-            dx = pcx - cx  # [CHUNK, pixels]
+            dx = pcx - cx  # [pixels, chunk]
             dy = pcy - cy
             dpow = con_a * dx * dx + con_c * dy * dy + 2.0 * con_b * dx * dy
             if config.falloff == "gaussian":
                 density = jnp.exp(-0.5 * dpow)
             else:
                 density = 1.0 - dpow * (1.0 / 7.0)
-            in_count = (c * chunk + krow) < count
-            alpha = jnp.where(
-                in_count, a_s * jnp.clip(density, 0.0, 1.0), 0.0
-            )
+            gidx = astart + c * chunk + lane  # [1, chunk] global pair index
+            in_seg = (gidx >= start) & (gidx < start + count)
+            alpha = jnp.where(in_seg, a_s * jnp.clip(density, 0.0, 1.0), 0.0)
 
-            # Inclusive cumprod of (1 - alpha) along the splat axis:
-            # Hillis-Steele, log2(CHUNK) doubling steps.
-            om = 1.0 - alpha
-            acc = om
+            # Inclusive cumprod of (1 - alpha) along the splat (lane) axis:
+            # Hillis-Steele, log2(chunk) doubling steps.
+            acc = 1.0 - alpha
             shift = 1
             while shift < chunk:
-                rolled = pltpu.roll(acc, shift, axis=0)
-                acc = acc * jnp.where(krow >= shift, rolled, 1.0)
+                rolled = pltpu.roll(acc, shift, axis=1)
+                acc = acc * jnp.where(lane >= shift, rolled, 1.0)
                 shift *= 2
-            excl = jnp.where(krow >= 1, pltpu.roll(acc, 1, axis=0), 1.0)
+            excl = jnp.where(lane >= 1, pltpu.roll(acc, 1, axis=1), 1.0)
 
-            t_in = state[3:4, :]
-            weight = t_in * excl * alpha  # [CHUNK, pixels]
-            rgb = data[:, COL_R : COL_R + 3]  # [CHUNK, 3]
+            t_in = state[:, 3:4]                        # [pixels, 1]
+            weight = t_in * excl * alpha                # [pixels, chunk]
+            rgb = data[ROW_R : ROW_R + 3, :]            # [3, chunk]
             contrib = jax.lax.dot_general(
-                rgb,
                 weight,
-                (((0,), (0,)), ((), ())),
+                rgb,
+                (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
-            )  # [3, pixels]
-            t_out = t_in * acc[chunk - 1 : chunk, :]
-            state[0:3, :] = state[0:3, :] + contrib
-            state[3:4, :] = t_out
+            )  # [pixels, 3]
+            t_out = t_in * acc[:, chunk - 1 : chunk]
+            state[:, 0:3] = state[:, 0:3] + contrib
+            state[:, 3:4] = t_out
             return c + 1, jnp.max(t_out)
 
         final_c, _ = jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
@@ -194,12 +207,11 @@ def _raster_kernel(
         # drain it so the semaphore slot is clean for the next tile.
         @pl.when(final_c < num_chunks)
         def _():
-            make_dma(jax.lax.rem(final_c, 2), start, final_c).wait()
+            make_dma(jax.lax.rem(final_c, 2), astart, final_c).wait()
 
-        out_ref[0:3, ti, :] = state[0:3, :]
-        out_ref[3:4, ti, :] = jnp.where(
-            count > 0, jnp.ones((1, pixels), jnp.float32), jnp.zeros((1, pixels), jnp.float32)
-        )
+        covered = (count > 0).astype(jnp.float32)
+        out_ref[ti, :, 0:3] = state[:, 0:3]
+        out_ref[ti, :, 3:4] = jnp.full((pixels, 1), covered, jnp.float32)
 
 
 def rasterize_tiles(
@@ -212,9 +224,9 @@ def rasterize_tiles(
 ) -> jnp.ndarray:
     """Run the raster kernel.
 
-    pair_data: [C + chunk, PAIR_COLS] from gather_pair_data.
+    pair_data: [PAIR_ROWS, C + 2*chunk] from gather_pair_data.
     starts, counts: [total_tiles] int32 from ops.ranges.
-    Returns [4, total_tiles, pixels_per_tile] float32 (r, g, b, coverage).
+    Returns [total_tiles, pixels_per_tile, 4] float32 (r, g, b, coverage).
     """
     t = config.total_tiles
     tpc = config.tiles_per_cell
@@ -222,33 +234,28 @@ def rasterize_tiles(
     chunk = config.raster_chunk
     num_cells = t // tpc
 
-    starts2 = starts.reshape(num_cells, tpc)
-    counts2 = counts.reshape(num_cells, tpc)
-
     kernel = functools.partial(_raster_kernel, config=config)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # starts, counts live whole in SMEM
         grid=(num_cells,),
-        in_specs=[
-            pl.BlockSpec((1, tpc), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tpc), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (4, tpc, pixels), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((4, t, pixels), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((tpc, pixels, 4), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((4, pixels), jnp.float32),
-            pltpu.VMEM((2, chunk, PAIR_COLS), jnp.float32),
+            pltpu.VMEM((pixels, 8), jnp.float32),
+            pltpu.VMEM((2, PAIR_ROWS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, pixels, 4), jnp.float32),
         interpret=interpret,
-    )(starts2, counts2, pair_data)
+    )(starts, counts, pair_data)
 
 
 def tiles_to_image(tile_rgba: jnp.ndarray, config: RenderConfig) -> jnp.ndarray:
-    """[4, T, pixels] tile-major float -> [screen, screen, 4] uint8.
+    """[T, pixels, 4] tile-major float -> [screen, screen, 4] uint8.
 
     Quantization matches the reference: truncating *255 cast, alpha 255 on
     covered tiles, untouched tiles stay fully zero (cu:1007-1015 plus the
@@ -256,11 +263,10 @@ def tiles_to_image(tile_rgba: jnp.ndarray, config: RenderConfig) -> jnp.ndarray:
     """
     tps = config.tiles_per_screen
     ts = config.tile_size
-    img = tile_rgba.reshape(4, tps, tps, ts, ts)
-    img = img.transpose(1, 3, 2, 4, 0).reshape(tps * ts, tps * ts, 4)
+    img = tile_rgba.reshape(tps, tps, ts, ts, 4)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tps * ts, tps * ts, 4)
     rgb = img[..., :3]
     if config.gamma is not None:
         rgb = jnp.power(jnp.clip(rgb, 0.0, 1.0), config.gamma)
-    covered = img[..., 3:4]
-    rgba = jnp.concatenate([rgb, covered], axis=-1)
+    rgba = jnp.concatenate([rgb, img[..., 3:4]], axis=-1)
     return (jnp.clip(rgba, 0.0, 1.0) * 255.0).astype(jnp.uint8)
