@@ -9,12 +9,20 @@ two-phase scan:
 
   1. per-splat candidate-tile counts from the ellipse AABB in tile space
      (same math as cu:526-551), then an inclusive prefix sum;
-  2. "expansion": every slot j of a fixed-capacity list finds its owning
-     splat with a vectorized binary search over the prefix sums, recovers
-     its local tile coordinates, and runs the *exact* ellipse/rectangle
-     overlap test (same geometry as cu:350-436).  Slots whose test fails —
-     and slots beyond the total candidate count — become sentinel entries
-     that sort to the end of the list.
+  2. "expansion": every slot j of a fixed-capacity list recovers its
+     owning splat's attributes, local tile coordinates, and runs the
+     *exact* ellipse/rectangle overlap test (same geometry as
+     cu:350-436).  Slots whose test fails — and slots beyond the total
+     candidate count — become sentinel entries that sort to the end.
+
+The expansion is gather-free — XLA gathers and searchsorted are slow
+serial operations on TPU (~10 ms per million scalar lookups measured on
+v5e).  Instead it uses a *segmented fill*: per-splat attribute rows are
+bitcast to int32, differenced along the splat axis, scatter-added at each
+splat's segment offset, and an int32 cumulative sum over the capacity
+axis reproduces each attribute across its segment.  Integer telescoping
+makes this BIT-EXACT (wrap-around arithmetic cancels exactly), including
+zero-count splats whose deltas stack on the next segment's offset.
 
 Overflow behaves like the reference's saturation (cu:700-703,
 Demo.cpp:356-366): candidates beyond capacity are dropped for this frame
@@ -24,9 +32,9 @@ Sort keys: tile-major, front-to-back depth minor (getKey, cu:446-454).
 Default packs (tile_id << 19) | depth19 into ONE uint32 — TPU sorts 32-bit
 keys natively; 2^19 linear-depth levels across [near, far] is ample for
 blending order.  ``depth_bits=32`` switches to a two-operand lexicographic
-(tile, depth24<<8) sort; note the reference's "full 32 depth bits" carry at
-most 24 significant bits anyway, because the key is computed from a float32
-in [0, 1].
+(tile, depth24<<8) sort; note the reference's "full 32 depth bits" carry
+at most 24 significant bits anyway, because the key is computed from a
+float32 in [0, 1].
 """
 
 from __future__ import annotations
@@ -142,6 +150,24 @@ def splat_tile_rects(clip_data: SplatClipData, config: RenderConfig) -> TileRect
 
 
 # ---------------------------------------------------------------------------
+# Segmented fill (the gather-free expansion primitive)
+# ---------------------------------------------------------------------------
+
+def segmented_fill_i32(rows: jnp.ndarray, offsets: jnp.ndarray, capacity: int):
+    """Expand per-splat int32 rows [A, N] into per-slot rows [A, C].
+
+    Slot j receives rows[:, i] for the last splat i with offsets[i] <= j.
+    Exact by int32 telescoping: cumsum of adjacent differences scattered
+    at the segment offsets.  Offsets beyond capacity are dropped, which
+    truncates exactly like the reference's capacity abort (cu:700-703).
+    """
+    deltas = rows - jnp.pad(rows[:, :-1], ((0, 0), (1, 0)))
+    buf = jnp.zeros((rows.shape[0], capacity), jnp.int32)
+    buf = buf.at[:, offsets].add(deltas, mode="drop")
+    return jnp.cumsum(buf, axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Sort keys (getKey, cu:446-454)
 # ---------------------------------------------------------------------------
 
@@ -152,72 +178,113 @@ def quantize_depth(clip_z: jnp.ndarray, bits: int) -> jnp.ndarray:
 
 
 class TilePairs(NamedTuple):
-    """Fixed-capacity (key, value) pair list with sentinel padding."""
+    """Fixed-capacity pair list with sentinel padding.
+
+    ``attrs`` carries the 9 per-pair raster attributes (cx, cy, conic a/b/c,
+    r, g, b, alpha) as [9, C] float32 rows, so the sort can move them with
+    the keys and the rasterizer needs no post-sort gather.
+    """
 
     keys: Tuple[jnp.ndarray, ...]  # 1 operand (packed) or 2 (lex: tile, depth)
-    values: jnp.ndarray            # [C] int32 splat indices
+    values: jnp.ndarray            # [C] int32 splat indices (-1 = invalid)
+    attrs: jnp.ndarray             # [9, C] float32
     num_candidates: jnp.ndarray    # scalar int32: total AABB candidates (pre-test)
     num_pairs: jnp.ndarray         # scalar int32: pairs passing the exact test
 
 
+# segmented-fill row indices
+_I_OFFSET, _I_W, _I_X0, _I_Y0, _I_DEPTH = 0, 1, 2, 3, 4
+_NUM_I32 = 5
+_F_ROWS = 13  # cx, cy, cos, sin, e0, e1, con_a, con_b, con_c, r, g, b, alpha
+
+
 def build_tile_pairs(
-    clip_data: SplatClipData, config: RenderConfig, capacity: int
+    clip_data: SplatClipData,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    config: RenderConfig,
+    capacity: int,
 ) -> TilePairs:
     """Phase 2: expansion + exact test + key emission, all static-shape."""
     rects = splat_tile_rects(clip_data, config)
     tps = config.tiles_per_screen
 
     incl = jnp.cumsum(rects.counts)                       # [N] inclusive
-    total = incl[-1] if incl.shape[0] else jnp.int32(0)
+    offsets = incl - rects.counts                         # exclusive
+    total = incl[-1]
 
+    depth_bits = (
+        DEPTH_BITS_PACKED if config.depth_bits == DEPTH_BITS_PACKED else 24
+    )
+    qdepth = quantize_depth(clip_data.clip_z, depth_bits).astype(jnp.int32)
+
+    int_rows = jnp.stack([offsets, rects.w, rects.x0, rects.y0, qdepth])  # [5, N]
+    f32_rows = jnp.stack(
+        [
+            clip_data.clip_xy[:, 0],
+            clip_data.clip_xy[:, 1],
+            clip_data.ellipse[:, 0],
+            clip_data.ellipse[:, 1],
+            clip_data.ellipse[:, 2],
+            clip_data.ellipse[:, 3],
+            clip_data.conic[:, 0],
+            clip_data.conic[:, 1],
+            clip_data.conic[:, 2],
+            colors[:, 0],
+            colors[:, 1],
+            colors[:, 2],
+            opacities,
+        ]
+    )  # [13, N]
+    # Splat index row lets tests recover provenance; filled alongside.
+    n = offsets.shape[0]
+    idx_row = jnp.arange(n, dtype=jnp.int32)[None, :]
+    rows = jnp.concatenate(
+        [int_rows, idx_row, f32_rows.view(jnp.int32)], axis=0
+    )  # [5 + 1 + 13, N]
+
+    filled = segmented_fill_i32(rows, offsets, capacity)
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    # Owning splat: first index whose inclusive cumsum exceeds the slot.
-    splat = jnp.searchsorted(incl, slots, side="right").astype(jnp.int32)
     in_range = slots < jnp.minimum(total, capacity)
-    splat_c = jnp.clip(splat, 0, rects.x0.shape[0] - 1)
 
-    offset = incl[splat_c] - rects.counts[splat_c]        # exclusive cumsum
-    local = slots - offset
-    w = jnp.maximum(rects.w[splat_c], 1)
-    lx = local % w
-    ly = local // w
-    gx = rects.x0[splat_c] + lx
-    gy = rects.y0[splat_c] + ly
+    offset_s = filled[_I_OFFSET]
+    w_s = jnp.maximum(filled[_I_W], 1)
+    local = slots - offset_s
+    lx = local % w_s
+    ly = local // w_s
+    gx = filled[_I_X0] + lx
+    gy = filled[_I_Y0] + ly
+    splat_idx = filled[_NUM_I32]
+    f = filled[_NUM_I32 + 1 :].view(jnp.float32)  # [13, C]
+    center = jnp.stack([f[0], f[1]], axis=-1)
+    cos_sin = jnp.stack([f[2], f[3]], axis=-1)
+    extent = jnp.stack([f[4], f[5]], axis=-1)
 
     # Candidate tile rect in clip space (cu:653-664).
     tile_clip_size = 2.0 * config.tile_size / config.screen_size
     tx = gx.astype(jnp.float32) * tile_clip_size - 1.0
     ty = gy.astype(jnp.float32) * tile_clip_size - 1.0
-
-    center = clip_data.clip_xy[splat_c]
-    ellipse = clip_data.ellipse[splat_c]
     hit = ellipse_rect_overlap(
-        center,
-        ellipse[:, 0:2],
-        ellipse[:, 2:4],
-        tx,
-        ty,
-        tx + tile_clip_size,
-        ty + tile_clip_size,
+        center, cos_sin, extent, tx, ty, tx + tile_clip_size, ty + tile_clip_size
     )
     valid = in_range & hit
 
     tile_id = (gy * tps + gx).astype(jnp.uint32)
-    depth_z = clip_data.clip_z[splat_c]
-    values = jnp.where(valid, splat_c, -1)
+    q_s = filled[_I_DEPTH].astype(jnp.uint32)
+    values = jnp.where(valid, splat_idx, -1)
+    attrs = jnp.concatenate([f[0:2], f[6:9], f[9:13]], axis=0)  # [9, C]
 
     if config.depth_bits == DEPTH_BITS_PACKED:
-        q = quantize_depth(depth_z, DEPTH_BITS_PACKED)
-        key = (tile_id << DEPTH_BITS_PACKED) | q
+        key = (tile_id << DEPTH_BITS_PACKED) | q_s
         keys = (jnp.where(valid, key, SENTINEL_KEY_U32),)
     else:
-        q = quantize_depth(depth_z, 24) << jnp.uint32(8)
         tile_op = jnp.where(valid, tile_id, jnp.uint32(config.sentinel_tile))
-        keys = (tile_op, jnp.where(valid, q, SENTINEL_KEY_U32))
+        keys = (tile_op, jnp.where(valid, q_s << jnp.uint32(8), SENTINEL_KEY_U32))
 
     return TilePairs(
         keys=keys,
         values=values,
+        attrs=attrs,
         num_candidates=total.astype(jnp.int32),
         num_pairs=jnp.sum(valid).astype(jnp.int32),
     )

@@ -53,38 +53,16 @@ PAIR_ROWS = 16  # padded to a power of two for clean DMA shapes
 LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
 
 
-def gather_pair_data(
-    sorted_values: jnp.ndarray,
-    clip_xy: jnp.ndarray,
-    conic: jnp.ndarray,
-    colors: jnp.ndarray,
-    opacities: jnp.ndarray,
-    chunk: int,
-) -> jnp.ndarray:
-    """Build the [PAIR_ROWS, C + 2*chunk] planar streaming buffer.
+def pack_pair_data(sorted_attrs: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """[9, C] sorted attribute rows -> [PAIR_ROWS, C + 2*chunk] buffer.
 
-    One parallel gather replaces the reference's per-chunk uncoalesced
-    shared-memory staging (cu:950-963).  The tail padding absorbs the
-    kernel's fixed-size DMAs running past the last partial chunk.
+    The attributes arrive already in sorted pair order (carried through the
+    variadic sort — no gather); this just pads rows to a power of two and
+    adds lane tail-padding so the kernel's fixed-size DMAs can run past
+    the final partial chunk.
     """
-    idx = jnp.maximum(sorted_values, 0)  # sentinels carry -1
-    n = sorted_values.shape[0]
-    rows = jnp.stack(
-        [
-            clip_xy[idx, 0],
-            clip_xy[idx, 1],
-            conic[idx, 0],
-            conic[idx, 1],
-            conic[idx, 2],
-            colors[idx, 0],
-            colors[idx, 1],
-            colors[idx, 2],
-            opacities[idx],
-        ]
-    )  # [9, C]
-    pad_r = PAIR_ROWS - rows.shape[0]
-    pad_c = 2 * chunk
-    return jnp.pad(rows, ((0, pad_r), (0, pad_c)))
+    pad_r = PAIR_ROWS - sorted_attrs.shape[0]
+    return jnp.pad(sorted_attrs, ((0, pad_r), (0, 2 * chunk)))
 
 
 def _raster_kernel(

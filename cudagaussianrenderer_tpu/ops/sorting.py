@@ -1,13 +1,17 @@
 """Tile-list sort — stage D of the frame pipeline.
 
-The reference delegates to cub::DeviceRadixSort over 44 of 64 key bits
-(sortTileList, /root/reference/src/GaussianRender.cu:804-855).  On TPU the
-baseline is XLA's variadic sort: a single uint32 key (packed tile|depth)
-with the int32 splat index as payload, or a two-key lexicographic sort for
-the wide-depth mode.  Invalid entries carry the all-ones sentinel key and
-therefore land in a dead suffix of the list, which the tile-range stage
-never addresses — this is how the dynamically-sized CUDA list becomes a
-statically-shaped TPU array.
+The reference delegates to cub::DeviceRadixSort over 44 of 64 key bits on
+(key, splat-index) pairs, then the rasterizer chases the indices with
+uncoalesced loads (sortTileList, /root/reference/src/GaussianRender.cu:
+804-855; loads at cu:950-963).  On TPU random gathers are serial and slow,
+so the sort is *variadic*: XLA's multi-operand sort moves the splat index
+AND the 9 raster attributes together with the key.  The rasterizer then
+streams attribute rows sequentially — no post-sort gather exists anywhere
+in the pipeline.
+
+Invalid entries carry the all-ones sentinel key and land in a dead suffix
+of the list, which the tile-range stage never addresses — this is how the
+dynamically-sized CUDA list becomes a statically-shaped TPU array.
 """
 
 from __future__ import annotations
@@ -20,15 +24,20 @@ import jax.numpy as jnp
 from .binning import TilePairs
 
 
-def sort_pairs(pairs: TilePairs) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
+def sort_pairs(
+    pairs: TilePairs,
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray, jnp.ndarray]:
     """Sort the pair list by (tile asc, depth front-to-back).
 
-    Returns (sorted key operands, sorted values).
+    Returns (sorted key operands, sorted values [C], sorted attrs [9, C]).
     """
-    ops = (*pairs.keys, pairs.values)
     num_keys = len(pairs.keys)
+    ops = (*pairs.keys, pairs.values, *pairs.attrs)
     # Stable: equal-depth pairs keep emission (= splat index) order, making
     # results deterministic — unlike the reference, whose tie order depends
     # on CUDA block scheduling.
     sorted_ops = jax.lax.sort(ops, num_keys=num_keys, is_stable=True)
-    return sorted_ops[:num_keys], sorted_ops[num_keys]
+    keys = sorted_ops[:num_keys]
+    values = sorted_ops[num_keys]
+    attrs = jnp.stack(sorted_ops[num_keys + 1 :])
+    return keys, values, attrs

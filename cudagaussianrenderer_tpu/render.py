@@ -29,7 +29,7 @@ from .models.scene import GaussianScene
 from .ops.binning import build_tile_pairs
 from .ops.projection import project_splats
 from .ops.ranges import tile_ranges
-from .ops.raster import gather_pair_data, rasterize_tiles, tiles_to_image
+from .ops.raster import pack_pair_data, rasterize_tiles, tiles_to_image
 from .ops.sh import evaluate_sh_colors
 from .ops.sorting import sort_pairs
 
@@ -58,13 +58,10 @@ def render_frame(
     """
     colors = _splat_colors(scene, camera_data)
     clip = project_splats(scene.means, scene.scales, scene.quats, camera_data, config)
-    pairs = build_tile_pairs(clip, config, capacity)
-    sorted_keys, sorted_vals = sort_pairs(pairs)
+    pairs = build_tile_pairs(clip, colors, scene.opacities, config, capacity)
+    sorted_keys, _sorted_vals, sorted_attrs = sort_pairs(pairs)
     starts, counts = tile_ranges(sorted_keys, config)
-    pair_data = gather_pair_data(
-        sorted_vals, clip.clip_xy, clip.conic, colors, scene.opacities,
-        config.raster_chunk,
-    )
+    pair_data = pack_pair_data(sorted_attrs, config.raster_chunk)
     tiles = rasterize_tiles(pair_data, starts, counts, config, interpret=interpret)
     image = tiles_to_image(tiles, config)
     aux = dict(
@@ -162,37 +159,33 @@ class Renderer:
         proj_fn = jax.jit(
             lambda s, c: project_splats(s.means, s.scales, s.quats, c, cfg)
         )
-        bin_fn = jax.jit(lambda clip: build_tile_pairs(clip, cfg, cap))
+        bin_fn = jax.jit(
+            lambda clip, colors, s: build_tile_pairs(clip, colors, s.opacities, cfg, cap)
+        )
         sort_fn = jax.jit(sort_pairs)
         rng_fn = jax.jit(lambda keys: tile_ranges(keys, cfg))
         rast_fn = jax.jit(
-            lambda vals, clip, colors, s, starts, counts: rasterize_tiles(
-                gather_pair_data(
-                    vals, clip.clip_xy, clip.conic, colors, s.opacities,
-                    cfg.raster_chunk,
-                ),
+            lambda attrs, starts, counts: rasterize_tiles(
+                pack_pair_data(attrs, cfg.raster_chunk),
                 starts, counts, cfg, interpret=interp,
             )
         )
 
         if warmup:
-            for _ in range(1):
-                colors = sh_fn(scene, cam)
-                clip = proj_fn(scene, cam)
-                pairs = bin_fn(clip)
-                keys, vals = sort_fn(pairs)
-                starts, counts = rng_fn(keys)
-                jax.block_until_ready(
-                    rast_fn(vals, clip, colors, scene, starts, counts)
-                )
+            colors = sh_fn(scene, cam)
+            clip = proj_fn(scene, cam)
+            pairs = bin_fn(clip, colors, scene)
+            keys, vals, attrs = sort_fn(pairs)
+            starts, counts = rng_fn(keys)
+            jax.block_until_ready(rast_fn(attrs, starts, counts))
             stages.clear()
 
         colors = timed("evaluateSphericalHarmonics" if has_sh else "_baked", sh_fn, scene, cam)
         clip = timed("evaluateClipData", proj_fn, scene, cam)
-        pairs = timed("buildTileList", bin_fn, clip)
-        keys, vals = timed("sortTileList", sort_fn, pairs)
+        pairs = timed("buildTileList", bin_fn, clip, colors, scene)
+        keys, vals, attrs = timed("sortTileList", sort_fn, pairs)
         starts, counts = timed("evaluateTileRanges", rng_fn, keys)
-        timed("renderDepthBuffer", rast_fn, vals, clip, colors, scene, starts, counts)
+        timed("renderDepthBuffer", rast_fn, attrs, starts, counts)
 
         stages.pop("_baked", None)
         for name, ms in stages.items():

@@ -101,11 +101,11 @@ def pipeline_state():
     capacity = 16384  # ample: the 512-splat fixture emits ~9k candidates
 
     @jax.jit
-    def fn(m, s, q, c):
-        clip = project_splats(m, s, q, c, config)
-        return clip, build_tile_pairs(clip, config, capacity)
+    def fn(sc, c):
+        clip = project_splats(sc.means, sc.scales, sc.quats, c, config)
+        return clip, build_tile_pairs(clip, sc.colors, sc.opacities, config, capacity)
 
-    clip, pairs = fn(scene.means, scene.scales, scene.quats, cam.camera_data())
+    clip, pairs = fn(scene, cam.camera_data())
     return scene, cam, config, clip, capacity, pairs
 
 
@@ -154,11 +154,11 @@ def test_sorted_ranges_partition_list(pipeline_state):
 
     @jax.jit
     def fn(pairs):
-        sorted_keys, sorted_vals = sort_pairs(pairs)
+        sorted_keys, sorted_vals, sorted_attrs = sort_pairs(pairs)
         starts, counts = tile_ranges(sorted_keys, config)
-        return sorted_keys, sorted_vals, starts, counts
+        return sorted_keys, sorted_vals, sorted_attrs, starts, counts
 
-    sorted_keys, sorted_vals, starts, counts = fn(pairs)
+    sorted_keys, sorted_vals, sorted_attrs, starts, counts = fn(pairs)
     keys = np.asarray(sorted_keys[0])
     assert np.all(keys[:-1] <= keys[1:])  # sorted
     starts, counts = np.asarray(starts), np.asarray(counts)
@@ -182,7 +182,9 @@ def test_lex_sort_mode_equivalent(pipeline_state):
 
     @jax.jit
     def fn32(clip):
-        pairs32 = build_tile_pairs(clip, cfg32, capacity)
+        pairs32 = build_tile_pairs(
+            clip, scene.colors, scene.opacities, cfg32, capacity
+        )
         return tile_ranges(sort_pairs(pairs32)[0], cfg32)
 
     @jax.jit
@@ -203,11 +205,36 @@ def test_capacity_truncation():
     config = RenderConfig(screen_size=256, capacity=256)
 
     @jax.jit
-    def fn(m, s, q, c):
-        clip = project_splats(m, s, q, c, config)
-        return build_tile_pairs(clip, config, 256)
+    def fn(sc, c):
+        clip = project_splats(sc.means, sc.scales, sc.quats, c, config)
+        return build_tile_pairs(clip, sc.colors, sc.opacities, config, 256)
 
-    pairs = fn(scene.means, scene.scales, scene.quats, cam.camera_data())
+    pairs = fn(scene, cam.camera_data())
     assert int(pairs.num_candidates) > 256  # saturated
     assert int(pairs.num_pairs) <= 256
     assert np.asarray(pairs.keys[0]).shape == (256,)
+
+
+def test_sorted_attrs_match_value_gather(pipeline_state):
+    """The gather-free segmented fill + variadic sort must reproduce the
+    obvious gather-by-splat-index bit-exactly."""
+    scene, cam, config, clip, capacity, pairs = pipeline_state
+    keys, vals, attrs = jax.jit(sort_pairs)(pairs)
+    vals = np.asarray(vals)
+    attrs = np.asarray(attrs)
+    valid = vals >= 0
+    idx = vals[valid]
+    want = np.stack(
+        [
+            np.asarray(clip.clip_xy)[idx, 0],
+            np.asarray(clip.clip_xy)[idx, 1],
+            np.asarray(clip.conic)[idx, 0],
+            np.asarray(clip.conic)[idx, 1],
+            np.asarray(clip.conic)[idx, 2],
+            np.asarray(scene.colors)[idx, 0],
+            np.asarray(scene.colors)[idx, 1],
+            np.asarray(scene.colors)[idx, 2],
+            np.asarray(scene.opacities)[idx],
+        ]
+    )
+    np.testing.assert_array_equal(attrs[:, valid], want)
