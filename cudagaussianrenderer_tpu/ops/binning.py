@@ -15,14 +15,11 @@ two-phase scan:
      cu:350-436).  Slots whose test fails — and slots beyond the total
      candidate count — become sentinel entries that sort to the end.
 
-The expansion is gather-free — XLA gathers and searchsorted are slow
-serial operations on TPU (~10 ms per million scalar lookups measured on
-v5e).  Instead it uses a *segmented fill*: per-splat attribute rows are
-bitcast to int32, differenced along the splat axis, scatter-added at each
-splat's segment offset, and an int32 cumulative sum over the capacity
-axis reproduces each attribute across its segment.  Integer telescoping
-makes this BIT-EXACT (wrap-around arithmetic cancels exactly), including
-zero-count splats whose deltas stack on the next segment's offset.
+The expansion is gather-free — XLA gathers, scatters and searchsorted
+execute serially on TPU (~100 ms per million elements measured on v5e).
+It runs as the ops.expand Pallas kernel: exact one-hot selection on the
+MXU over windowed splat ranges, which replicates every per-splat
+attribute across its slot segment bit-exactly.
 
 Overflow behaves like the reference's saturation (cu:700-703,
 Demo.cpp:356-366): candidates beyond capacity are dropped for this frame
@@ -44,6 +41,7 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 
 from ..config import RenderConfig
+from .expand import segmented_expand
 from .projection import SplatClipData
 
 DEPTH_BITS_PACKED = 19
@@ -150,24 +148,6 @@ def splat_tile_rects(clip_data: SplatClipData, config: RenderConfig) -> TileRect
 
 
 # ---------------------------------------------------------------------------
-# Segmented fill (the gather-free expansion primitive)
-# ---------------------------------------------------------------------------
-
-def segmented_fill_i32(rows: jnp.ndarray, offsets: jnp.ndarray, capacity: int):
-    """Expand per-splat int32 rows [A, N] into per-slot rows [A, C].
-
-    Slot j receives rows[:, i] for the last splat i with offsets[i] <= j.
-    Exact by int32 telescoping: cumsum of adjacent differences scattered
-    at the segment offsets.  Offsets beyond capacity are dropped, which
-    truncates exactly like the reference's capacity abort (cu:700-703).
-    """
-    deltas = rows - jnp.pad(rows[:, :-1], ((0, 0), (1, 0)))
-    buf = jnp.zeros((rows.shape[0], capacity), jnp.int32)
-    buf = buf.at[:, offsets].add(deltas, mode="drop")
-    return jnp.cumsum(buf, axis=1)
-
-
-# ---------------------------------------------------------------------------
 # Sort keys (getKey, cu:446-454)
 # ---------------------------------------------------------------------------
 
@@ -180,22 +160,33 @@ def quantize_depth(clip_z: jnp.ndarray, bits: int) -> jnp.ndarray:
 class TilePairs(NamedTuple):
     """Fixed-capacity pair list with sentinel padding.
 
-    ``attrs`` carries the 9 per-pair raster attributes (cx, cy, conic a/b/c,
-    r, g, b, alpha) as [9, C] float32 rows, so the sort can move them with
-    the keys and the rasterizer needs no post-sort gather.
+    ``attrs`` carries the 7 per-pair raster attributes — cx, cy, conic
+    a/b/c, rgb packed to 8 bits/channel in one word (bitcast to float32;
+    error <= half an output LSB since the framebuffer quantizes to 8 bits
+    anyway), and float32 alpha — as [7, C] rows, so the sort can move them
+    with the keys and the rasterizer needs no post-sort gather.
     """
 
     keys: Tuple[jnp.ndarray, ...]  # 1 operand (packed) or 2 (lex: tile, depth)
     values: jnp.ndarray            # [C] int32 splat indices (-1 = invalid)
-    attrs: jnp.ndarray             # [9, C] float32
+    attrs: jnp.ndarray             # [7, C] float32 (row 5 = rgb u32 bitcast)
     num_candidates: jnp.ndarray    # scalar int32: total AABB candidates (pre-test)
     num_pairs: jnp.ndarray         # scalar int32: pairs passing the exact test
 
 
-# segmented-fill row indices
-_I_OFFSET, _I_W, _I_X0, _I_Y0, _I_DEPTH = 0, 1, 2, 3, 4
-_NUM_I32 = 5
-_F_ROWS = 13  # cx, cy, cos, sin, e0, e1, con_a, con_b, con_c, r, g, b, alpha
+def pack_rgb_u32(colors: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3] float colors -> uint32 0x00RRGGBB (truncating, like the
+    reference's final uchar cast, cu:1007-1010)."""
+    c = (jnp.clip(colors, 0.0, 1.0) * 255.0).astype(jnp.uint32)
+    return (c[:, 0] << 16) | (c[:, 1] << 8) | c[:, 2]
+
+
+# Column layout of the segmented-expand output ([C, 18]; cols 0-1 are the
+# segment bounds the kernel prepends).
+_C_EXCL, _C_INCL = 0, 1
+_C_W, _C_X0, _C_Y0, _C_DEPTH, _C_RGB, _C_IDX = 2, 3, 4, 5, 6, 7
+_C_CX, _C_CY, _C_COS, _C_SIN, _C_E0, _C_E1 = 8, 9, 10, 11, 12, 13
+_C_CONA, _C_CONB, _C_CONC, _C_ALPHA = 14, 15, 16, 17
 
 
 def build_tile_pairs(
@@ -204,23 +195,31 @@ def build_tile_pairs(
     opacities: jnp.ndarray,
     config: RenderConfig,
     capacity: int,
+    *,
+    interpret=None,
 ) -> TilePairs:
     """Phase 2: expansion + exact test + key emission, all static-shape."""
     rects = splat_tile_rects(clip_data, config)
     tps = config.tiles_per_screen
 
     incl = jnp.cumsum(rects.counts)                       # [N] inclusive
-    offsets = incl - rects.counts                         # exclusive
     total = incl[-1]
 
     depth_bits = (
         DEPTH_BITS_PACKED if config.depth_bits == DEPTH_BITS_PACKED else 24
     )
-    qdepth = quantize_depth(clip_data.clip_z, depth_bits).astype(jnp.int32)
+    qdepth = quantize_depth(clip_data.clip_z, depth_bits)
 
-    int_rows = jnp.stack([offsets, rects.w, rects.x0, rects.y0, qdepth])  # [5, N]
-    f32_rows = jnp.stack(
+    rgb_u32 = pack_rgb_u32(colors)
+    n = rects.counts.shape[0]
+    rows = jnp.stack(
         [
+            rects.w.astype(jnp.float32),
+            rects.x0.astype(jnp.float32),
+            rects.y0.astype(jnp.float32),
+            qdepth.astype(jnp.float32),       # < 2^24, exact in f32
+            rgb_u32.astype(jnp.float32),      # < 2^24, exact in f32
+            jnp.arange(n, dtype=jnp.float32),  # splat id (provenance)
             clip_data.clip_xy[:, 0],
             clip_data.clip_xy[:, 1],
             clip_data.ellipse[:, 0],
@@ -230,35 +229,25 @@ def build_tile_pairs(
             clip_data.conic[:, 0],
             clip_data.conic[:, 1],
             clip_data.conic[:, 2],
-            colors[:, 0],
-            colors[:, 1],
-            colors[:, 2],
             opacities,
         ]
-    )  # [13, N]
-    # Splat index row lets tests recover provenance; filled alongside.
-    n = offsets.shape[0]
-    idx_row = jnp.arange(n, dtype=jnp.int32)[None, :]
-    rows = jnp.concatenate(
-        [int_rows, idx_row, f32_rows.view(jnp.int32)], axis=0
-    )  # [5 + 1 + 13, N]
+    )  # [16, N]
 
-    filled = segmented_fill_i32(rows, offsets, capacity)
+    filled = segmented_expand(rows, incl, capacity, interpret=interpret)  # [C, 18]
     slots = jnp.arange(capacity, dtype=jnp.int32)
     in_range = slots < jnp.minimum(total, capacity)
 
-    offset_s = filled[_I_OFFSET]
-    w_s = jnp.maximum(filled[_I_W], 1)
+    offset_s = filled[:, _C_EXCL].astype(jnp.int32)
+    w_s = jnp.maximum(filled[:, _C_W].astype(jnp.int32), 1)
     local = slots - offset_s
     lx = local % w_s
     ly = local // w_s
-    gx = filled[_I_X0] + lx
-    gy = filled[_I_Y0] + ly
-    splat_idx = filled[_NUM_I32]
-    f = filled[_NUM_I32 + 1 :].view(jnp.float32)  # [13, C]
-    center = jnp.stack([f[0], f[1]], axis=-1)
-    cos_sin = jnp.stack([f[2], f[3]], axis=-1)
-    extent = jnp.stack([f[4], f[5]], axis=-1)
+    gx = filled[:, _C_X0].astype(jnp.int32) + lx
+    gy = filled[:, _C_Y0].astype(jnp.int32) + ly
+    splat_idx = filled[:, _C_IDX].astype(jnp.int32)
+    center = filled[:, _C_CX : _C_CY + 1]
+    cos_sin = filled[:, _C_COS : _C_SIN + 1]
+    extent = filled[:, _C_E0 : _C_E1 + 1]
 
     # Candidate tile rect in clip space (cu:653-664).
     tile_clip_size = 2.0 * config.tile_size / config.screen_size
@@ -270,9 +259,20 @@ def build_tile_pairs(
     valid = in_range & hit
 
     tile_id = (gy * tps + gx).astype(jnp.uint32)
-    q_s = filled[_I_DEPTH].astype(jnp.uint32)
+    q_s = filled[:, _C_DEPTH].astype(jnp.uint32)
     values = jnp.where(valid, splat_idx, -1)
-    attrs = jnp.concatenate([f[0:2], f[6:9], f[9:13]], axis=0)  # [9, C]
+    # rows: cx, cy, con_a, con_b, con_c, rgb(u32 bits), alpha
+    attrs = jnp.stack(
+        [
+            filled[:, _C_CX],
+            filled[:, _C_CY],
+            filled[:, _C_CONA],
+            filled[:, _C_CONB],
+            filled[:, _C_CONC],
+            filled[:, _C_RGB].astype(jnp.int32).view(jnp.float32),
+            filled[:, _C_ALPHA],
+        ]
+    )  # [7, C]
 
     if config.depth_bits == DEPTH_BITS_PACKED:
         key = (tile_id << DEPTH_BITS_PACKED) | q_s

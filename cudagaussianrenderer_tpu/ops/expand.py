@@ -1,0 +1,140 @@
+"""Segmented expand — the Pallas workhorse behind tile-list construction.
+
+Problem: replicate per-splat attribute vectors across their candidate-tile
+segments — slot j of the pair list gets the attributes of the splat whose
+[excl_i, incl_i) prefix-sum segment contains j.  The CUDA reference does
+this with warp scans + shared-memory staging (GaussianRender.cu:566-628);
+XLA formulations need a gather / scatter / searchsorted over millions of
+slots, all of which execute serially on TPU (measured ~100+ ms at 1M
+splats on v5e).
+
+TPU-native approach: one-hot selection on the MXU.
+  * The slot axis is blocked; a tiny host-side searchsorted gives each
+    block its first owning splat (scalar-prefetched).
+  * Each block DMAs a lane-aligned window of splat rows, builds the
+    match matrix M[j, w] = (excl_w <= j) & (j < incl_w) with iota
+    compares, and computes out[j, :] = M @ attrs_window on the MXU.
+  * Selection is EXACT: each output element is 1*x + 0*... in float32,
+    so float payloads pass through bit-identically and integer payloads
+    are exact for values < 2^24 (all of ours are).
+  * Windows wider than one tile of splats (dense runs of zero-count,
+    culled splats) are handled by accumulating over sub-windows in a
+    while_loop — each slot matches exactly one splat globally, so the
+    accumulation stays exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Slots per grid block and splats per DMA window.
+MAX_BLOCK = 1024
+WINDOW = 512
+
+# f32 can represent integers exactly only below 2^24; all integer payloads
+# (prefix sums clamped to capacity, tile coords, packed rgb, splat ids)
+# must stay under this.
+MAX_EXACT_I32 = 1 << 24
+
+
+def _expand_kernel(starts_ref, rows_hbm, out_ref, win_buf, sem, *, num_rows, block):
+    b = pl.program_id(0)
+    s0 = starts_ref[b]
+    s1 = starts_ref[b + 1]
+    a0 = (s0 // 128) * 128
+
+    # Absolute slot index of each output row (sublane axis).
+    j = (b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)).astype(
+        jnp.float32
+    )
+
+    num_windows = (s1 - a0) // WINDOW + 1
+
+    def body(wi, acc):
+        dma = pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(a0 + wi * WINDOW, WINDOW)],
+            win_buf,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+        excl = win_buf[0:1, :]  # [1, WINDOW]
+        incl = win_buf[1:2, :]
+        match = ((excl <= j) & (j < incl)).astype(jnp.float32)  # [BLOCK, WINDOW]
+        return acc + jax.lax.dot_general(
+            match,
+            win_buf[:, :],
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [BLOCK, num_rows]
+
+    acc = jax.lax.fori_loop(
+        0, num_windows, body, jnp.zeros((block, num_rows), jnp.float32)
+    )
+    out_ref[:, :] = acc
+
+
+def segmented_expand(
+    rows: jnp.ndarray, incl: jnp.ndarray, capacity: int, *, interpret=None
+) -> jnp.ndarray:
+    """Expand per-splat rows into per-slot rows.
+
+    rows: [A, N] float32 per-splat attributes (integers pre-cast to f32,
+          all values < 2^24 in magnitude).
+    incl: [N] int32 inclusive prefix sum of candidate counts.
+    Returns [capacity, A + 2] float32: column 0 = segment start (excl),
+    column 1 = segment end (incl) — both clamped to capacity + 1 — and
+    columns 2+ = the expanded attribute rows.  Slots beyond the total
+    candidate count are all-zero.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block = min(MAX_BLOCK, capacity)
+    if capacity % block != 0:
+        raise ValueError(f"capacity must be a multiple of {block}")
+    if capacity + 1 >= MAX_EXACT_I32:
+        raise ValueError("capacity too large for exact f32 selection")
+    a, n = rows.shape
+
+    clamp = capacity + 1
+    incl_c = jnp.minimum(incl, clamp)
+    # excl[i] = incl[i-1] (exclusive prefix), excl[0] = 0.
+    excl_c = jnp.minimum(jnp.pad(incl[:-1], (1, 0)), clamp)
+
+    full = jnp.concatenate(
+        [excl_c[None].astype(jnp.float32), incl_c[None].astype(jnp.float32), rows]
+    )  # [A + 2, N]
+    num_rows = a + 2
+    # Tail padding so aligned windows can run past the last splat.
+    full = jnp.pad(full, ((0, 0), (0, WINDOW + 128)))
+
+    nblocks = capacity // block
+    # First splat owning each block's first slot (and a final bound).
+    probes = jnp.arange(nblocks + 1, dtype=jnp.int32) * block
+    starts = jnp.clip(
+        jnp.searchsorted(incl_c, probes, side="right").astype(jnp.int32), 0, n - 1
+    )
+
+    kernel = functools.partial(_expand_kernel, num_rows=num_rows, block=block)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((block, num_rows), lambda i, *_: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((num_rows, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((capacity, num_rows), jnp.float32),
+        interpret=interpret,
+    )(starts, full)

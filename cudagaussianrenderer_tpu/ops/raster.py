@@ -44,11 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 
-# Streaming-buffer row layout ([16, C] planar).
+# Streaming-buffer row layout ([8, C] planar).
 ROW_CX, ROW_CY = 0, 1
 ROW_CON_A, ROW_CON_B, ROW_CON_C = 2, 3, 4
-ROW_R, ROW_G, ROW_B, ROW_ALPHA = 5, 6, 7, 8
-PAIR_ROWS = 16  # padded to a power of two for clean DMA shapes
+ROW_RGB, ROW_ALPHA = 5, 6  # rgb = u32 0x00RRGGBB bitcast to f32
+PAIR_ROWS = 8  # padded to a power of two for clean DMA shapes
 
 LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
 
@@ -166,7 +166,22 @@ def _raster_kernel(
 
             t_in = state[:, 3:4]                        # [pixels, 1]
             weight = t_in * excl * alpha                # [pixels, chunk]
-            rgb = data[ROW_R : ROW_R + 3, :]            # [3, chunk]
+            bits = jax.lax.bitcast_convert_type(
+                data[ROW_RGB : ROW_RGB + 1, :], jnp.uint32
+            )
+            inv255 = jnp.float32(1.0 / 255.0)
+
+            def chan(x):  # Mosaic lacks a direct u32->f32 cast
+                return x.astype(jnp.int32).astype(jnp.float32) * inv255
+
+            rgb = jnp.concatenate(
+                [
+                    chan((bits >> 16) & 0xFF),
+                    chan((bits >> 8) & 0xFF),
+                    chan(bits & 0xFF),
+                ],
+                axis=0,
+            )  # [3, chunk]
             contrib = jax.lax.dot_general(
                 weight,
                 rgb,
@@ -198,7 +213,7 @@ def rasterize_tiles(
     counts: jnp.ndarray,
     config: RenderConfig,
     *,
-    interpret: bool = False,
+    interpret=None,
 ) -> jnp.ndarray:
     """Run the raster kernel.
 
@@ -211,6 +226,8 @@ def rasterize_tiles(
     pixels = config.pixels_per_tile
     chunk = config.raster_chunk
     num_cells = t // tpc
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     kernel = functools.partial(_raster_kernel, config=config)
     grid_spec = pltpu.PrefetchScalarGridSpec(

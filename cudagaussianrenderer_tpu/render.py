@@ -50,7 +50,7 @@ def render_frame(
     config: RenderConfig,
     capacity: int,
     *,
-    interpret: bool = False,
+    interpret=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Render one frame.  Jittable end-to-end (config/capacity static).
 
@@ -58,7 +58,9 @@ def render_frame(
     """
     colors = _splat_colors(scene, camera_data)
     clip = project_splats(scene.means, scene.scales, scene.quats, camera_data, config)
-    pairs = build_tile_pairs(clip, colors, scene.opacities, config, capacity)
+    pairs = build_tile_pairs(
+        clip, colors, scene.opacities, config, capacity, interpret=interpret
+    )
     sorted_keys, _sorted_vals, sorted_attrs = sort_pairs(pairs)
     starts, counts = tile_ranges(sorted_keys, config)
     pair_data = pack_pair_data(sorted_attrs, config.raster_chunk)
@@ -104,6 +106,18 @@ class Renderer:
         self._fns: dict = {}
         self.stats = {name: 0.0 for name in STAGE_NAMES}
         self.frame_count = 0
+        # Adaptive capacity: power-of-two buckets sized from the previous
+        # frame's candidate count.  This generalizes the reference's
+        # grow-only saturation doubling (Demo.cpp:356-366) — every stage
+        # after binning costs O(capacity), so shrinking matters on TPU.
+        # An explicit config.capacity opts into the reference's fixed
+        # grow-only behavior instead.
+        self.adaptive_capacity = config.capacity is None
+
+    @staticmethod
+    def _bucket(candidates: int) -> int:
+        want = max(1 << 17, int(candidates * 1.5))
+        return 1 << (want - 1).bit_length()
 
     def _get_fn(self):
         key = self.capacity
@@ -118,14 +132,26 @@ class Renderer:
         return self._fns[key]
 
     def render(self, camera: Camera, *, check_saturation: bool = True) -> np.ndarray:
-        """Render and return a [S, S, 4] uint8 numpy image."""
+        """Render and return a [S, S, 4] uint8 numpy image.
+
+        ``check_saturation`` reads the candidate count back to the host
+        (the pipeline's only device->host sync, mirroring the reference's
+        single counter readback, cu:793) and resizes the pair-list
+        capacity for the NEXT frame; the current frame renders with a
+        truncated list if it overflowed, exactly like the reference.
+        """
         if self.saturated:
             self.capacity *= 2  # Demo.cpp:356-366
             self.saturated = False
         image, aux = self._get_fn()(self.scene, camera.camera_data())
         self.frame_count += 1
         if check_saturation:
-            self.saturated = bool(aux["num_candidates"] >= self.capacity)
+            candidates = int(aux["num_candidates"])
+            if self.adaptive_capacity:
+                self.capacity = self._bucket(candidates)
+                self.saturated = False
+            else:
+                self.saturated = candidates >= self.capacity
         return np.asarray(image)
 
     # ------------------------------------------------------------------
@@ -160,7 +186,9 @@ class Renderer:
             lambda s, c: project_splats(s.means, s.scales, s.quats, c, cfg)
         )
         bin_fn = jax.jit(
-            lambda clip, colors, s: build_tile_pairs(clip, colors, s.opacities, cfg, cap)
+            lambda clip, colors, s: build_tile_pairs(
+                clip, colors, s.opacities, cfg, cap, interpret=interp
+            )
         )
         sort_fn = jax.jit(sort_pairs)
         rng_fn = jax.jit(lambda keys: tile_ranges(keys, cfg))

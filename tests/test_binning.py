@@ -224,6 +224,12 @@ def test_sorted_attrs_match_value_gather(pipeline_state):
     attrs = np.asarray(attrs)
     valid = vals >= 0
     idx = vals[valid]
+    colors = np.clip(np.asarray(scene.colors), 0.0, 1.0)
+    packed = (
+        ((colors[:, 0] * 255).astype(np.uint32) << 16)
+        | ((colors[:, 1] * 255).astype(np.uint32) << 8)
+        | (colors[:, 2] * 255).astype(np.uint32)
+    )
     want = np.stack(
         [
             np.asarray(clip.clip_xy)[idx, 0],
@@ -231,9 +237,7 @@ def test_sorted_attrs_match_value_gather(pipeline_state):
             np.asarray(clip.conic)[idx, 0],
             np.asarray(clip.conic)[idx, 1],
             np.asarray(clip.conic)[idx, 2],
-            np.asarray(scene.colors)[idx, 0],
-            np.asarray(scene.colors)[idx, 1],
-            np.asarray(scene.colors)[idx, 2],
+            packed[idx].astype(np.int32).view(np.float32),
             np.asarray(scene.opacities)[idx],
         ]
     )
