@@ -68,14 +68,13 @@ def ellipse_aabb_half(ellipse: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([hx, hy], axis=-1)
 
 
-def _to_ellipse_coords(center, cos_sin, extent, px, py):
+def _to_ellipse_coords(cx, cy, cos_t, sin_t, e0, e1, px, py):
     """Map a clip-space point into the ellipse's unit-circle frame
     (convertToEllipseCoordinates, cu:351-358)."""
-    dx = px - center[..., 0]
-    dy = py - center[..., 1]
-    c, s = cos_sin[..., 0], cos_sin[..., 1]
-    lx = (dx * c + dy * s) / extent[..., 0]
-    ly = (dy * c - dx * s) / extent[..., 1]
+    dx = px - cx
+    dy = py - cy
+    lx = (dx * cos_t + dy * sin_t) / e0
+    ly = (dy * cos_t - dx * sin_t) / e1
     return lx, ly
 
 
@@ -91,26 +90,26 @@ def _segment_hits_unit_circle(x0, y0, x1, y1):
     return px * px + py * py < 1.0
 
 
-def ellipse_rect_overlap(center, cos_sin, extent, rect_min_x, rect_min_y,
-                         rect_max_x, rect_max_y):
+def ellipse_rect_overlap(cx, cy, cos_t, sin_t, e0, e1,
+                         rect_min_x, rect_min_y, rect_max_x, rect_max_y):
     """Exact oriented-ellipse / axis-aligned-rect overlap
     (ellipseRectOverlap, cu:375-405): center-in-rect OR rect-center-in-
     ellipse OR any rect edge intersects the unit circle in ellipse frame.
     All arrays broadcast elementwise."""
-    cx, cy = center[..., 0], center[..., 1]
     overlaps = (
         (cx > rect_min_x) & (cx < rect_max_x) & (cy > rect_min_y) & (cy < rect_max_y)
     )
 
+    ell = (cx, cy, cos_t, sin_t, e0, e1)
     mx = rect_min_x + (rect_max_x - rect_min_x) * 0.5
     my = rect_min_y + (rect_max_y - rect_min_y) * 0.5
-    lx, ly = _to_ellipse_coords(center, cos_sin, extent, mx, my)
+    lx, ly = _to_ellipse_coords(*ell, mx, my)
     overlaps |= lx * lx + ly * ly < 1.0
 
-    p0 = _to_ellipse_coords(center, cos_sin, extent, rect_min_x, rect_min_y)
-    p1 = _to_ellipse_coords(center, cos_sin, extent, rect_max_x, rect_min_y)
-    p2 = _to_ellipse_coords(center, cos_sin, extent, rect_max_x, rect_max_y)
-    p3 = _to_ellipse_coords(center, cos_sin, extent, rect_min_x, rect_max_y)
+    p0 = _to_ellipse_coords(*ell, rect_min_x, rect_min_y)
+    p1 = _to_ellipse_coords(*ell, rect_max_x, rect_min_y)
+    p2 = _to_ellipse_coords(*ell, rect_max_x, rect_max_y)
+    p3 = _to_ellipse_coords(*ell, rect_min_x, rect_max_y)
     overlaps |= _segment_hits_unit_circle(*p0, *p1)
     overlaps |= _segment_hits_unit_circle(*p1, *p2)
     overlaps |= _segment_hits_unit_circle(*p2, *p3)
@@ -131,16 +130,17 @@ class TileRects(NamedTuple):
 
 def splat_tile_rects(clip_data: SplatClipData, config: RenderConfig) -> TileRects:
     tps = config.tiles_per_screen
-    half = ellipse_aabb_half(clip_data.ellipse)
-    rmin = clip_data.clip_xy - half
-    rmax = clip_data.clip_xy + half
+    d = clip_data
+    # AABB half-extent of the oriented ellipse (getAABBRect, cu:408-436):
+    # componentwise |principal| + |minor|.
+    hx = jnp.abs(d.cos_t * d.e0) + jnp.abs(d.sin_t * d.e1)
+    hy = jnp.abs(d.sin_t * d.e0) + jnp.abs(d.cos_t * d.e1)
     # Clip [-1,1] -> tile coords [0, tiles_per_screen].
-    fmin = (rmin + 1.0) * 0.5 * tps
-    fmax = (rmax + 1.0) * 0.5 * tps
-    x0 = jnp.clip(jnp.floor(fmin[:, 0]).astype(jnp.int32), 0, tps)
-    y0 = jnp.clip(jnp.floor(fmin[:, 1]).astype(jnp.int32), 0, tps)
-    x1 = jnp.clip(jnp.ceil(fmax[:, 0]).astype(jnp.int32), 0, tps)
-    y1 = jnp.clip(jnp.ceil(fmax[:, 1]).astype(jnp.int32), 0, tps)
+    scale = 0.5 * tps
+    x0 = jnp.clip(jnp.floor((d.cx - hx + 1.0) * scale).astype(jnp.int32), 0, tps)
+    y0 = jnp.clip(jnp.floor((d.cy - hy + 1.0) * scale).astype(jnp.int32), 0, tps)
+    x1 = jnp.clip(jnp.ceil((d.cx + hx + 1.0) * scale).astype(jnp.int32), 0, tps)
+    y1 = jnp.clip(jnp.ceil((d.cy + hy + 1.0) * scale).astype(jnp.int32), 0, tps)
     w = x1 - x0
     h = y1 - y0
     counts = jnp.maximum(0, w * h)
@@ -161,15 +161,15 @@ class TilePairs(NamedTuple):
     """Fixed-capacity pair list with sentinel padding.
 
     ``attrs`` carries the 7 per-pair raster attributes — cx, cy, conic
-    a/b/c, rgb packed to 8 bits/channel in one word (bitcast to float32;
-    error <= half an output LSB since the framebuffer quantizes to 8 bits
-    anyway), and float32 alpha — as [7, C] rows, so the sort can move them
-    with the keys and the rasterizer needs no post-sort gather.
+    a/b/c, rgb packed to 8 bits/channel carried as its exact f32 value
+    (error <= half an output LSB since the framebuffer quantizes to 8
+    bits anyway), and float32 alpha — as [7, C] rows, so the sort can
+    move them with the keys and the rasterizer needs no post-sort gather.
     """
 
     keys: Tuple[jnp.ndarray, ...]  # 1 operand (packed) or 2 (lex: tile, depth)
     values: jnp.ndarray            # [C] int32 splat indices (-1 = invalid)
-    attrs: jnp.ndarray             # [7, C] float32 (row 5 = rgb u32 bitcast)
+    attrs: jnp.ndarray             # [7, C] float32 (row 5 = packed rgb value)
     num_candidates: jnp.ndarray    # scalar int32: total AABB candidates (pre-test)
     num_pairs: jnp.ndarray         # scalar int32: pairs passing the exact test
 
@@ -181,12 +181,15 @@ def pack_rgb_u32(colors: jnp.ndarray) -> jnp.ndarray:
     return (c[:, 0] << 16) | (c[:, 1] << 8) | c[:, 2]
 
 
-# Column layout of the segmented-expand output ([C, 18]; cols 0-1 are the
-# segment bounds the kernel prepends).
-_C_EXCL, _C_INCL = 0, 1
-_C_W, _C_X0, _C_Y0, _C_DEPTH, _C_RGB, _C_IDX = 2, 3, 4, 5, 6, 7
-_C_CX, _C_CY, _C_COS, _C_SIN, _C_E0, _C_E1 = 8, 9, 10, 11, 12, 13
-_C_CONA, _C_CONB, _C_CONC, _C_ALPHA = 14, 15, 16, 17
+# Row layout of the segmented-expand output ([R, C] planar; rows 0-1 are
+# the segment bounds the kernel prepends).  The 7 raster-attribute rows
+# are kept contiguous so ``attrs`` is a single sublane slice.
+_R_EXCL, _R_INCL = 0, 1
+_R_W, _R_X0, _R_Y0, _R_DEPTH, _R_IDX = 2, 3, 4, 5, 6
+_R_COS, _R_SIN, _R_E0, _R_E1 = 7, 8, 9, 10
+_R_ATTR0 = 11  # cx, cy, con_a, con_b, con_c, rgb, alpha
+_R_CX, _R_CY = 11, 12
+_NUM_ATTRS = 7
 
 
 def build_tile_pairs(
@@ -217,62 +220,52 @@ def build_tile_pairs(
             rects.w.astype(jnp.float32),
             rects.x0.astype(jnp.float32),
             rects.y0.astype(jnp.float32),
-            qdepth.astype(jnp.float32),       # < 2^24, exact in f32
-            rgb_u32.astype(jnp.float32),      # < 2^24, exact in f32
+            qdepth.astype(jnp.float32),        # < 2^24, exact in f32
             jnp.arange(n, dtype=jnp.float32),  # splat id (provenance)
-            clip_data.clip_xy[:, 0],
-            clip_data.clip_xy[:, 1],
-            clip_data.ellipse[:, 0],
-            clip_data.ellipse[:, 1],
-            clip_data.ellipse[:, 2],
-            clip_data.ellipse[:, 3],
-            clip_data.conic[:, 0],
-            clip_data.conic[:, 1],
-            clip_data.conic[:, 2],
+            clip_data.cos_t,
+            clip_data.sin_t,
+            clip_data.e0,
+            clip_data.e1,
+            # raster attrs, contiguous:
+            clip_data.cx,
+            clip_data.cy,
+            clip_data.con_a,
+            clip_data.con_b,
+            clip_data.con_c,
+            rgb_u32.astype(jnp.float32),       # < 2^24, exact in f32
             opacities,
         ]
     )  # [16, N]
 
-    filled = segmented_expand(rows, incl, capacity, interpret=interpret)  # [C, 18]
+    filled = segmented_expand(rows, incl, capacity, interpret=interpret)  # [R, C]
     slots = jnp.arange(capacity, dtype=jnp.int32)
     in_range = slots < jnp.minimum(total, capacity)
 
-    offset_s = filled[:, _C_EXCL].astype(jnp.int32)
-    w_s = jnp.maximum(filled[:, _C_W].astype(jnp.int32), 1)
+    offset_s = filled[_R_EXCL].astype(jnp.int32)
+    w_s = jnp.maximum(filled[_R_W].astype(jnp.int32), 1)
     local = slots - offset_s
     lx = local % w_s
     ly = local // w_s
-    gx = filled[:, _C_X0].astype(jnp.int32) + lx
-    gy = filled[:, _C_Y0].astype(jnp.int32) + ly
-    splat_idx = filled[:, _C_IDX].astype(jnp.int32)
-    center = filled[:, _C_CX : _C_CY + 1]
-    cos_sin = filled[:, _C_COS : _C_SIN + 1]
-    extent = filled[:, _C_E0 : _C_E1 + 1]
+    gx = filled[_R_X0].astype(jnp.int32) + lx
+    gy = filled[_R_Y0].astype(jnp.int32) + ly
+    splat_idx = filled[_R_IDX].astype(jnp.int32)
 
     # Candidate tile rect in clip space (cu:653-664).
     tile_clip_size = 2.0 * config.tile_size / config.screen_size
     tx = gx.astype(jnp.float32) * tile_clip_size - 1.0
     ty = gy.astype(jnp.float32) * tile_clip_size - 1.0
     hit = ellipse_rect_overlap(
-        center, cos_sin, extent, tx, ty, tx + tile_clip_size, ty + tile_clip_size
+        filled[_R_CX], filled[_R_CY],
+        filled[_R_COS], filled[_R_SIN], filled[_R_E0], filled[_R_E1],
+        tx, ty, tx + tile_clip_size, ty + tile_clip_size,
     )
     valid = in_range & hit
 
     tile_id = (gy * tps + gx).astype(jnp.uint32)
-    q_s = filled[:, _C_DEPTH].astype(jnp.uint32)
+    q_s = filled[_R_DEPTH].astype(jnp.uint32)
     values = jnp.where(valid, splat_idx, -1)
-    # rows: cx, cy, con_a, con_b, con_c, rgb(u32 bits), alpha
-    attrs = jnp.stack(
-        [
-            filled[:, _C_CX],
-            filled[:, _C_CY],
-            filled[:, _C_CONA],
-            filled[:, _C_CONB],
-            filled[:, _C_CONC],
-            filled[:, _C_RGB].astype(jnp.int32).view(jnp.float32),
-            filled[:, _C_ALPHA],
-        ]
-    )  # [7, C]
+    # One contiguous slice: cx, cy, con_a, con_b, con_c, rgb, alpha.
+    attrs = filled[_R_ATTR0 : _R_ATTR0 + _NUM_ATTRS]  # [7, C]
 
     if config.depth_bits == DEPTH_BITS_PACKED:
         key = (tile_id << DEPTH_BITS_PACKED) | q_s

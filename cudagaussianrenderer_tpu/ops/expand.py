@@ -65,17 +65,17 @@ def _expand_kernel(starts_ref, rows_hbm, out_ref, win_buf, sem, *, num_rows, blo
         dma.wait()
         excl = win_buf[0:1, :]  # [1, WINDOW]
         incl = win_buf[1:2, :]
-        match = ((excl <= j) & (j < incl)).astype(jnp.float32)  # [BLOCK, WINDOW]
+        match = ((excl <= j) & (j < incl)).astype(jnp.float32)  # [block, WINDOW]
         return acc + jax.lax.dot_general(
-            match,
             win_buf[:, :],
+            match,
             (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # [BLOCK, num_rows]
+        )  # [num_rows, block]
 
     acc = jax.lax.fori_loop(
-        0, num_windows, body, jnp.zeros((block, num_rows), jnp.float32)
+        0, num_windows, body, jnp.zeros((num_rows, block), jnp.float32)
     )
     out_ref[:, :] = acc
 
@@ -88,9 +88,10 @@ def segmented_expand(
     rows: [A, N] float32 per-splat attributes (integers pre-cast to f32,
           all values < 2^24 in magnitude).
     incl: [N] int32 inclusive prefix sum of candidate counts.
-    Returns [capacity, A + 2] float32: column 0 = segment start (excl),
-    column 1 = segment end (incl) — both clamped to capacity + 1 — and
-    columns 2+ = the expanded attribute rows.  Slots beyond the total
+    Returns [R, capacity] float32 planar rows, R = A + 2 rounded up to a
+    sublane multiple: row 0 = segment start (excl), row 1 = segment end
+    (incl) — both clamped to capacity + 1 — rows 2..A+1 the expanded
+    attributes, and zero padding rows after.  Slots beyond the total
     candidate count are all-zero.
     """
     if interpret is None:
@@ -110,9 +111,10 @@ def segmented_expand(
     full = jnp.concatenate(
         [excl_c[None].astype(jnp.float32), incl_c[None].astype(jnp.float32), rows]
     )  # [A + 2, N]
-    num_rows = a + 2
-    # Tail padding so aligned windows can run past the last splat.
-    full = jnp.pad(full, ((0, 0), (0, WINDOW + 128)))
+    # Row count padded to a sublane multiple (Mosaic DMA tiling), columns
+    # padded so aligned windows can run past the last splat.
+    num_rows = -(-(a + 2) // 8) * 8
+    full = jnp.pad(full, ((0, num_rows - (a + 2)), (0, WINDOW + 128)))
 
     nblocks = capacity // block
     # First splat owning each block's first slot (and a final bound).
@@ -126,7 +128,7 @@ def segmented_expand(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((block, num_rows), lambda i, *_: (i, 0)),
+        out_specs=pl.BlockSpec((num_rows, block), lambda i, *_: (0, i)),
         scratch_shapes=[
             pltpu.VMEM((num_rows, WINDOW), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -135,6 +137,6 @@ def segmented_expand(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((capacity, num_rows), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_rows, capacity), jnp.float32),
         interpret=interpret,
     )(starts, full)

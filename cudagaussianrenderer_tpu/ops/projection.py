@@ -39,12 +39,41 @@ from ..utils.quantize import decode_quat_xyzw, quat_xyzw_to_rotation_matrix
 
 
 class SplatClipData(NamedTuple):
-    """SoA outputs of the projection stage (GaussianRender.cu:324-327)."""
+    """SoA outputs of the projection stage (GaussianRender.cu:324-327).
 
-    clip_xy: jnp.ndarray   # [N, 2] clip-space center (or -128 if culled)
-    clip_z: jnp.ndarray    # [N] linear clip depth in [-1, 1]
-    ellipse: jnp.ndarray   # [N, 4] = (cos, sin, extent_major, extent_minor)
-    conic: jnp.ndarray     # [N, 3] inverse 2x2 covariance (a, b, c)
+    All fields are planar [N] vectors: TPU lane layouts pad a trailing
+    dimension to 128, so small-minor-dim arrays like [N, 2] waste memory
+    and every column extract forces a relayout.  Planar SoA keeps every
+    downstream op a cheap contiguous pass.
+    """
+
+    cx: jnp.ndarray      # [N] clip-space center x (or -128 if culled)
+    cy: jnp.ndarray      # [N] clip-space center y
+    z: jnp.ndarray       # [N] linear clip depth in [-1, 1]
+    cos_t: jnp.ndarray   # [N] ellipse principal-axis direction
+    sin_t: jnp.ndarray
+    e0: jnp.ndarray      # [N] ellipse extents (0 if culled)
+    e1: jnp.ndarray
+    con_a: jnp.ndarray   # [N] conic (inverse 2x2 covariance)
+    con_b: jnp.ndarray
+    con_c: jnp.ndarray
+
+    # Stacked views for tests/tools (do not use in the hot path).
+    @property
+    def clip_xy(self):
+        return jnp.stack([self.cx, self.cy], axis=-1)
+
+    @property
+    def clip_z(self):
+        return self.z
+
+    @property
+    def ellipse(self):
+        return jnp.stack([self.cos_t, self.sin_t, self.e0, self.e1], axis=-1)
+
+    @property
+    def conic(self):
+        return jnp.stack([self.con_a, self.con_b, self.con_c], axis=-1)
 
 
 def project_splats(
@@ -135,14 +164,28 @@ def project_splats(
 
     # Conic = inverse 2x2 covariance (cu:305-307).
     inv_det = 1.0 / jnp.maximum(eps, det)
-    conic = jnp.stack([cov_c, -cov_b, cov_a], axis=-1) * inv_det[:, None]
+    conic_a = cov_c * inv_det
+    conic_b = -cov_b * inv_det
+    conic_c = cov_a * inv_det
 
     # --- branchless frustum cull (cu:314-321) ---
-    clip = jnp.stack([clip_x, clip_y, clip_z], axis=-1)
-    inside = jnp.all((clip >= -1.0) & (clip <= 1.0), axis=-1)
+    inside = (
+        (clip_x >= -1.0) & (clip_x <= 1.0)
+        & (clip_y >= -1.0) & (clip_y <= 1.0)
+        & (clip_z >= -1.0) & (clip_z <= 1.0)
+    )
     visible = inside & (lambda1 >= 0.0)
-    visf = visible.astype(clip.dtype)
-    clip_xy = jnp.where(visible[:, None], clip[:, :2], -128.0)
-    ellipse = jnp.stack([cos_t, sin_t, ext0 * visf, ext1 * visf], axis=-1)
+    visf = visible.astype(clip_x.dtype)
 
-    return SplatClipData(clip_xy=clip_xy, clip_z=clip_z, ellipse=ellipse, conic=conic)
+    return SplatClipData(
+        cx=jnp.where(visible, clip_x, -128.0),
+        cy=jnp.where(visible, clip_y, -128.0),
+        z=clip_z,
+        cos_t=cos_t,
+        sin_t=sin_t,
+        e0=ext0 * visf,
+        e1=ext1 * visf,
+        con_a=conic_a,
+        con_b=conic_b,
+        con_c=conic_c,
+    )

@@ -47,7 +47,7 @@ from ..config import RenderConfig
 # Streaming-buffer row layout ([8, C] planar).
 ROW_CX, ROW_CY = 0, 1
 ROW_CON_A, ROW_CON_B, ROW_CON_C = 2, 3, 4
-ROW_RGB, ROW_ALPHA = 5, 6  # rgb = u32 0x00RRGGBB bitcast to f32
+ROW_RGB, ROW_ALPHA = 5, 6  # rgb = 0x00RRGGBB carried as its f32 VALUE
 PAIR_ROWS = 8  # padded to a power of two for clean DMA shapes
 
 LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
@@ -166,13 +166,12 @@ def _raster_kernel(
 
             t_in = state[:, 3:4]                        # [pixels, 1]
             weight = t_in * excl * alpha                # [pixels, chunk]
-            bits = jax.lax.bitcast_convert_type(
-                data[ROW_RGB : ROW_RGB + 1, :], jnp.uint32
-            )
+            # rgb rides as the packed integer VALUE in f32 (< 2^24, exact).
+            bits = data[ROW_RGB : ROW_RGB + 1, :].astype(jnp.int32)
             inv255 = jnp.float32(1.0 / 255.0)
 
-            def chan(x):  # Mosaic lacks a direct u32->f32 cast
-                return x.astype(jnp.int32).astype(jnp.float32) * inv255
+            def chan(x):
+                return x.astype(jnp.float32) * inv255
 
             rgb = jnp.concatenate(
                 [

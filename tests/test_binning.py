@@ -36,9 +36,12 @@ def test_overlap_matches_golden_scalar():
 
     got = np.asarray(
         jax.jit(ellipse_rect_overlap)(
-            jnp.asarray(center),
-            jnp.asarray(cos_sin),
-            jnp.asarray(extent),
+            jnp.asarray(center[:, 0]),
+            jnp.asarray(center[:, 1]),
+            jnp.asarray(cos_sin[:, 0]),
+            jnp.asarray(cos_sin[:, 1]),
+            jnp.asarray(extent[:, 0]),
+            jnp.asarray(extent[:, 1]),
             jnp.asarray(rmin[:, 0]),
             jnp.asarray(rmin[:, 1]),
             jnp.asarray(rmax[:, 0]),
@@ -77,9 +80,12 @@ def test_overlap_vs_monte_carlo():
         got = bool(
             np.asarray(
                 overlap_fn(
-                    jnp.asarray(center, jnp.float32),
-                    jnp.asarray([c, s], jnp.float32),
-                    jnp.asarray(extent, jnp.float32),
+                    jnp.float32(center[0]),
+                    jnp.float32(center[1]),
+                    jnp.float32(c),
+                    jnp.float32(s),
+                    jnp.float32(extent[0]),
+                    jnp.float32(extent[1]),
                     jnp.float32(rmin[0]),
                     jnp.float32(rmin[1]),
                     jnp.float32(rmax[0]),
@@ -237,7 +243,7 @@ def test_sorted_attrs_match_value_gather(pipeline_state):
             np.asarray(clip.conic)[idx, 0],
             np.asarray(clip.conic)[idx, 1],
             np.asarray(clip.conic)[idx, 2],
-            packed[idx].astype(np.int32).view(np.float32),
+            packed[idx].astype(np.float32),
             np.asarray(scene.opacities)[idx],
         ]
     )
