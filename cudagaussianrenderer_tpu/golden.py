@@ -225,12 +225,16 @@ def golden_render(
 
 
 def scene_to_numpy(scene) -> dict:
+    """Back to splat-major [N, ...] shapes for the loop-based oracle."""
+    n = scene.count
     return dict(
-        means=np.asarray(scene.means)[: scene.count],
-        scales=np.asarray(scene.scales)[: scene.count],
-        quats=np.asarray(scene.quats)[: scene.count],
-        opacities=np.asarray(scene.opacities)[: scene.count],
-        colors=np.asarray(scene.colors)[: scene.count],
-        sh=None if scene.sh is None else np.asarray(scene.sh)[: scene.count],
+        means=np.asarray(scene.means).T[:n],
+        scales=np.asarray(scene.scales).T[:n],
+        quats=np.asarray(scene.quats)[:n],
+        opacities=np.asarray(scene.opacities)[:n],
+        colors=np.asarray(scene.colors).T[:n],
+        sh=None
+        if scene.sh is None
+        else np.transpose(np.asarray(scene.sh), (2, 1, 0))[:n],
         sh_degree=scene.sh_degree,
     )

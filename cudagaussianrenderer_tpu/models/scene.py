@@ -3,10 +3,10 @@
 The CUDA reference stores the scene as four interleaved float4 device
 buffers (position+opacity, scale+packed-rotation, color+opacity, flat SH;
 /root/reference/src/Demo.cpp:313-321, PlyParser.cpp:330-335).  On TPU we use
-SoA ``jnp`` arrays — XLA lays them out; there is no alignment trick to play —
-and a plain ``[N, K, 3]`` spherical-harmonics tensor instead of the
-block-interleaved GPU layout (Demo.cpp:160-194), which exists only to
-coalesce CUDA global loads.
+planar SoA ``jnp`` arrays with the splat axis on TPU lanes, and a plain
+``[3, K, N]`` spherical-harmonics tensor instead of the block-interleaved
+GPU layout (Demo.cpp:160-194), which exists only to coalesce CUDA global
+loads.
 
 ``GaussianScene`` is a pytree whose static metadata (splat count, SH degree)
 ride in the treedef, so jitted functions specialize on them.
@@ -33,17 +33,22 @@ SH_C0 = 0.28209479177387814
 class GaussianScene:
     """A splat scene resident on device (or as numpy, pre-upload).
 
+    Storage is planar SoA with the splat axis LAST ([3, N] rather than
+    [N, 3]): TPU lane layouts pad a trailing dimension to 128, so
+    xyz-minor arrays would waste 40x memory and force relayouts on every
+    component access.
+
     Attributes
     ----------
-    means:      [N, 3] float32 world-space centers.
-    scales:     [N, 3] float32 per-axis std-dev (activation exp() already
+    means:      [3, N] float32 world-space centers (rows x, y, z).
+    scales:     [3, N] float32 per-axis std-dev (activation exp() already
                 applied, PlyParser.cpp:318).
     quats:      [N] uint32 packed (x,y,z,w) rotation, 8 bits/component
                 (PlyParser.cpp:330).
     opacities:  [N] float32 in [0, 1] (sigmoid applied, PlyParser.cpp:319).
-    colors:     [N, 3] float32 baked degree-0 color = f_dc * SH_C0 + 0.5
+    colors:     [3, N] float32 baked degree-0 color = f_dc * SH_C0 + 0.5
                 (PlyParser.cpp:326-327); used directly when sh is None.
-    sh:         [N, K, 3] float32 or None.  K = (sh_degree + 1)^2 bands
+    sh:         [3, K, N] float32 or None.  K = (sh_degree + 1)^2 bands
                 including the DC band at k=0 (PlyParser.cpp:245-267).
     sh_degree:  static int, 0..4.
     count:      static int, true splat count (arrays may be padded beyond).
@@ -69,7 +74,7 @@ class GaussianScene:
 
     @property
     def padded_count(self) -> int:
-        return self.means.shape[0]
+        return self.means.shape[-1]
 
     @property
     def sh_coeff_count(self) -> int:
@@ -91,21 +96,24 @@ class GaussianScene:
         pad = n - cur
         center = np.asarray(self.bounds_min, np.float32)
 
-        def pad3(a, fill):
-            return jnp.concatenate(
-                [a, jnp.broadcast_to(jnp.asarray(fill, a.dtype), (pad,) + a.shape[1:])]
+        def pad_last(a, fill):
+            fills = jnp.broadcast_to(
+                jnp.asarray(fill, a.dtype)[..., None], a.shape[:-1] + (pad,)
             )
+            return jnp.concatenate([a, fills], axis=-1)
 
         return dataclasses.replace(
             self,
-            means=pad3(self.means, center),
-            scales=pad3(self.scales, np.zeros(3, np.float32)),
-            quats=pad3(self.quats, np.uint32(encode_quat_xyzw(np.array([0.0, 0, 0, 1.0])))),
-            opacities=pad3(self.opacities, np.float32(0)),
-            colors=pad3(self.colors, np.zeros(3, np.float32)),
+            means=pad_last(self.means, center),
+            scales=pad_last(self.scales, np.zeros(3, np.float32)),
+            quats=pad_last(
+                self.quats, np.uint32(encode_quat_xyzw(np.array([0.0, 0, 0, 1.0])))
+            ),
+            opacities=pad_last(self.opacities, np.float32(0)),
+            colors=pad_last(self.colors, np.zeros(3, np.float32)),
             sh=None
             if self.sh is None
-            else pad3(self.sh, np.zeros(self.sh.shape[1:], np.float32)),
+            else pad_last(self.sh, np.zeros(self.sh.shape[:-1], np.float32)),
         )
 
     def pad_to_multiple(self, m: int = 256) -> "GaussianScene":
@@ -124,9 +132,11 @@ def scene_from_arrays(
 ) -> GaussianScene:
     """Build a scene from raw (already activated) numpy arrays.
 
-    ``quats_xyzw`` is [N, 4] float (x, y, z, w); it is quantized to the
-    packed uint32 representation here, exactly as the reference importer
-    does (PlyParser.cpp:330).
+    Inputs use the conventional splat-major shapes — means/scales/colors
+    [N, 3], sh [N, K, 3], quats [N, 4] (x, y, z, w) — and are transposed
+    to the planar device layout here (host-side, free).  Rotations are
+    quantized to the packed uint32 representation exactly as the
+    reference importer does (PlyParser.cpp:330).
     """
     n = means.shape[0]
     means = np.asarray(means, np.float32)
@@ -136,12 +146,14 @@ def scene_from_arrays(
     bmin = means.min(axis=0) if n else np.zeros(3, np.float32)
     bmax = means.max(axis=0) if n else np.zeros(3, np.float32)
     return GaussianScene(
-        means=jnp.asarray(means),
-        scales=jnp.asarray(scales, jnp.float32),
+        means=jnp.asarray(means.T.copy()),
+        scales=jnp.asarray(np.asarray(scales, np.float32).T.copy()),
         quats=jnp.asarray(packed),
         opacities=jnp.asarray(opacities, jnp.float32),
-        colors=jnp.asarray(colors, jnp.float32),
-        sh=None if sh is None else jnp.asarray(sh, jnp.float32),
+        colors=jnp.asarray(np.asarray(colors, np.float32).T.copy()),
+        sh=None
+        if sh is None
+        else jnp.asarray(np.transpose(np.asarray(sh, np.float32), (2, 1, 0)).copy()),
         sh_degree=sh_degree,
         count=n,
         bounds_min=tuple(float(x) for x in bmin),

@@ -160,36 +160,49 @@ def quantize_depth(clip_z: jnp.ndarray, bits: int) -> jnp.ndarray:
 class TilePairs(NamedTuple):
     """Fixed-capacity pair list with sentinel padding.
 
-    ``attrs`` carries the 7 per-pair raster attributes — cx, cy, conic
-    a/b/c, rgb packed to 8 bits/channel carried as its exact f32 value
-    (error <= half an output LSB since the framebuffer quantizes to 8
-    bits anyway), and float32 alpha — as [7, C] rows, so the sort can
-    move them with the keys and the rasterizer needs no post-sort gather.
+    ``attrs`` carries the per-pair raster attributes as 6 sort operands,
+    so the sort moves them with the keys and the rasterizer needs no
+    post-sort gather: the splat center packed as two 16-bit fixed-point
+    halves of a uint32 (clip [-1,1] -> 1/65535 steps, ~1/128 pixel),
+    float32 conic a/b/c, rgb packed to 8 bits/channel carried as its
+    exact f32 value (error <= half an output LSB — the framebuffer
+    quantizes to 8 bits anyway), and float32 alpha.
     """
 
     keys: Tuple[jnp.ndarray, ...]  # 1 operand (packed) or 2 (lex: tile, depth)
     values: jnp.ndarray            # [C] int32 splat indices (-1 = invalid)
-    attrs: jnp.ndarray             # [7, C] float32 (row 5 = packed rgb value)
+    attrs: Tuple[jnp.ndarray, ...]  # 6 operands: cxcy u32, then f32
+                                    # con_a, con_b, con_c, rgb-value, alpha
     num_candidates: jnp.ndarray    # scalar int32: total AABB candidates (pre-test)
     num_pairs: jnp.ndarray         # scalar int32: pairs passing the exact test
 
 
 def pack_rgb_u32(colors: jnp.ndarray) -> jnp.ndarray:
-    """[N, 3] float colors -> uint32 0x00RRGGBB (truncating, like the
-    reference's final uchar cast, cu:1007-1010)."""
+    """[3, N] planar float colors -> uint32 0x00RRGGBB (truncating, like
+    the reference's final uchar cast, cu:1007-1010)."""
     c = (jnp.clip(colors, 0.0, 1.0) * 255.0).astype(jnp.uint32)
-    return (c[:, 0] << 16) | (c[:, 1] << 8) | c[:, 2]
+    return (c[0] << 16) | (c[1] << 8) | c[2]
+
+
+CENTER_SCALE = 65535.0
+
+
+def pack_center_u32(cx: jnp.ndarray, cy: jnp.ndarray) -> jnp.ndarray:
+    """Clip-space center -> (x16 << 16 | y16) fixed point over [-1, 1]."""
+    qx = (jnp.clip((cx + 1.0) * 0.5, 0.0, 1.0) * CENTER_SCALE + 0.5).astype(jnp.uint32)
+    qy = (jnp.clip((cy + 1.0) * 0.5, 0.0, 1.0) * CENTER_SCALE + 0.5).astype(jnp.uint32)
+    return (qx << 16) | qy
 
 
 # Row layout of the segmented-expand output ([R, C] planar; rows 0-1 are
-# the segment bounds the kernel prepends).  The 7 raster-attribute rows
-# are kept contiguous so ``attrs`` is a single sublane slice.
+# the segment bounds the kernel prepends).  The trailing raster-attribute
+# rows are kept contiguous so they slice out in one go.
 _R_EXCL, _R_INCL = 0, 1
 _R_W, _R_X0, _R_Y0, _R_DEPTH, _R_IDX = 2, 3, 4, 5, 6
 _R_COS, _R_SIN, _R_E0, _R_E1 = 7, 8, 9, 10
-_R_ATTR0 = 11  # cx, cy, con_a, con_b, con_c, rgb, alpha
 _R_CX, _R_CY = 11, 12
-_NUM_ATTRS = 7
+_R_ATTR0 = 13  # con_a, con_b, con_c, rgb, alpha
+_NUM_TAIL = 5
 
 
 def build_tile_pairs(
@@ -264,8 +277,9 @@ def build_tile_pairs(
     tile_id = (gy * tps + gx).astype(jnp.uint32)
     q_s = filled[_R_DEPTH].astype(jnp.uint32)
     values = jnp.where(valid, splat_idx, -1)
-    # One contiguous slice: cx, cy, con_a, con_b, con_c, rgb, alpha.
-    attrs = filled[_R_ATTR0 : _R_ATTR0 + _NUM_ATTRS]  # [7, C]
+    cxcy = pack_center_u32(filled[_R_CX], filled[_R_CY])
+    tail = filled[_R_ATTR0 : _R_ATTR0 + _NUM_TAIL]  # con_a/b/c, rgb, alpha
+    attrs = (cxcy, *(tail[i] for i in range(_NUM_TAIL)))
 
     if config.depth_bits == DEPTH_BITS_PACKED:
         key = (tile_id << DEPTH_BITS_PACKED) | q_s

@@ -3,9 +3,13 @@
 Stage B of the frame pipeline, the TPU re-design of
 evaluateSplatClipDataKernel (/root/reference/src/GaussianRender.cu:203-348).
 The CUDA kernel maps one thread per splat; here the whole stage is one
-vectorized jnp computation over [N] splats — XLA fuses the quaternion
-decode, covariance products, para-perspective Jacobian, closed-form 2x2
-eigendecomposition and frustum cull into a single VPU pass.
+vectorized jnp computation over [N] splats.
+
+All linear algebra is expanded COMPONENT-WISE over planar [N] vectors:
+batched 3x3 matrix products (einsum with a size-1M batch of 3x3 operands)
+map catastrophically onto the 128x128 MXU, while ~150 fused elementwise
+VPU ops over [N] lanes run at full throughput.  The camera matrix entries
+are traced scalars.
 
 Math summary (kept numerically faithful — the epsilons, the lambda clamps
 and the anti-shrink trace bump are load-bearing for tiny splats):
@@ -26,16 +30,10 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
-# The 3x3-sized contractions here are tiny but precision-critical: on TPU
-# the default ("fastest") matmul precision routes f32 through bf16 MXU
-# passes, costing ~3 decimal digits on clip positions.  Force full f32.
-_HIGHEST = jax.lax.Precision.HIGHEST
-
 from ..config import RenderConfig
-from ..utils.quantize import decode_quat_xyzw, quat_xyzw_to_rotation_matrix
+from ..utils.quantize import decode_quat_components
 
 
 class SplatClipData(NamedTuple):
@@ -83,8 +81,9 @@ def project_splats(
     camera: dict,
     config: RenderConfig,
 ) -> SplatClipData:
-    """Project [N] splats into clip space.
+    """Project splats into clip space.
 
+    means, scales: planar [3, N] rows.  quats_packed: [N] uint32.
     ``camera`` is the CameraData pytree: view [4,4], position [3],
     fov_cotangent [2], depth_scale_bias [2], aspect scalar.
     """
@@ -93,16 +92,38 @@ def project_splats(
     fov_cot = camera["fov_cotangent"]
     depth_sb = camera["depth_scale_bias"]
 
-    # --- world covariance from quantized rotation + scales (cu:209-224) ---
-    q = decode_quat_xyzw(quats_packed, xp=jnp)            # [N, 4], un-normalized
-    rot = quat_xyzw_to_rotation_matrix(q, xp=jnp)          # [N, 3, 3]
-    # Sigma = R * diag(s^2) * R^T
-    rs2 = rot * (scales**2)[:, None, :]                    # R * diag(s^2)
-    sigma = jnp.einsum("nik,njk->nij", rs2, rot, precision=_HIGHEST)           # [N, 3, 3]
+    mx, my, mz = means[0], means[1], means[2]
+    sx2, sy2, sz2 = scales[0] ** 2, scales[1] ** 2, scales[2] ** 2
 
-    # --- view-space center (cu:227) ---
-    view_pos = jnp.einsum("ni,ji->nj", means, view[:3, :3], precision=_HIGHEST) + view[:3, 3]        # [N, 3]
-    vx, vy, vz = view_pos[:, 0], view_pos[:, 1], view_pos[:, 2]
+    # --- rotation matrix from the quantized quaternion (cu:209-224) ---
+    # glm::mat3_cast form, intentionally NOT re-normalized.
+    qx, qy, qz, qw = decode_quat_components(quats_packed, xp=jnp)
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    r00 = 1.0 - 2.0 * (yy + zz)
+    r01 = 2.0 * (xy - wz)
+    r02 = 2.0 * (xz + wy)
+    r10 = 2.0 * (xy + wz)
+    r11 = 1.0 - 2.0 * (xx + zz)
+    r12 = 2.0 * (yz - wx)
+    r20 = 2.0 * (xz - wy)
+    r21 = 2.0 * (yz + wx)
+    r22 = 1.0 - 2.0 * (xx + yy)
+
+    # --- world covariance Sigma = R diag(s^2) R^T, 6 unique entries ---
+    a00 = r00 * r00 * sx2 + r01 * r01 * sy2 + r02 * r02 * sz2
+    a11 = r10 * r10 * sx2 + r11 * r11 * sy2 + r12 * r12 * sz2
+    a22 = r20 * r20 * sx2 + r21 * r21 * sy2 + r22 * r22 * sz2
+    a01 = r00 * r10 * sx2 + r01 * r11 * sy2 + r02 * r12 * sz2
+    a02 = r00 * r20 * sx2 + r01 * r21 * sy2 + r02 * r22 * sz2
+    a12 = r10 * r20 * sx2 + r11 * r21 * sy2 + r12 * r22 * sz2
+
+    # --- view-space center (cu:227); camera entries are traced scalars ---
+    v = view  # [4, 4]
+    vx = v[0, 0] * mx + v[0, 1] * my + v[0, 2] * mz + v[0, 3]
+    vy = v[1, 0] * mx + v[1, 1] * my + v[1, 2] * mz + v[1, 3]
+    vz = v[2, 0] * mx + v[2, 1] * my + v[2, 2] * mz + v[2, 3]
 
     # --- para-perspective Jacobian terms (cu:234-259) ---
     z_rcp = 1.0 / vz
@@ -113,16 +134,28 @@ def project_splats(
     shear_y = fov_cot[1] * vy * z_rcp_sqr
 
     # Rows of (J @ view3x3); only the two rows feeding the 2x2 covariance.
-    v3 = view[:3, :3]
-    row_x = scale_x[:, None] * v3[0] + shear_x[:, None] * v3[2]  # [N, 3]
-    row_y = scale_y[:, None] * v3[1] + shear_y[:, None] * v3[2]
+    x0 = scale_x * v[0, 0] + shear_x * v[2, 0]
+    x1 = scale_x * v[0, 1] + shear_x * v[2, 1]
+    x2 = scale_x * v[0, 2] + shear_x * v[2, 2]
+    y0 = scale_y * v[1, 0] + shear_y * v[2, 0]
+    y1 = scale_y * v[1, 1] + shear_y * v[2, 1]
+    y2 = scale_y * v[1, 2] + shear_y * v[2, 2]
 
-    # cov2d = M Sigma M^T restricted to the x/y rows (cu:262-264).
-    s_rx = jnp.einsum("nij,nj->ni", sigma, row_x, precision=_HIGHEST)
-    s_ry = jnp.einsum("nij,nj->ni", sigma, row_y, precision=_HIGHEST)
-    cov_a = jnp.sum(row_x * s_rx, axis=-1)
-    cov_b = jnp.sum(row_y * s_rx, axis=-1)
-    cov_c = jnp.sum(row_y * s_ry, axis=-1)
+    # cov2d = row Sigma row^T expanded over the 6 unique Sigma entries.
+    cov_a = (
+        a00 * x0 * x0 + a11 * x1 * x1 + a22 * x2 * x2
+        + 2.0 * (a01 * x0 * x1 + a02 * x0 * x2 + a12 * x1 * x2)
+    )
+    cov_c = (
+        a00 * y0 * y0 + a11 * y1 * y1 + a22 * y2 * y2
+        + 2.0 * (a01 * y0 * y1 + a02 * y0 * y2 + a12 * y1 * y2)
+    )
+    cov_b = (
+        a00 * x0 * y0 + a11 * x1 * y1 + a22 * x2 * y2
+        + a01 * (x0 * y1 + x1 * y0)
+        + a02 * (x0 * y2 + x2 * y0)
+        + a12 * (x1 * y2 + x2 * y1)
+    )
 
     # Anti-shrink trace bump: (1/pi) * (2/screen)^2 (cu:267-276).
     texel_clip = 2.0 / float(config.screen_size)

@@ -45,24 +45,29 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RenderConfig
 
 # Streaming-buffer row layout ([8, C] planar).
-ROW_CX, ROW_CY = 0, 1
-ROW_CON_A, ROW_CON_B, ROW_CON_C = 2, 3, 4
-ROW_RGB, ROW_ALPHA = 5, 6  # rgb = 0x00RRGGBB carried as its f32 VALUE
+ROW_CXCY = 0                # (x16 << 16 | y16) fixed point, bitcast to f32
+ROW_CON_A, ROW_CON_B, ROW_CON_C = 1, 2, 3
+ROW_RGB, ROW_ALPHA = 4, 5   # rgb = 0x00RRGGBB carried as its f32 VALUE
 PAIR_ROWS = 8  # padded to a power of two for clean DMA shapes
 
 LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
 
+CENTER_INV_SCALE = 2.0 / 65535.0
 
-def pack_pair_data(sorted_attrs: jnp.ndarray, chunk: int) -> jnp.ndarray:
-    """[9, C] sorted attribute rows -> [PAIR_ROWS, C + 2*chunk] buffer.
+
+def pack_pair_data(sorted_attrs, chunk: int) -> jnp.ndarray:
+    """Sorted attribute operands -> [PAIR_ROWS, C + 2*chunk] buffer.
 
     The attributes arrive already in sorted pair order (carried through the
-    variadic sort — no gather); this just pads rows to a power of two and
-    adds lane tail-padding so the kernel's fixed-size DMAs can run past
-    the final partial chunk.
+    variadic sort — no gather); this stacks them into planar rows (the u32
+    center row bitcast to f32), pads rows to a power of two and adds lane
+    tail-padding so the kernel's fixed-size DMAs can run past the final
+    partial chunk.
     """
-    pad_r = PAIR_ROWS - sorted_attrs.shape[0]
-    return jnp.pad(sorted_attrs, ((0, pad_r), (0, 2 * chunk)))
+    cxcy = jax.lax.bitcast_convert_type(sorted_attrs[0], jnp.float32)
+    rows = jnp.stack([cxcy, *sorted_attrs[1:]])
+    pad_r = PAIR_ROWS - rows.shape[0]
+    return jnp.pad(rows, ((0, pad_r), (0, 2 * chunk)))
 
 
 def _raster_kernel(
@@ -136,8 +141,13 @@ def _raster_kernel(
             make_dma(slot, astart, c).wait()
             data = chunk_buf[slot]  # [PAIR_ROWS, chunk]
 
-            cx = data[ROW_CX : ROW_CX + 1, :]          # [1, chunk]
-            cy = data[ROW_CY : ROW_CY + 1, :]
+            cxcy = pltpu.bitcast(data[ROW_CXCY : ROW_CXCY + 1, :], jnp.uint32)
+            cx = (cxcy >> 16).astype(jnp.int32).astype(jnp.float32) * (
+                CENTER_INV_SCALE
+            ) - 1.0                                     # [1, chunk]
+            cy = (cxcy & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * (
+                CENTER_INV_SCALE
+            ) - 1.0
             con_a = data[ROW_CON_A : ROW_CON_A + 1, :]
             con_b = data[ROW_CON_B : ROW_CON_B + 1, :]
             con_c = data[ROW_CON_C : ROW_CON_C + 1, :]

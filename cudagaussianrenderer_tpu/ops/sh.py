@@ -74,20 +74,72 @@ def sh_basis(dirs, degree: int, xp=jnp):
     return xp.stack(out, axis=-1)
 
 
+def sh_basis_components(x, y, z, degree: int):
+    """Planar-SoA basis: x, y, z are [N] rows; returns a LIST of [N]
+    arrays (no stacking — keeps everything lane-friendly on TPU)."""
+    if not 0 <= degree <= 4:
+        raise ValueError("SH degree must be in [0, 4]")
+    one = jnp.ones_like(x)
+    out = [0.28209479177387814 * one]
+    if degree >= 1:
+        c1 = 0.4886025119029199
+        out += [c1 * y, c1 * z, c1 * x]
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        out += [
+            1.0925484305920792 * xy,
+            1.0925484305920792 * yz,
+            0.31539156525252005 * (3.0 * zz - 1.0),
+            1.0925484305920792 * xz,
+            0.5462742152960396 * (xx - yy),
+        ]
+    if degree >= 3:
+        out += [
+            0.5900435899266435 * y * (3.0 * xx - yy),
+            2.890611442640554 * xy * z,
+            0.4570457994644658 * y * (5.0 * zz - 1.0),
+            0.3731763325901154 * z * (5.0 * zz - 3.0),
+            0.4570457994644658 * x * (5.0 * zz - 1.0),
+            1.445305721320277 * z * (xx - yy),
+            0.5900435899266435 * x * (xx - 3.0 * yy),
+        ]
+    if degree >= 4:
+        out += [
+            2.5033429417967046 * xy * (xx - yy),
+            1.7701307697799304 * yz * (3.0 * xx - yy),
+            0.9461746957575601 * xy * (7.0 * zz - 1.0),
+            0.6690465435572892 * yz * (7.0 * zz - 3.0),
+            0.10578554691520431 * (35.0 * zz * zz - 30.0 * zz + 3.0),
+            0.6690465435572892 * xz * (7.0 * zz - 3.0),
+            0.47308734787878004 * (xx - yy) * (7.0 * zz - 1.0),
+            1.7701307697799304 * xz * (xx - 3.0 * yy),
+            0.6258357354491761 * (xx * xx - 6.0 * xx * yy + yy * yy),
+        ]
+    return out
+
+
 def evaluate_sh_colors(means, sh, camera_position, degree: int):
     """Per-splat view-dependent color — stage A of the frame pipeline
     (evaluateSphericalHarmonicsKernel, GaussianRender.cu:158-182).
 
-    means:  [N, 3] splat centers (world).
-    sh:     [N, K, 3] coefficients, K >= (degree+1)^2.
+    means:  [3, N] planar splat centers (world).
+    sh:     [3, K, N] planar coefficients, K >= (degree+1)^2.
     camera_position: [3].
-    Returns [N, 3] colors, clamp(sum + 0.5, 0, 1) like the reference
-    (GaussianRender.cu:154).
+    Returns [3, N] planar colors, clamp(sum + 0.5, 0, 1) like the
+    reference (GaussianRender.cu:154).  Evaluated as K fused multiply-adds
+    of [N] rows per channel — pure VPU, no matmul, no layout changes.
     """
-    d = camera_position[None, :] - means
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
-    basis = sh_basis(d, degree)  # [N, K]
+    dx = camera_position[0] - means[0]
+    dy = camera_position[1] - means[1]
+    dz = camera_position[2] - means[2]
+    inv = 1.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-20)
+    basis = sh_basis_components(dx * inv, dy * inv, dz * inv, degree)
     k = num_sh_coeffs(degree)
-    rgb = jnp.einsum("nk,nkc->nc", basis, sh[:, :k, :],
-                     precision=jax.lax.Precision.HIGHEST)
-    return jnp.clip(rgb + 0.5, 0.0, 1.0)
+    channels = []
+    for c in range(3):
+        acc = basis[0] * sh[c, 0]
+        for i in range(1, k):
+            acc = acc + basis[i] * sh[c, i]
+        channels.append(jnp.clip(acc + 0.5, 0.0, 1.0))
+    return jnp.stack(channels)

@@ -4,10 +4,9 @@ The reference delegates to cub::DeviceRadixSort over 44 of 64 key bits on
 (key, splat-index) pairs, then the rasterizer chases the indices with
 uncoalesced loads (sortTileList, /root/reference/src/GaussianRender.cu:
 804-855; loads at cu:950-963).  On TPU random gathers are serial and slow,
-so the sort is *variadic*: XLA's multi-operand sort moves the splat index
-AND the 9 raster attributes together with the key.  The rasterizer then
-streams attribute rows sequentially — no post-sort gather exists anywhere
-in the pipeline.
+so the sort is *variadic*: XLA's multi-operand sort moves the raster
+attributes together with the key.  The rasterizer then streams attribute
+rows sequentially — no post-sort gather exists anywhere in the pipeline.
 
 Invalid entries carry the all-ones sentinel key and land in a dead suffix
 of the list, which the tile-range stage never addresses — this is how the
@@ -16,7 +15,7 @@ dynamically-sized CUDA list becomes a statically-shaped TPU array.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,19 +24,27 @@ from .binning import TilePairs
 
 
 def sort_pairs(
-    pairs: TilePairs,
-) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray, jnp.ndarray]:
+    pairs: TilePairs, *, with_values: bool = False
+) -> Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.ndarray], Tuple[jnp.ndarray, ...]]:
     """Sort the pair list by (tile asc, depth front-to-back).
 
-    Returns (sorted key operands, sorted values [C], sorted attrs [9, C]).
+    Returns (sorted key operands, sorted values or None, sorted attr
+    operands).  ``with_values`` additionally carries the splat indices —
+    useful for tests and debugging, skipped in production to keep sort
+    bandwidth down.
     """
     num_keys = len(pairs.keys)
-    ops = (*pairs.keys, pairs.values, *pairs.attrs)
+    extra = (pairs.values,) if with_values else ()
+    ops = (*pairs.keys, *extra, *pairs.attrs)
     # Stable: equal-depth pairs keep emission (= splat index) order, making
     # results deterministic — unlike the reference, whose tie order depends
     # on CUDA block scheduling.
     sorted_ops = jax.lax.sort(ops, num_keys=num_keys, is_stable=True)
     keys = sorted_ops[:num_keys]
-    values = sorted_ops[num_keys]
-    attrs = jnp.stack(sorted_ops[num_keys + 1 :])
+    off = num_keys
+    values = None
+    if with_values:
+        values = sorted_ops[off]
+        off += 1
+    attrs = sorted_ops[off:]
     return keys, values, attrs

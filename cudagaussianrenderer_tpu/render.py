@@ -61,7 +61,7 @@ def render_frame(
     pairs = build_tile_pairs(
         clip, colors, scene.opacities, config, capacity, interpret=interpret
     )
-    sorted_keys, _sorted_vals, sorted_attrs = sort_pairs(pairs)
+    sorted_keys, _, sorted_attrs = sort_pairs(pairs)
     starts, counts = tile_ranges(sorted_keys, config)
     pair_data = pack_pair_data(sorted_attrs, config.raster_chunk)
     tiles = rasterize_tiles(pair_data, starts, counts, config, interpret=interpret)
@@ -116,8 +116,12 @@ class Renderer:
 
     @staticmethod
     def _bucket(candidates: int) -> int:
-        want = max(1 << 17, int(candidates * 1.5))
-        return 1 << (want - 1).bit_length()
+        """Capacity bucket: 20% headroom, 256Ki granularity (bounds the
+        number of distinct compiled pipelines while staying tight —
+        every post-binning stage costs O(capacity))."""
+        want = max(1 << 17, int(candidates * 1.2))
+        grain = 1 << 18
+        return -(-want // grain) * grain
 
     def _get_fn(self):
         key = self.capacity
@@ -203,7 +207,7 @@ class Renderer:
             colors = sh_fn(scene, cam)
             clip = proj_fn(scene, cam)
             pairs = bin_fn(clip, colors, scene)
-            keys, vals, attrs = sort_fn(pairs)
+            keys, _, attrs = sort_fn(pairs)
             starts, counts = rng_fn(keys)
             jax.block_until_ready(rast_fn(attrs, starts, counts))
             stages.clear()
@@ -211,7 +215,7 @@ class Renderer:
         colors = timed("evaluateSphericalHarmonics" if has_sh else "_baked", sh_fn, scene, cam)
         clip = timed("evaluateClipData", proj_fn, scene, cam)
         pairs = timed("buildTileList", bin_fn, clip, colors, scene)
-        keys, vals, attrs = timed("sortTileList", sort_fn, pairs)
+        keys, _, attrs = timed("sortTileList", sort_fn, pairs)
         starts, counts = timed("evaluateTileRanges", rng_fn, keys)
         timed("renderDepthBuffer", rast_fn, attrs, starts, counts)
 

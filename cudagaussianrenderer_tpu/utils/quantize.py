@@ -30,6 +30,19 @@ def encode_quat_xyzw(q_xyzw, xp=np):
     return (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
 
 
+def decode_quat_components(packed, xp=np):
+    """Unpack uint32 -> 4 separate float32 [N] vectors (x, y, z, w) in
+    [-1, 1] — the planar-SoA variant of decode_quat_xyzw, avoiding a
+    small-minor-dim stack on TPU."""
+    packed = packed.astype(xp.uint32)
+
+    def comp(shift):
+        # Same op order as decode_quat_xyzw for bit-identical results.
+        return ((packed >> shift) & 0xFF).astype(xp.float32) / 255.0 * 2.0 - 1.0
+
+    return comp(24), comp(16), comp(8), comp(0)
+
+
 def decode_quat_xyzw(packed, xp=np):
     """Unpack uint32 -> (..., 4) float32 quaternion components in [-1, 1].
 

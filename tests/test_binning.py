@@ -160,7 +160,7 @@ def test_sorted_ranges_partition_list(pipeline_state):
 
     @jax.jit
     def fn(pairs):
-        sorted_keys, sorted_vals, sorted_attrs = sort_pairs(pairs)
+        sorted_keys, sorted_vals, sorted_attrs = sort_pairs(pairs, with_values=True)
         starts, counts = tile_ranges(sorted_keys, config)
         return sorted_keys, sorted_vals, sorted_attrs, starts, counts
 
@@ -225,26 +225,29 @@ def test_sorted_attrs_match_value_gather(pipeline_state):
     """The gather-free segmented fill + variadic sort must reproduce the
     obvious gather-by-splat-index bit-exactly."""
     scene, cam, config, clip, capacity, pairs = pipeline_state
-    keys, vals, attrs = jax.jit(sort_pairs)(pairs)
+    keys, vals, attrs = jax.jit(lambda p: sort_pairs(p, with_values=True))(pairs)
     vals = np.asarray(vals)
-    attrs = np.asarray(attrs)
+    attrs = np.stack([np.asarray(a) for a in attrs])
     valid = vals >= 0
     idx = vals[valid]
     colors = np.clip(np.asarray(scene.colors), 0.0, 1.0)
     packed = (
-        ((colors[:, 0] * 255).astype(np.uint32) << 16)
-        | ((colors[:, 1] * 255).astype(np.uint32) << 8)
-        | (colors[:, 2] * 255).astype(np.uint32)
+        ((colors[0] * 255).astype(np.uint32) << 16)
+        | ((colors[1] * 255).astype(np.uint32) << 8)
+        | (colors[2] * 255).astype(np.uint32)
     )
+    cx = np.asarray(clip.cx)[idx]
+    cy = np.asarray(clip.cy)[idx]
+    qx = (np.clip((cx + 1.0) * 0.5, 0, 1) * 65535.0 + 0.5).astype(np.uint32)
+    qy = (np.clip((cy + 1.0) * 0.5, 0, 1) * 65535.0 + 0.5).astype(np.uint32)
     want = np.stack(
         [
-            np.asarray(clip.clip_xy)[idx, 0],
-            np.asarray(clip.clip_xy)[idx, 1],
-            np.asarray(clip.conic)[idx, 0],
-            np.asarray(clip.conic)[idx, 1],
-            np.asarray(clip.conic)[idx, 2],
-            packed[idx].astype(np.float32),
-            np.asarray(scene.opacities)[idx],
+            ((qx << 16) | qy).astype(np.float64),
+            np.asarray(clip.con_a)[idx].astype(np.float64),
+            np.asarray(clip.con_b)[idx].astype(np.float64),
+            np.asarray(clip.con_c)[idx].astype(np.float64),
+            packed[idx].astype(np.float64),
+            np.asarray(scene.opacities)[idx].astype(np.float64),
         ]
     )
-    np.testing.assert_array_equal(attrs[:, valid], want)
+    np.testing.assert_array_equal(attrs[:, valid].astype(np.float64), want)

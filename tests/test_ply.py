@@ -103,15 +103,15 @@ def test_activations_and_quantization():
     buf, raw = _make_scene_bytes(n=32, seed=3)
     scene = load_gaussian_ply(buf)
     assert scene.count == 32
-    np.testing.assert_allclose(np.asarray(scene.means), raw["means"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(scene.means).T, raw["means"], rtol=1e-6)
     np.testing.assert_allclose(
-        np.asarray(scene.scales), np.exp(raw["scales_log"]), rtol=1e-6
+        np.asarray(scene.scales).T, np.exp(raw["scales_log"]), rtol=1e-6
     )
     np.testing.assert_allclose(
         np.asarray(scene.opacities), 1.0 / (1.0 + np.exp(-raw["opacity"])), rtol=1e-5
     )
     np.testing.assert_allclose(
-        np.asarray(scene.colors), raw["f_dc"] * SH_C0 + 0.5, rtol=1e-5
+        np.asarray(scene.colors).T, raw["f_dc"] * SH_C0 + 0.5, rtol=1e-5
     )
     # Quantized rotations decode to within 8-bit error of the normalized quat.
     from cudagaussianrenderer_tpu.utils.quantize import decode_quat_xyzw
@@ -130,8 +130,8 @@ def test_sh_reorder(degree):
     scene = load_gaussian_ply(buf)
     assert scene.sh_degree == degree
     k = (degree + 1) ** 2
-    assert scene.sh.shape == (8, k, 3)
-    sh = np.asarray(scene.sh)
+    assert scene.sh.shape == (3, k, 8)
+    sh = np.transpose(np.asarray(scene.sh), (2, 1, 0))
     # Band 0 = raw f_dc; band j>=1 channel c = f_rest[c][j-1] (planar source).
     np.testing.assert_allclose(sh[:, 0, :], raw["f_dc"], rtol=1e-6)
     for c in range(3):

@@ -105,8 +105,8 @@ def test_sh_basis_matches_reference_generated_form():
 def test_evaluate_sh_colors_clamps_and_degree0():
     rng = np.random.default_rng(3)
     n, k = 64, 25
-    means = rng.normal(size=(n, 3)).astype(np.float32)
-    sh = rng.normal(size=(n, k, 3)).astype(np.float32) * 2.0
+    means = rng.normal(size=(3, n)).astype(np.float32)   # planar [3, N]
+    sh = rng.normal(size=(3, k, n)).astype(np.float32) * 2.0  # planar [3, K, N]
     cam = np.array([0.0, 0.0, 5.0], np.float32)
 
     colors = np.asarray(evaluate_sh_colors(means, sh, cam, 0))
@@ -117,3 +117,10 @@ def test_evaluate_sh_colors_clamps_and_degree0():
     colors4 = np.asarray(evaluate_sh_colors(means, sh, cam, 4))
     assert colors4.min() >= 0.0 and colors4.max() <= 1.0
     assert not np.allclose(colors4, colors)
+
+    # Planar path agrees with the stacked-basis formulation.
+    d = (cam[:, None] - means)
+    d = d / np.linalg.norm(d, axis=0, keepdims=True)
+    basis = sh_basis(d.T.astype(np.float64), 4, xp=np)  # [N, 25]
+    want4 = np.clip(np.einsum("nk,ckn->cn", basis, sh.astype(np.float64)) + 0.5, 0, 1)
+    np.testing.assert_allclose(colors4, want4, rtol=1e-4, atol=1e-5)
