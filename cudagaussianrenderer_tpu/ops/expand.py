@@ -13,14 +13,16 @@ TPU-native approach: one-hot selection on the MXU.
     block its first owning splat (scalar-prefetched).
   * Each block DMAs a lane-aligned window of splat rows, builds the
     match matrix M[j, w] = (excl_w <= j) & (j < incl_w) with iota
-    compares, and computes out[j, :] = M @ attrs_window on the MXU.
+    compares, and computes out[:, j] = attrs_window @ M^T on the MXU.
   * Selection is EXACT: each output element is 1*x + 0*... in float32,
     so float payloads pass through bit-identically and integer payloads
     are exact for values < 2^24 (all of ours are).
   * Windows wider than one tile of splats (dense runs of zero-count,
     culled splats) are handled by accumulating over sub-windows in a
-    while_loop — each slot matches exactly one splat globally, so the
-    accumulation stays exact.
+    loop — each slot matches exactly one splat globally, so the
+    accumulation stays exact.  Window DMAs are double-buffered.
+  * Blocks entirely past the candidate total short-circuit to zeros
+    (with a generous capacity, a third of the list can be dead).
 """
 
 from __future__ import annotations
@@ -42,42 +44,63 @@ WINDOW = 512
 MAX_EXACT_I32 = 1 << 24
 
 
-def _expand_kernel(starts_ref, rows_hbm, out_ref, win_buf, sem, *, num_rows, block):
+def _expand_kernel(
+    starts_ref, rows_hbm, out_ref, win_buf, sems, *, num_rows, block
+):
     b = pl.program_id(0)
     s0 = starts_ref[b]
     s1 = starts_ref[b + 1]
+    total = starts_ref[pl.num_programs(0) + 1]
     a0 = (s0 // 128) * 128
-
-    # Absolute slot index of each output row (sublane axis).
-    j = (b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)).astype(
-        jnp.float32
-    )
-
     num_windows = (s1 - a0) // WINDOW + 1
 
-    def body(wi, acc):
-        dma = pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(a0 + wi * WINDOW, WINDOW)],
-            win_buf,
-            sem,
-        )
-        dma.start()
-        dma.wait()
-        excl = win_buf[0:1, :]  # [1, WINDOW]
-        incl = win_buf[1:2, :]
-        match = ((excl <= j) & (j < incl)).astype(jnp.float32)  # [block, WINDOW]
-        return acc + jax.lax.dot_general(
-            win_buf[:, :],
-            match,
-            (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # [num_rows, block]
+    live = b * block < total
 
-    acc = jax.lax.fori_loop(
-        0, num_windows, body, jnp.zeros((num_rows, block), jnp.float32)
-    )
-    out_ref[:, :] = acc
+    def make_dma(slot, wi):
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(a0 + wi * WINDOW, WINDOW)],
+            win_buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[:, :] = jnp.zeros((num_rows, block), jnp.float32)
+
+    @pl.when(live)
+    def _():
+        # Absolute slot index of each output column, on sublanes for the
+        # match-matrix build.
+        j = (
+            b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        ).astype(jnp.float32)
+
+        make_dma(0, 0).start()
+
+        def body(wi, acc):
+            slot = jax.lax.rem(wi, 2)
+
+            @pl.when(wi + 1 < num_windows)
+            def _():
+                make_dma(1 - slot, wi + 1).start()
+
+            make_dma(slot, wi).wait()
+            win = win_buf[slot]
+            excl = win[0:1, :]  # [1, WINDOW]
+            incl = win[1:2, :]
+            match = ((excl <= j) & (j < incl)).astype(jnp.float32)  # [block, W]
+            return acc + jax.lax.dot_general(
+                win,
+                match,
+                (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [num_rows, block]
+
+        acc = jax.lax.fori_loop(
+            0, num_windows, body, jnp.zeros((num_rows, block), jnp.float32)
+        )
+        out_ref[:, :] = acc
 
 
 def segmented_expand(
@@ -96,7 +119,9 @@ def segmented_expand(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    block = min(MAX_BLOCK, capacity)
+    block = MAX_BLOCK
+    while block > 128 and capacity % block:
+        block //= 2
     if capacity % block != 0:
         raise ValueError(f"capacity must be a multiple of {block}")
     if capacity + 1 >= MAX_EXACT_I32:
@@ -114,14 +139,16 @@ def segmented_expand(
     # Row count padded to a sublane multiple (Mosaic DMA tiling), columns
     # padded so aligned windows can run past the last splat.
     num_rows = -(-(a + 2) // 8) * 8
-    full = jnp.pad(full, ((0, num_rows - (a + 2)), (0, WINDOW + 128)))
+    full = jnp.pad(full, ((0, num_rows - (a + 2)), (0, 2 * WINDOW + 128)))
 
     nblocks = capacity // block
-    # First splat owning each block's first slot (and a final bound).
+    # First splat owning each block's first slot, a final bound, and the
+    # candidate total (for dead-block short-circuiting).
     probes = jnp.arange(nblocks + 1, dtype=jnp.int32) * block
     starts = jnp.clip(
         jnp.searchsorted(incl_c, probes, side="right").astype(jnp.int32), 0, n - 1
     )
+    starts = jnp.concatenate([starts, jnp.minimum(incl[-1:], capacity)])
 
     kernel = functools.partial(_expand_kernel, num_rows=num_rows, block=block)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -130,8 +157,8 @@ def segmented_expand(
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((num_rows, block), lambda i, *_: (0, i)),
         scratch_shapes=[
-            pltpu.VMEM((num_rows, WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, num_rows, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
