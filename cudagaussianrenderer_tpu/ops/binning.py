@@ -39,13 +39,18 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import RenderConfig
 from .expand import segmented_expand
 from .projection import SplatClipData
 
 DEPTH_BITS_PACKED = 19
-SENTINEL_KEY_U32 = jnp.uint32(0xFFFFFFFF)
+# Plain numpy scalar, NOT jnp: a module-level device-array constant gets
+# embedded in every program that references it, and this runtime pays a
+# massive per-execution cost for embedded device constants (measured
+# +23 ms/frame).  numpy scalars fold into the HLO as literals.
+SENTINEL_KEY_U32 = np.uint32(0xFFFFFFFF)
 
 
 # ---------------------------------------------------------------------------
@@ -254,19 +259,23 @@ def build_tile_pairs(
     slots = jnp.arange(capacity, dtype=jnp.int32)
     in_range = slots < jnp.minimum(total, capacity)
 
-    offset_s = filled[_R_EXCL].astype(jnp.int32)
-    w_s = jnp.maximum(filled[_R_W].astype(jnp.int32), 1)
-    local = slots - offset_s
-    lx = local % w_s
-    ly = local // w_s
-    gx = filled[_R_X0].astype(jnp.int32) + lx
-    gy = filled[_R_Y0].astype(jnp.int32) + ly
+    # Local tile coordinates within the owning splat's rect, in float:
+    # integer div/mod with a VECTOR divisor lowers to a serial loop on
+    # TPU (~20 ms at 4M slots).  Float division is exact here — operands
+    # are integers < 2^24 and the quotient's fractional part is at most
+    # (w-1)/w <= 63/64, far beyond f32 rounding of the ratio.
+    w_f = jnp.maximum(filled[_R_W], 1.0)
+    local_f = slots.astype(jnp.float32) - filled[_R_EXCL]
+    ly_f = jnp.floor(local_f / w_f)
+    lx_f = local_f - ly_f * w_f
+    gx_f = filled[_R_X0] + lx_f
+    gy_f = filled[_R_Y0] + ly_f
     splat_idx = filled[_R_IDX].astype(jnp.int32)
 
     # Candidate tile rect in clip space (cu:653-664).
     tile_clip_size = 2.0 * config.tile_size / config.screen_size
-    tx = gx.astype(jnp.float32) * tile_clip_size - 1.0
-    ty = gy.astype(jnp.float32) * tile_clip_size - 1.0
+    tx = gx_f * tile_clip_size - 1.0
+    ty = gy_f * tile_clip_size - 1.0
     hit = ellipse_rect_overlap(
         filled[_R_CX], filled[_R_CY],
         filled[_R_COS], filled[_R_SIN], filled[_R_E0], filled[_R_E1],
@@ -274,7 +283,8 @@ def build_tile_pairs(
     )
     valid = in_range & hit
 
-    tile_id = (gy * tps + gx).astype(jnp.uint32)
+    # tile id computed in f32 (exact: < 4096 < 2^24), cast once.
+    tile_id = (gy_f * tps + gx_f).astype(jnp.uint32)
     q_s = filled[_R_DEPTH].astype(jnp.uint32)
     values = jnp.where(valid, splat_idx, -1)
     cxcy = pack_center_u32(filled[_R_CX], filled[_R_CY])
