@@ -71,8 +71,9 @@ def pack_pair_data(sorted_attrs, chunk: int) -> jnp.ndarray:
 
 
 def _raster_kernel(
-    starts_ref,    # SMEM [total_tiles] int32 (scalar prefetch)
-    counts_ref,    # SMEM [total_tiles] int32 (scalar prefetch)
+    starts_ref,    # SMEM [num_tiles] int32 (scalar prefetch)
+    counts_ref,    # SMEM [num_tiles] int32 (scalar prefetch)
+    rowoff_ref,    # SMEM [1] int32: tile-row offset (multi-chip bands)
     pairs_hbm,     # HBM  [PAIR_ROWS, C + 2*chunk] float32
     out_ref,       # VMEM [tiles_per_cell, pixels, 4] float32
     state,         # VMEM scratch [pixels, 8] (cols: r, g, b, transmittance)
@@ -115,7 +116,7 @@ def _raster_kernel(
         num_chunks = pl.cdiv(span, chunk)
 
         tile_x = (tile % tps).astype(jnp.float32)
-        tile_y = (tile // tps).astype(jnp.float32)
+        tile_y = (tile // tps + rowoff_ref[0]).astype(jnp.float32)
         pcx = (tile_x * tile_size + px_in_tile) * pix_to_clip - 1.0  # [pixels,1]
         pcy = (tile_y * tile_size + py_in_tile) * pix_to_clip - 1.0
 
@@ -222,25 +223,32 @@ def rasterize_tiles(
     counts: jnp.ndarray,
     config: RenderConfig,
     *,
+    num_tiles: int = None,
+    tile_row_offset=None,
     interpret=None,
 ) -> jnp.ndarray:
     """Run the raster kernel.
 
-    pair_data: [PAIR_ROWS, C + 2*chunk] from gather_pair_data.
-    starts, counts: [total_tiles] int32 from ops.ranges.
-    Returns [total_tiles, pixels_per_tile, 4] float32 (r, g, b, coverage).
+    pair_data: [PAIR_ROWS, C + 2*chunk] from pack_pair_data.
+    starts, counts: [num_tiles] int32 from ops.ranges (possibly a band
+    slice for multi-chip tile-row sharding; ``tile_row_offset`` then
+    shifts pixel coordinates to the band's position on screen).
+    Returns [num_tiles, pixels_per_tile, 4] float32 (r, g, b, coverage).
     """
-    t = config.total_tiles
+    t = num_tiles if num_tiles is not None else config.total_tiles
     tpc = config.tiles_per_cell
     pixels = config.pixels_per_tile
     chunk = config.raster_chunk
     num_cells = t // tpc
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if tile_row_offset is None:
+        tile_row_offset = 0
+    rowoff = jnp.asarray(tile_row_offset, jnp.int32).reshape(1)
 
     kernel = functools.partial(_raster_kernel, config=config)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # starts, counts live whole in SMEM
+        num_scalar_prefetch=3,  # starts, counts, row offset live in SMEM
         grid=(num_cells,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((tpc, pixels, 4), lambda i, *_: (i, 0, 0)),
@@ -255,7 +263,7 @@ def rasterize_tiles(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, pixels, 4), jnp.float32),
         interpret=interpret,
-    )(starts, counts, pair_data)
+    )(starts, counts, rowoff, pair_data)
 
 
 def tiles_to_image(tile_rgba: jnp.ndarray, config: RenderConfig) -> jnp.ndarray:
@@ -267,8 +275,9 @@ def tiles_to_image(tile_rgba: jnp.ndarray, config: RenderConfig) -> jnp.ndarray:
     """
     tps = config.tiles_per_screen
     ts = config.tile_size
-    img = tile_rgba.reshape(tps, tps, ts, ts, 4)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(tps * ts, tps * ts, 4)
+    rows = tile_rgba.shape[0] // tps  # < tps when rendering a band
+    img = tile_rgba.reshape(rows, tps, ts, ts, 4)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(rows * ts, tps * ts, 4)
     rgb = img[..., :3]
     if config.gamma is not None:
         rgb = jnp.power(jnp.clip(rgb, 0.0, 1.0), config.gamma)
