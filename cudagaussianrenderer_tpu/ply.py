@@ -143,8 +143,37 @@ def infer_sh_degree(extra_count: int) -> int:
     return degree
 
 
-def load_gaussian_ply(path_or_stream) -> GaussianScene:
-    """Load a gaussian-splat .ply into a GaussianScene (device arrays)."""
+def load_gaussian_ply(path_or_stream, *, use_native: bool = True) -> GaussianScene:
+    """Load a gaussian-splat .ply into a GaussianScene (device arrays).
+
+    File paths go through the native C++ loader (native/libgsply.so) when
+    it is available — it streams and transforms into the planar device
+    layout in one pass — with a transparent fallback to the pure-Python
+    importer (streams always use the Python path).
+    """
+    if use_native and not hasattr(path_or_stream, "read"):
+        from .utils.native import load_scene_native
+
+        try:
+            data = load_scene_native(path_or_stream)
+        except ValueError as e:
+            raise PlyError(str(e)) from None
+        if data is not None:
+            import jax.numpy as jnp
+
+            return GaussianScene(
+                means=jnp.asarray(data["means"]),
+                scales=jnp.asarray(data["scales"]),
+                quats=jnp.asarray(data["quats"]),
+                opacities=jnp.asarray(data["opacities"]),
+                colors=jnp.asarray(data["colors"]),
+                sh=None if data["sh"] is None else jnp.asarray(data["sh"]),
+                sh_degree=int(data["sh_degree"]),
+                count=int(data["means"].shape[1]),
+                bounds_min=data["bounds_min"],
+                bounds_max=data["bounds_max"],
+            )
+
     cols, n = parse_ply_columns(path_or_stream)
 
     missing = [p for p in REQUIRED_PROPS if p not in cols]

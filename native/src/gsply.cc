@@ -1,0 +1,254 @@
+// Native gaussian-splat .ply loader.
+//
+// The reference's scene importer is C++ (PlyParser.cpp): header parse,
+// row-major float deserialization, then per-splat activation transforms.
+// This library is the TPU framework's native data loader: it performs the
+// same semantic steps but emits the framework's planar SoA device layout
+// directly — means/scales/colors as [3][N] rows, spherical harmonics as
+// [3][K][N], rotations quantized to one uint32 — so the Python side can
+// hand buffers straight to jax.device_put with zero reshaping.
+//
+// Exposed as a plain C API consumed via ctypes (no pybind11 dependency).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Header {
+  std::vector<std::string> properties;
+  long vertex_count = -1;
+  bool little_endian = false;
+  long body_offset = 0;
+};
+
+// Parse the ASCII header; mirrors the acceptance rules of the Python
+// importer (binary_little_endian only, float properties only, unknown
+// keywords ignored, duplicate properties rejected).
+bool parse_header(FILE* f, Header* h, char* err, size_t errlen) {
+  char line[512];
+  int iterations = 0;
+  while (fgets(line, sizeof line, f)) {
+    if (++iterations > 258) {
+      snprintf(err, errlen, "Invalid header. End not found.");
+      return false;
+    }
+    char w0[64] = {0}, w1[256] = {0}, w2[256] = {0};
+    int n = sscanf(line, "%63s %255s %255s", w0, w1, w2);
+    if (n < 1) {
+      snprintf(err, errlen, "Unexpected empty line.");
+      return false;
+    }
+    if (!strcmp(w0, "ply")) continue;
+    if (!strcmp(w0, "format")) {
+      h->little_endian = n >= 2 && !strcmp(w1, "binary_little_endian");
+    } else if (!strcmp(w0, "element")) {
+      if (n < 2 || strcmp(w1, "vertex")) {
+        snprintf(err, errlen, "Unexpected element type.");
+        return false;
+      }
+      if (n < 3) {
+        snprintf(err, errlen, "Unexpected element count.");
+        return false;
+      }
+      h->vertex_count = atol(w2);
+    } else if (!strcmp(w0, "property")) {
+      if (n < 2 || strcmp(w1, "float")) {
+        snprintf(err, errlen, "Unexpected property format, expected float.");
+        return false;
+      }
+      if (n < 3) {
+        snprintf(err, errlen, "Unexpected property, missing name.");
+        return false;
+      }
+      for (auto& p : h->properties) {
+        if (p == w2) {
+          snprintf(err, errlen, "Duplicated property \"%s\".", w2);
+          return false;
+        }
+      }
+      h->properties.emplace_back(w2);
+    } else if (!strcmp(w0, "end_header")) {
+      if (!h->little_endian || h->vertex_count < 0) {
+        snprintf(err, errlen, "Invalid header. Format or vertex count not found.");
+        return false;
+      }
+      h->body_offset = ftell(f);
+      return true;
+    }
+    // unknown keywords (comment, obj_info, ...) ignored
+  }
+  snprintf(err, errlen, "Invalid header. End not found.");
+  return false;
+}
+
+inline float sigmoidf(float x) { return 1.0f / (1.0f + std::exp(-x)); }
+
+inline uint32_t quantize_byte(float v01) {
+  float c = v01 < 0.f ? 0.f : (v01 > 1.f ? 1.f : v01);
+  return (uint32_t)(c * 255.0f);  // truncation, like the reference's cast
+}
+
+}  // namespace
+
+extern "C" {
+
+typedef struct {
+  long count;
+  int sh_degree;
+  int sh_coeffs;  // K = (degree+1)^2
+  float* means;       // [3][N]
+  float* scales;      // [3][N]
+  uint32_t* quats;    // [N] packed x|y|z|w, 8 bits each
+  float* opacities;   // [N]
+  float* colors;      // [3][N] baked deg-0
+  float* sh;          // [3][K][N] planar, or NULL when degree == 0
+  float bounds_min[3];
+  float bounds_max[3];
+  char error[256];
+} GsplyScene;
+
+void gsply_release(GsplyScene* s) {
+  if (!s) return;
+  free(s->means);
+  free(s->scales);
+  free(s->quats);
+  free(s->opacities);
+  free(s->colors);
+  free(s->sh);
+  memset(s, 0, sizeof *s);
+}
+
+// Returns 0 on success; on failure fills s->error.
+int gsply_load(const char* path, GsplyScene* s) {
+  memset(s, 0, sizeof *s);
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    snprintf(s->error, sizeof s->error, "cannot open %s", path);
+    return 1;
+  }
+  Header h;
+  if (!parse_header(f, &h, s->error, sizeof s->error)) {
+    fclose(f);
+    return 1;
+  }
+  const long n = h.vertex_count;
+  const size_t props = h.properties.size();
+
+  auto index_of = [&](const char* name) -> int {
+    for (size_t i = 0; i < props; ++i)
+      if (h.properties[i] == name) return (int)i;
+    return -1;
+  };
+
+  static const char* required[] = {"x", "y", "z", "rot_0", "rot_1", "rot_2",
+                                   "rot_3", "scale_0", "scale_1", "scale_2",
+                                   "f_dc_0", "f_dc_1", "f_dc_2", "opacity"};
+  int off[14];
+  for (int i = 0; i < 14; ++i) {
+    off[i] = index_of(required[i]);
+    if (off[i] < 0) {
+      snprintf(s->error, sizeof s->error, "Missing property \"%s\".", required[i]);
+      fclose(f);
+      return 1;
+    }
+  }
+
+  // f_rest_* discovery (stop at the first gap), degree inference:
+  // each degree d >= 1 contributes (2(d+1)+1)*3 coefficients.
+  std::vector<int> rest;
+  for (;;) {
+    char name[32];
+    snprintf(name, sizeof name, "f_rest_%zu", rest.size());
+    int idx = index_of(name);
+    if (idx < 0) break;
+    rest.push_back(idx);
+  }
+  int degree = 0;
+  long expected = 0;
+  while (expected < (long)rest.size()) {
+    expected += (2 * (degree + 1) + 1) * 3;
+    ++degree;
+  }
+  if (expected != (long)rest.size()) {
+    snprintf(s->error, sizeof s->error,
+             "Expected degree %d, %ld extra spherical harmonics. Found %zu.",
+             degree, expected, rest.size());
+    fclose(f);
+    return 1;
+  }
+  const int k = (degree + 1) * (degree + 1);
+  const long per_channel = degree ? (long)rest.size() / 3 : 0;
+
+  s->count = n;
+  s->sh_degree = degree;
+  s->sh_coeffs = k;
+  s->means = (float*)malloc(sizeof(float) * 3 * n);
+  s->scales = (float*)malloc(sizeof(float) * 3 * n);
+  s->quats = (uint32_t*)malloc(sizeof(uint32_t) * n);
+  s->opacities = (float*)malloc(sizeof(float) * n);
+  s->colors = (float*)malloc(sizeof(float) * 3 * n);
+  s->sh = degree ? (float*)malloc(sizeof(float) * 3 * k * n) : nullptr;
+
+  float bmin[3] = {INFINITY, INFINITY, INFINITY};
+  float bmax[3] = {-INFINITY, -INFINITY, -INFINITY};
+
+  // Stream rows in chunks; transform each splat into the planar layout.
+  const size_t CHUNK = 4096;
+  std::vector<float> buf(CHUNK * props);
+  long done = 0;
+  while (done < n) {
+    size_t take = (size_t)((n - done < (long)CHUNK) ? n - done : (long)CHUNK);
+    if (fread(buf.data(), sizeof(float), take * props, f) != take * props) {
+      snprintf(s->error, sizeof s->error, "Truncated vertex data.");
+      fclose(f);
+      gsply_release(s);
+      return 1;
+    }
+    for (size_t r = 0; r < take; ++r) {
+      const float* row = buf.data() + r * props;
+      const long i = done + (long)r;
+      for (int c = 0; c < 3; ++c) {
+        float v = row[off[c]];
+        s->means[c * n + i] = v;
+        if (v < bmin[c]) bmin[c] = v;
+        if (v > bmax[c]) bmax[c] = v;
+        s->scales[c * n + i] = std::exp(row[off[7 + c]]);
+      }
+      // rot_0 is the scalar part; normalize, then quantize (x,y,z,w).
+      float qw = row[off[3]], qx = row[off[4]], qy = row[off[5]], qz = row[off[6]];
+      float norm = std::sqrt(qw * qw + qx * qx + qy * qy + qz * qz);
+      if (norm > 0) {
+        qw /= norm; qx /= norm; qy /= norm; qz /= norm;
+      }
+      s->quats[i] = (quantize_byte((qx + 1.f) * 0.5f) << 24) |
+                    (quantize_byte((qy + 1.f) * 0.5f) << 16) |
+                    (quantize_byte((qz + 1.f) * 0.5f) << 8) |
+                    quantize_byte((qw + 1.f) * 0.5f);
+      s->opacities[i] = sigmoidf(row[off[13]]);
+      for (int c = 0; c < 3; ++c) {
+        const float dc = row[off[10 + c]];
+        s->colors[c * n + i] = dc * 0.28209479177387814f + 0.5f;
+        if (degree) {
+          // band 0 = f_dc, bands 1.. = f_rest (planar per channel in the
+          // file; [3][K][N] planar in the output).
+          s->sh[(c * k + 0) * n + i] = dc;
+          for (long j = 0; j < per_channel; ++j)
+            s->sh[(c * k + 1 + j) * n + i] = row[rest[c * per_channel + j]];
+        }
+      }
+    }
+    done += (long)take;
+  }
+  fclose(f);
+  memcpy(s->bounds_min, bmin, sizeof bmin);
+  memcpy(s->bounds_max, bmax, sizeof bmax);
+  return 0;
+}
+
+}  // extern "C"
