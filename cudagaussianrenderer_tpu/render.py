@@ -180,7 +180,9 @@ class Renderer:
         def timed(name, fn, *args):
             t0 = time.perf_counter()
             out = fn(*args)
-            jax.block_until_ready(out)
+            # Materialize one leaf: block_until_ready alone is unreliable
+            # through remote runtimes.
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
             dt = (time.perf_counter() - t0) * 1e3
             stages[name] = stages.get(name, 0.0) + dt
             return out
@@ -209,7 +211,7 @@ class Renderer:
             pairs = bin_fn(clip, colors, scene)
             keys, _, attrs = sort_fn(pairs)
             starts, counts = rng_fn(keys)
-            jax.block_until_ready(rast_fn(attrs, starts, counts))
+            np.asarray(rast_fn(attrs, starts, counts))
             stages.clear()
 
         colors = timed("evaluateSphericalHarmonics" if has_sh else "_baked", sh_fn, scene, cam)
