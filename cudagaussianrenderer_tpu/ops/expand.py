@@ -88,14 +88,29 @@ def _expand_kernel(
             win = win_buf[slot]
             excl = win[0:1, :]  # [1, WINDOW]
             incl = win[1:2, :]
-            match = ((excl <= j) & (j < incl)).astype(jnp.float32)  # [block, W]
-            return acc + jax.lax.dot_general(
-                win,
-                match,
-                (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # [num_rows, block]
+            match = ((excl <= j) & (j < incl)).astype(jnp.bfloat16)  # [block, W]
+
+            # Exact f32 selection via three single-pass bf16 matmuls:
+            # truncation-split x = hi + mid + lo (8+8+8 mantissa bits, each
+            # part bf16-representable), select each part with the one-hot
+            # match (1.0 * part is exact), re-sum in f32 (telescoping sums
+            # of the parts are exactly representable).  Half the MXU passes
+            # of a Precision.HIGHEST f32 matmul.
+            mask = jnp.uint32(0xFFFF0000)
+            hi = pltpu.bitcast(pltpu.bitcast(win, jnp.uint32) & mask, jnp.float32)
+            r1 = win - hi
+            mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
+            lo = r1 - mid
+
+            def sel(part):
+                return jax.lax.dot_general(
+                    part.astype(jnp.bfloat16),
+                    match,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [num_rows, block]
+
+            return acc + (sel(hi) + sel(mid)) + sel(lo)
 
         acc = jax.lax.fori_loop(
             0, num_windows, body, jnp.zeros((num_rows, block), jnp.float32)
