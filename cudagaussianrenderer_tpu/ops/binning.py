@@ -165,19 +165,20 @@ def quantize_depth(clip_z: jnp.ndarray, bits: int) -> jnp.ndarray:
 class TilePairs(NamedTuple):
     """Fixed-capacity pair list with sentinel padding.
 
-    ``attrs`` carries the per-pair raster attributes as 6 sort operands,
+    ``attrs`` carries the per-pair raster attributes as 5 sort operands,
     so the sort moves them with the keys and the rasterizer needs no
     post-sort gather: the splat center packed as two 16-bit fixed-point
     halves of a uint32 (clip [-1,1] -> 1/65535 steps, ~1/128 pixel),
-    float32 conic a/b/c, rgb packed to 8 bits/channel carried as its
-    exact f32 value (error <= half an output LSB — the framebuffer
-    quantizes to 8 bits anyway), and float32 alpha.
+    float32 conic a, the conic b/c pair packed as two bf16 halves, rgb
+    packed to 8 bits/channel carried as its exact f32 value (error <=
+    half an output LSB — the framebuffer quantizes to 8 bits anyway),
+    and float32 alpha.
     """
 
     keys: Tuple[jnp.ndarray, ...]  # 1 operand (packed) or 2 (lex: tile, depth)
     values: jnp.ndarray            # [C] int32 splat indices (-1 = invalid)
-    attrs: Tuple[jnp.ndarray, ...]  # 6 operands: cxcy u32, then f32
-                                    # con_a, con_b, con_c, rgb-value, alpha
+    attrs: Tuple[jnp.ndarray, ...]  # 5 operands: cxcy u32, con_a f32,
+                                    # con_bc u32 (bf16 pair), rgb f32, alpha
     num_candidates: jnp.ndarray    # scalar int32: total AABB candidates (pre-test)
     num_pairs: jnp.ndarray         # scalar int32: pairs passing the exact test
 
@@ -199,6 +200,21 @@ def pack_center_u32(cx: jnp.ndarray, cy: jnp.ndarray) -> jnp.ndarray:
     return (qx << 16) | qy
 
 
+def pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 -> one u32 of round-to-nearest bf16 halves (a high, b low).
+
+    Used for the conic off-diagonal/minor terms: the density quadratic
+    tolerates ~0.4% relative error on these (sub-LSB at the framebuffer),
+    and dropping a sort operand is worth more than the bits.
+    """
+
+    def rnd(x):
+        bits = x.view(jnp.uint32)
+        return (bits + 0x7FFF + ((bits >> 16) & 1)) & jnp.uint32(0xFFFF0000)
+
+    return rnd(a) | (rnd(b) >> 16)
+
+
 # Row layout of the segmented-expand output ([R, C] planar; rows 0-1 are
 # the segment bounds the kernel prepends).  The trailing raster-attribute
 # rows are kept contiguous so they slice out in one go.
@@ -206,8 +222,7 @@ _R_EXCL, _R_INCL = 0, 1
 _R_W, _R_X0, _R_Y0, _R_DEPTH, _R_IDX = 2, 3, 4, 5, 6
 _R_COS, _R_SIN, _R_E0, _R_E1 = 7, 8, 9, 10
 _R_CX, _R_CY = 11, 12
-_R_ATTR0 = 13  # con_a, con_b, con_c, rgb, alpha
-_NUM_TAIL = 5
+_R_CA, _R_CB, _R_CC, _R_RGB, _R_ALPHA = 13, 14, 15, 16, 17
 
 
 def build_tile_pairs(
@@ -288,8 +303,8 @@ def build_tile_pairs(
     q_s = filled[_R_DEPTH].astype(jnp.uint32)
     values = jnp.where(valid, splat_idx, -1)
     cxcy = pack_center_u32(filled[_R_CX], filled[_R_CY])
-    tail = filled[_R_ATTR0 : _R_ATTR0 + _NUM_TAIL]  # con_a/b/c, rgb, alpha
-    attrs = (cxcy, *(tail[i] for i in range(_NUM_TAIL)))
+    con_bc = pack_bf16_pair(filled[_R_CB], filled[_R_CC])
+    attrs = (cxcy, filled[_R_CA], con_bc, filled[_R_RGB], filled[_R_ALPHA])
 
     if config.depth_bits == DEPTH_BITS_PACKED:
         key = (tile_id << DEPTH_BITS_PACKED) | q_s

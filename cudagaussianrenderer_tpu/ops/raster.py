@@ -46,8 +46,9 @@ from ..config import RenderConfig
 
 # Streaming-buffer row layout ([8, C] planar).
 ROW_CXCY = 0                # (x16 << 16 | y16) fixed point, bitcast to f32
-ROW_CON_A, ROW_CON_B, ROW_CON_C = 1, 2, 3
-ROW_RGB, ROW_ALPHA = 4, 5   # rgb = 0x00RRGGBB carried as its f32 VALUE
+ROW_CON_A = 1
+ROW_CON_BC = 2              # conic b | c as bf16 halves, bitcast to f32
+ROW_RGB, ROW_ALPHA = 3, 4   # rgb = 0x00RRGGBB carried as its f32 VALUE
 PAIR_ROWS = 8  # padded to a power of two for clean DMA shapes
 
 LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
@@ -64,8 +65,14 @@ def pack_pair_data(sorted_attrs, chunk: int) -> jnp.ndarray:
     tail-padding so the kernel's fixed-size DMAs can run past the final
     partial chunk.
     """
-    cxcy = jax.lax.bitcast_convert_type(sorted_attrs[0], jnp.float32)
-    rows = jnp.stack([cxcy, *sorted_attrs[1:]])
+    def f32row(x):
+        return (
+            jax.lax.bitcast_convert_type(x, jnp.float32)
+            if x.dtype == jnp.uint32
+            else x
+        )
+
+    rows = jnp.stack([f32row(a) for a in sorted_attrs])
     pad_r = PAIR_ROWS - rows.shape[0]
     return jnp.pad(rows, ((0, pad_r), (0, 2 * chunk)))
 
@@ -150,8 +157,9 @@ def _raster_kernel(
                 CENTER_INV_SCALE
             ) - 1.0
             con_a = data[ROW_CON_A : ROW_CON_A + 1, :]
-            con_b = data[ROW_CON_B : ROW_CON_B + 1, :]
-            con_c = data[ROW_CON_C : ROW_CON_C + 1, :]
+            bc = pltpu.bitcast(data[ROW_CON_BC : ROW_CON_BC + 1, :], jnp.uint32)
+            con_b = pltpu.bitcast(bc & jnp.uint32(0xFFFF0000), jnp.float32)
+            con_c = pltpu.bitcast(bc << 16, jnp.float32)
             a_s = data[ROW_ALPHA : ROW_ALPHA + 1, :]
 
             dx = pcx - cx  # [pixels, chunk]

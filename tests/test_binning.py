@@ -240,12 +240,19 @@ def test_sorted_attrs_match_value_gather(pipeline_state):
     cy = np.asarray(clip.cy)[idx]
     qx = (np.clip((cx + 1.0) * 0.5, 0, 1) * 65535.0 + 0.5).astype(np.uint32)
     qy = (np.clip((cy + 1.0) * 0.5, 0, 1) * 65535.0 + 0.5).astype(np.uint32)
+
+    def rnd_bf16(x):
+        bits = np.asarray(x, np.float32).view(np.uint32)
+        return (bits + 0x7FFF + ((bits >> 16) & 1)) & np.uint32(0xFFFF0000)
+
+    bc = rnd_bf16(np.asarray(clip.con_b)[idx]) | (
+        rnd_bf16(np.asarray(clip.con_c)[idx]) >> 16
+    )
     want = np.stack(
         [
             ((qx << 16) | qy).astype(np.float64),
             np.asarray(clip.con_a)[idx].astype(np.float64),
-            np.asarray(clip.con_b)[idx].astype(np.float64),
-            np.asarray(clip.con_c)[idx].astype(np.float64),
+            bc.astype(np.float64),
             packed[idx].astype(np.float64),
             np.asarray(scene.opacities)[idx].astype(np.float64),
         ]
