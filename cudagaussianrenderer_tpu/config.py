@@ -78,6 +78,13 @@ class RenderConfig:
             raise ValueError(f"unknown falloff kernel {self.falloff!r}")
         if self.depth_bits not in (19, 32):
             raise ValueError("depth_bits must be 19 (packed u32) or 32 (lex)")
+        # The packed single-u32 key is (tile_id << 19) | depth19; the max
+        # valid key ((T-1) << 19 | 0x7FFFF) must stay below the 0xFFFFFFFF
+        # sentinel, i.e. total_tiles <= 8191.  Larger screens silently
+        # wrapped tile ids before; auto-select the two-operand
+        # lexicographic (tile, depth) sort instead.
+        if self.depth_bits == 19 and self.total_tiles > 8191:
+            object.__setattr__(self, "depth_bits", 32)
         if self.tiles_per_screen**2 % self.tiles_per_cell != 0:
             raise ValueError("tiles_per_cell must divide the tile count")
         if self.raster_chunk % 128 != 0 or self.raster_chunk & (self.raster_chunk - 1):

@@ -131,6 +131,18 @@ def render_frame_sharded(
     sharded binning/sort/raster.  Returns the image with rows sharded over
     ``axis`` plus aggregate pair statistics.
     """
+    n_dev = mesh.shape[axis]
+    if config.tiles_per_screen % n_dev != 0:
+        raise ValueError(
+            f"tiles_per_screen ({config.tiles_per_screen}) must be divisible "
+            f"by the device count ({n_dev}) for tile-row sharding"
+        )
+    band_tiles = (config.tiles_per_screen // n_dev) * config.tiles_per_screen
+    if band_tiles % config.tiles_per_cell != 0:
+        raise ValueError(
+            f"per-device tile band ({band_tiles} tiles) must be divisible by "
+            f"tiles_per_cell ({config.tiles_per_cell})"
+        )
     fn = jax.shard_map(
         functools.partial(
             _render_shard,

@@ -106,6 +106,7 @@ class Renderer:
         self._fns: dict = {}
         self.stats = {name: 0.0 for name in STAGE_NAMES}
         self.frame_count = 0
+        self.profiled_count = 0
         # Adaptive capacity: power-of-two buckets sized from the previous
         # frame's candidate count.  This generalizes the reference's
         # grow-only saturation doubling (Demo.cpp:356-366) — every stage
@@ -114,14 +115,20 @@ class Renderer:
         # grow-only behavior instead.
         self.adaptive_capacity = config.capacity is None
 
-    @staticmethod
-    def _bucket(candidates: int) -> int:
+    # Hard capacity ceiling: segmented_expand's exact f32 one-hot selection
+    # requires capacity + 1 < 2^24.  Beyond it the pipeline renders with a
+    # truncated list forever (the reference's saturation semantics,
+    # cu:700-703) instead of raising mid-run.
+    MAX_CAPACITY = (1 << 24) - (1 << 18)
+
+    @classmethod
+    def _bucket(cls, candidates: int) -> int:
         """Capacity bucket: 20% headroom, 256Ki granularity (bounds the
         number of distinct compiled pipelines while staying tight —
         every post-binning stage costs O(capacity))."""
         want = max(1 << 17, int(candidates * 1.2))
         grain = 1 << 18
-        return -(-want // grain) * grain
+        return min(-(-want // grain) * grain, cls.MAX_CAPACITY)
 
     def _get_fn(self):
         key = self.capacity
@@ -145,7 +152,7 @@ class Renderer:
         truncated list if it overflowed, exactly like the reference.
         """
         if self.saturated:
-            self.capacity *= 2  # Demo.cpp:356-366
+            self.capacity = min(self.capacity * 2, self.MAX_CAPACITY)  # Demo.cpp:356-366
             self.saturated = False
         image, aux = self._get_fn()(self.scene, camera.camera_data())
         self.frame_count += 1
@@ -225,11 +232,16 @@ class Renderer:
         for name, ms in stages.items():
             if name in self.stats:
                 self.stats[name] += ms
+        self.profiled_count += 1
         return stages
 
     def report(self) -> str:
-        """Exit-time style averages report (Demo.cpp:541-562)."""
-        n = max(1, self.frame_count)
+        """Exit-time style averages report (Demo.cpp:541-562).
+
+        Stage stats accumulate in profile_frame(), so averages divide by
+        the number of *profiled* frames (render() alone records none).
+        """
+        n = max(1, self.profiled_count)
         lines = []
         total = 0.0
         for name in STAGE_NAMES:
