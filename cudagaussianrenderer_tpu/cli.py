@@ -24,7 +24,8 @@ import numpy as np
 
 
 def _add_common(p):
-    p.add_argument("--size", type=int, default=1024, help="framebuffer size (square)")
+    p.add_argument("--size", type=int, default=1024, help="framebuffer width (and height unless --height)")
+    p.add_argument("--height", type=int, default=None, help="framebuffer height (rectangular viewport)")
     p.add_argument("--falloff", choices=["gaussian", "epanechnikov"], default="gaussian")
     p.add_argument("--depth-bits", type=int, choices=[19, 32], default=19)
     p.add_argument("--raster-chunk", type=int, default=None)
@@ -52,6 +53,7 @@ def _build(args):
 
     kwargs = dict(
         screen_size=args.size,
+        screen_height=args.height,
         falloff=args.falloff,
         depth_bits=args.depth_bits,
         capacity_factor=args.capacity_factor,
@@ -76,7 +78,7 @@ def _build(args):
         file=sys.stderr,
     )
     renderer = Renderer(scene, config)
-    camera = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    camera = Camera(aspect=config.aspect).framed(scene.bounds_min, scene.bounds_max)
     return renderer, camera, scene, config
 
 

@@ -25,7 +25,11 @@ class RenderConfig:
     """
 
     # --- framebuffer geometry (reference: Consts.h:4-7) ---
+    # The reference hardcodes a square 1024 screen; here width and height
+    # are independent.  screen_size is the width (and the height when
+    # screen_height is None).
     screen_size: int = 1024
+    screen_height: Optional[int] = None
     tile_size: int = 16
 
     # --- splat falloff kernel (reference: GaussianRender.cu:8-9, 298-302, 977-981) ---
@@ -74,6 +78,12 @@ class RenderConfig:
     def __post_init__(self):
         if self.screen_size % self.tile_size != 0:
             raise ValueError("screen_size must be a multiple of tile_size")
+        if self.screen_h % self.tile_size != 0:
+            raise ValueError("screen_height must be a multiple of tile_size")
+        if self.tiles_x > 255 or self.tiles_y > 255:
+            # Tile coordinates pack as (x0*256 + y0)*256 + w in one exact
+            # f32 (< 2^24) during list expansion; 255 tiles = 4080 px.
+            raise ValueError("screens larger than 255 tiles per axis unsupported")
         if self.falloff not in ("gaussian", "epanechnikov"):
             raise ValueError(f"unknown falloff kernel {self.falloff!r}")
         if self.depth_bits not in (19, 32):
@@ -85,21 +95,44 @@ class RenderConfig:
         # lexicographic (tile, depth) sort instead.
         if self.depth_bits == 19 and self.total_tiles > 8191:
             object.__setattr__(self, "depth_bits", 32)
-        if self.tiles_per_screen**2 % self.tiles_per_cell != 0:
+        if self.total_tiles % self.tiles_per_cell != 0:
             raise ValueError("tiles_per_cell must divide the tile count")
         if self.raster_chunk % 128 != 0 or self.raster_chunk & (self.raster_chunk - 1):
             raise ValueError("raster_chunk must be a power-of-two multiple of 128")
 
     # --- derived quantities ---
     @property
+    def screen_w(self) -> int:
+        return self.screen_size
+
+    @property
+    def screen_h(self) -> int:
+        return self.screen_height if self.screen_height is not None else self.screen_size
+
+    @property
+    def aspect(self) -> float:
+        """Width / height — what Camera.aspect should be for this screen."""
+        return self.screen_w / self.screen_h
+
+    @property
+    def tiles_x(self) -> int:
+        """Tiles along the screen width (reference: Consts.h:6)."""
+        return self.screen_w // self.tile_size
+
+    @property
+    def tiles_y(self) -> int:
+        """Tiles along the screen height."""
+        return self.screen_h // self.tile_size
+
+    @property
     def tiles_per_screen(self) -> int:
-        """Tiles along one screen edge (reference: Consts.h:6)."""
-        return self.screen_size // self.tile_size
+        """Square-screen alias for tiles_x (reference: Consts.h:6)."""
+        return self.tiles_x
 
     @property
     def total_tiles(self) -> int:
         """Total tile count (reference: Consts.h:7)."""
-        return self.tiles_per_screen**2
+        return self.tiles_x * self.tiles_y
 
     @property
     def pixels_per_tile(self) -> int:

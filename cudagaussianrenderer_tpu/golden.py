@@ -37,8 +37,8 @@ def golden_project(means, scales, quats_packed, camera, config: RenderConfig):
     )
     q = decode_quat_xyzw(np.asarray(quats_packed), xp=np)
     rots = quat_xyzw_to_rotation_matrix(q, xp=np)
-    texel = 2.0 / config.screen_size
-    bump = (1.0 / np.pi) * texel * texel
+    bump_x = (1.0 / np.pi) * (2.0 / config.screen_w) ** 2
+    bump_y = (1.0 / np.pi) * (2.0 / config.screen_h) ** 2
 
     for i in range(n):
         r = rots[i]
@@ -56,7 +56,7 @@ def golden_project(means, scales, quats_packed, camera, config: RenderConfig):
         j[2, 2] = dsb[0]
         m = j @ view[:3, :3]
         cov = m @ sigma @ m.T
-        a, b, c = cov[0, 0] + bump, cov[1, 0], cov[1, 1] + bump
+        a, b, c = cov[0, 0] + bump_x, cov[1, 0], cov[1, 1] + bump_y
 
         # Affine projection of the center reduces to the plain perspective
         # point: -cot * v / vz for x,y; linear depth for z.
@@ -138,7 +138,7 @@ def golden_render(
     *,
     depth_bits: Optional[int] = None,
 ) -> np.ndarray:
-    """Render a scene dict of numpy arrays.  Returns [S, S, 4] uint8.
+    """Render a scene dict of numpy arrays.  Returns [H, W, 4] uint8.
 
     scene_numpy keys: means [N,3], scales [N,3], quats (packed uint32 [N]),
     opacities [N], colors [N,3], optionally sh [N,K,3] + sh_degree.
@@ -161,48 +161,49 @@ def golden_render(
         means, scene_numpy["scales"], scene_numpy["quats"], camera, config
     )
 
-    tps = config.tiles_per_screen
+    ntx, nty = config.tiles_x, config.tiles_y
     ts = config.tile_size
-    size = config.screen_size
+    w, h = config.screen_w, config.screen_h
     if depth_bits is None:
         depth_bits = config.depth_bits if config.depth_bits <= 24 else 24
     dmax = float(2**depth_bits - 1)
 
     # Bin: per splat, AABB in tile space then exact test per candidate.
-    tile_lists = [[] for _ in range(tps * tps)]
-    tile_clip = 2.0 * ts / size
+    tile_lists = [[] for _ in range(ntx * nty)]
+    tile_clip_w = 2.0 * ts / w
+    tile_clip_h = 2.0 * ts / h
     for i in range(n):
         cx, cy = proj["clip_xy"][i]
         cos_t, sin_t, e0, e1 = proj["ellipse"][i]
         hx = abs(cos_t * e0) + abs(sin_t * e1)
         hy = abs(sin_t * e0) + abs(cos_t * e1)
-        fx0 = (cx - hx + 1) * 0.5 * tps
-        fy0 = (cy - hy + 1) * 0.5 * tps
-        fx1 = (cx + hx + 1) * 0.5 * tps
-        fy1 = (cy + hy + 1) * 0.5 * tps
-        x0 = min(max(int(np.floor(fx0)), 0), tps)
-        y0 = min(max(int(np.floor(fy0)), 0), tps)
-        x1 = min(max(int(np.ceil(fx1)), 0), tps)
-        y1 = min(max(int(np.ceil(fy1)), 0), tps)
+        fx0 = (cx - hx + 1) * 0.5 * ntx
+        fy0 = (cy - hy + 1) * 0.5 * nty
+        fx1 = (cx + hx + 1) * 0.5 * ntx
+        fy1 = (cy + hy + 1) * 0.5 * nty
+        x0 = min(max(int(np.floor(fx0)), 0), ntx)
+        y0 = min(max(int(np.floor(fy0)), 0), nty)
+        x1 = min(max(int(np.ceil(fx1)), 0), ntx)
+        y1 = min(max(int(np.ceil(fy1)), 0), nty)
         q = np.uint32(min(max((proj["clip_z"][i] + 1) * 0.5, 0.0), 1.0) * dmax)
         for gy in range(y0, y1):
             for gx in range(x0, x1):
-                rmin = (gx * tile_clip - 1, gy * tile_clip - 1)
-                rmax = (rmin[0] + tile_clip, rmin[1] + tile_clip)
+                rmin = (gx * tile_clip_w - 1, gy * tile_clip_h - 1)
+                rmax = (rmin[0] + tile_clip_w, rmin[1] + tile_clip_h)
                 if golden_ellipse_rect_overlap(
                     (cx, cy), (cos_t, sin_t), (e0, e1), rmin, rmax
                 ):
-                    tile_lists[gy * tps + gx].append((int(q), i))
+                    tile_lists[gy * ntx + gx].append((int(q), i))
 
-    img = np.zeros((size, size, 4), np.float64)
+    img = np.zeros((h, w, 4), np.float64)
     gauss = config.falloff == "gaussian"
     for t, entries in enumerate(tile_lists):
         if not entries:
             continue
         entries.sort(key=lambda e: (e[0], e[1]))
-        ty, tx = divmod(t, tps)
-        px = (tx * ts + np.arange(ts))[None, :] * (2.0 / size) - 1.0
-        py = (ty * ts + np.arange(ts))[:, None] * (2.0 / size) - 1.0
+        ty, tx = divmod(t, ntx)
+        px = (tx * ts + np.arange(ts))[None, :] * (2.0 / w) - 1.0
+        py = (ty * ts + np.arange(ts))[:, None] * (2.0 / h) - 1.0
         color = np.zeros((ts, ts, 3))
         trans = np.ones((ts, ts))
         chunk = config.raster_chunk

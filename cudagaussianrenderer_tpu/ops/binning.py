@@ -133,19 +133,31 @@ class TileRects(NamedTuple):
     counts: jnp.ndarray  # [N] candidate tiles = max(0, w*h)
 
 
-def splat_tile_rects(clip_data: SplatClipData, config: RenderConfig) -> TileRects:
-    tps = config.tiles_per_screen
+def splat_tile_rects(
+    clip_data: SplatClipData, config: RenderConfig, row_band=None
+) -> TileRects:
+    """Per-splat candidate tile rect (cu:526-551).
+
+    ``row_band``, if given, is a (lo, hi) pair of tile-row bounds (static
+    ints or traced scalars): rects are clamped to the band so splats
+    outside it emit zero candidates and straddling splats emit only their
+    in-band tiles — used by tile-row-sharded multi-chip rendering so
+    out-of-band pairs never consume per-device capacity or sort work.
+    """
+    tx, ty = config.tiles_x, config.tiles_y
     d = clip_data
+    row_lo, row_hi = (0, ty) if row_band is None else row_band
     # AABB half-extent of the oriented ellipse (getAABBRect, cu:408-436):
     # componentwise |principal| + |minor|.
     hx = jnp.abs(d.cos_t * d.e0) + jnp.abs(d.sin_t * d.e1)
     hy = jnp.abs(d.sin_t * d.e0) + jnp.abs(d.cos_t * d.e1)
-    # Clip [-1,1] -> tile coords [0, tiles_per_screen].
-    scale = 0.5 * tps
-    x0 = jnp.clip(jnp.floor((d.cx - hx + 1.0) * scale).astype(jnp.int32), 0, tps)
-    y0 = jnp.clip(jnp.floor((d.cy - hy + 1.0) * scale).astype(jnp.int32), 0, tps)
-    x1 = jnp.clip(jnp.ceil((d.cx + hx + 1.0) * scale).astype(jnp.int32), 0, tps)
-    y1 = jnp.clip(jnp.ceil((d.cy + hy + 1.0) * scale).astype(jnp.int32), 0, tps)
+    # Clip [-1,1] -> tile coords [0, tiles along the axis].
+    sx = 0.5 * tx
+    sy = 0.5 * ty
+    x0 = jnp.clip(jnp.floor((d.cx - hx + 1.0) * sx).astype(jnp.int32), 0, tx)
+    y0 = jnp.clip(jnp.floor((d.cy - hy + 1.0) * sy).astype(jnp.int32), row_lo, row_hi)
+    x1 = jnp.clip(jnp.ceil((d.cx + hx + 1.0) * sx).astype(jnp.int32), 0, tx)
+    y1 = jnp.clip(jnp.ceil((d.cy + hy + 1.0) * sy).astype(jnp.int32), row_lo, row_hi)
     w = x1 - x0
     h = y1 - y0
     counts = jnp.maximum(0, w * h)
@@ -165,20 +177,21 @@ def quantize_depth(clip_z: jnp.ndarray, bits: int) -> jnp.ndarray:
 class TilePairs(NamedTuple):
     """Fixed-capacity pair list with sentinel padding.
 
-    ``attrs`` carries the per-pair raster attributes as 5 sort operands,
+    ``attrs`` carries the per-pair raster attributes as 4 sort operands,
     so the sort moves them with the keys and the rasterizer needs no
     post-sort gather: the splat center packed as two 16-bit fixed-point
     halves of a uint32 (clip [-1,1] -> 1/65535 steps, ~1/128 pixel),
-    float32 conic a, the conic b/c pair packed as two bf16 halves, rgb
-    packed to 8 bits/channel carried as its exact f32 value (error <=
-    half an output LSB — the framebuffer quantizes to 8 bits anyway),
-    and float32 alpha.
+    the conic a/b pair as two bf16 halves (~0.4% relative — sub-LSB on
+    the blended 8-bit output), conic c as a bf16 half over 16-bit
+    fixed-point alpha (1/65535 steps), and rgb packed to 8 bits/channel
+    carried as its exact f32 value (error <= half an output LSB — the
+    framebuffer quantizes to 8 bits anyway).
     """
 
     keys: Tuple[jnp.ndarray, ...]  # 1 operand (packed) or 2 (lex: tile, depth)
     values: jnp.ndarray            # [C] int32 splat indices (-1 = invalid)
-    attrs: Tuple[jnp.ndarray, ...]  # 5 operands: cxcy u32, con_a f32,
-                                    # con_bc u32 (bf16 pair), rgb f32, alpha
+    attrs: Tuple[jnp.ndarray, ...]  # 4 operands: cxcy u32, con_ab u32
+                                    # (bf16 pair), con_c|alpha16 u32, rgb f32
     num_candidates: jnp.ndarray    # scalar int32: total AABB candidates (pre-test)
     num_pairs: jnp.ndarray         # scalar int32: pairs passing the exact test
 
@@ -203,9 +216,9 @@ def pack_center_u32(cx: jnp.ndarray, cy: jnp.ndarray) -> jnp.ndarray:
 def pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Two f32 -> one u32 of round-to-nearest bf16 halves (a high, b low).
 
-    Used for the conic off-diagonal/minor terms: the density quadratic
-    tolerates ~0.4% relative error on these (sub-LSB at the framebuffer),
-    and dropping a sort operand is worth more than the bits.
+    Used for the conic terms: the density quadratic tolerates ~0.4%
+    relative error on these (sub-LSB at the framebuffer), and dropping a
+    sort operand is worth more than the bits.
     """
 
     def rnd(x):
@@ -215,14 +228,28 @@ def pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return rnd(a) | (rnd(b) >> 16)
 
 
+def pack_bf16_u16(a: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """f32 (as round-to-nearest bf16 high half) | 16-bit integer low half."""
+
+    bits = a.view(jnp.uint32)
+    hi = (bits + 0x7FFF + ((bits >> 16) & 1)) & jnp.uint32(0xFFFF0000)
+    return hi | (q & jnp.uint32(0xFFFF))
+
+
+ALPHA_SCALE = 65535.0
+
+
 # Row layout of the segmented-expand output ([R, C] planar; rows 0-1 are
-# the segment bounds the kernel prepends).  The trailing raster-attribute
-# rows are kept contiguous so they slice out in one go.
+# the segment bounds the kernel prepends).  The tile rect is packed into
+# ONE row — (x0*128 + y0)*128 + w < 2^20, exact in f32, and /128 splits
+# are exact power-of-two float ops — so the whole expand payload is
+# 14 rows = 16 with the bounds, exactly one sublane tile (the unpacked
+# layout padded to 24 rows and cost 50% more DMA + MXU).
 _R_EXCL, _R_INCL = 0, 1
-_R_W, _R_X0, _R_Y0, _R_DEPTH, _R_IDX = 2, 3, 4, 5, 6
-_R_COS, _R_SIN, _R_E0, _R_E1 = 7, 8, 9, 10
-_R_CX, _R_CY = 11, 12
-_R_CA, _R_CB, _R_CC, _R_RGB, _R_ALPHA = 13, 14, 15, 16, 17
+_R_GEOM, _R_DEPTH, _R_IDX = 2, 3, 4
+_R_COS, _R_SIN, _R_E0, _R_E1 = 5, 6, 7, 8
+_R_CX, _R_CY = 9, 10
+_R_CA, _R_CB, _R_CC, _R_RGB, _R_ALPHA = 11, 12, 13, 14, 15
 
 
 def build_tile_pairs(
@@ -232,11 +259,12 @@ def build_tile_pairs(
     config: RenderConfig,
     capacity: int,
     *,
+    row_band=None,
     interpret=None,
 ) -> TilePairs:
     """Phase 2: expansion + exact test + key emission, all static-shape."""
-    rects = splat_tile_rects(clip_data, config)
-    tps = config.tiles_per_screen
+    rects = splat_tile_rects(clip_data, config, row_band=row_band)
+    tiles_x = config.tiles_x
 
     incl = jnp.cumsum(rects.counts)                       # [N] inclusive
     total = incl[-1]
@@ -248,11 +276,16 @@ def build_tile_pairs(
 
     rgb_u32 = pack_rgb_u32(colors)
     n = rects.counts.shape[0]
+    # Tile rect packed into one exact-f32 row: (x0*256 + y0)*256 + w,
+    # all components <= 255 (config caps tiles per axis) so the packed
+    # value <= 2^24 - 1, exact in f32.
+    geom = (
+        (rects.x0.astype(jnp.float32) * 256.0 + rects.y0.astype(jnp.float32)) * 256.0
+        + rects.w.astype(jnp.float32)
+    )
     rows = jnp.stack(
         [
-            rects.w.astype(jnp.float32),
-            rects.x0.astype(jnp.float32),
-            rects.y0.astype(jnp.float32),
+            geom,
             qdepth.astype(jnp.float32),        # < 2^24, exact in f32
             jnp.arange(n, dtype=jnp.float32),  # splat id (provenance)
             clip_data.cos_t,
@@ -268,43 +301,55 @@ def build_tile_pairs(
             rgb_u32.astype(jnp.float32),       # < 2^24, exact in f32
             opacities,
         ]
-    )  # [16, N]
+    )  # [14, N]
 
     filled = segmented_expand(rows, incl, capacity, interpret=interpret)  # [R, C]
     slots = jnp.arange(capacity, dtype=jnp.int32)
     in_range = slots < jnp.minimum(total, capacity)
+
+    # Unpack the rect row; /256 is an exact power-of-two float division.
+    g = filled[_R_GEOM]
+    g_hi = jnp.floor(g * (1.0 / 256.0))
+    w_raw = g - g_hi * 256.0
+    x0_f = jnp.floor(g_hi * (1.0 / 256.0))
+    y0_f = g_hi - x0_f * 256.0
 
     # Local tile coordinates within the owning splat's rect, in float:
     # integer div/mod with a VECTOR divisor lowers to a serial loop on
     # TPU (~20 ms at 4M slots).  Float division is exact here — operands
     # are integers < 2^24 and the quotient's fractional part is at most
     # (w-1)/w <= 63/64, far beyond f32 rounding of the ratio.
-    w_f = jnp.maximum(filled[_R_W], 1.0)
+    w_f = jnp.maximum(w_raw, 1.0)
     local_f = slots.astype(jnp.float32) - filled[_R_EXCL]
     ly_f = jnp.floor(local_f / w_f)
     lx_f = local_f - ly_f * w_f
-    gx_f = filled[_R_X0] + lx_f
-    gy_f = filled[_R_Y0] + ly_f
+    gx_f = x0_f + lx_f
+    gy_f = y0_f + ly_f
     splat_idx = filled[_R_IDX].astype(jnp.int32)
 
     # Candidate tile rect in clip space (cu:653-664).
-    tile_clip_size = 2.0 * config.tile_size / config.screen_size
-    tx = gx_f * tile_clip_size - 1.0
-    ty = gy_f * tile_clip_size - 1.0
+    tile_clip_w = 2.0 * config.tile_size / config.screen_w
+    tile_clip_h = 2.0 * config.tile_size / config.screen_h
+    tcx = gx_f * tile_clip_w - 1.0
+    tcy = gy_f * tile_clip_h - 1.0
     hit = ellipse_rect_overlap(
         filled[_R_CX], filled[_R_CY],
         filled[_R_COS], filled[_R_SIN], filled[_R_E0], filled[_R_E1],
-        tx, ty, tx + tile_clip_size, ty + tile_clip_size,
+        tcx, tcy, tcx + tile_clip_w, tcy + tile_clip_h,
     )
     valid = in_range & hit
 
-    # tile id computed in f32 (exact: < 4096 < 2^24), cast once.
-    tile_id = (gy_f * tps + gx_f).astype(jnp.uint32)
+    # tile id computed in f32 (exact: < 65026 < 2^24), cast once.
+    tile_id = (gy_f * tiles_x + gx_f).astype(jnp.uint32)
     q_s = filled[_R_DEPTH].astype(jnp.uint32)
     values = jnp.where(valid, splat_idx, -1)
     cxcy = pack_center_u32(filled[_R_CX], filled[_R_CY])
-    con_bc = pack_bf16_pair(filled[_R_CB], filled[_R_CC])
-    attrs = (cxcy, filled[_R_CA], con_bc, filled[_R_RGB], filled[_R_ALPHA])
+    con_ab = pack_bf16_pair(filled[_R_CA], filled[_R_CB])
+    alpha16 = (
+        jnp.clip(filled[_R_ALPHA], 0.0, 1.0) * ALPHA_SCALE + 0.5
+    ).astype(jnp.uint32)
+    con_c_alpha = pack_bf16_u16(filled[_R_CC], alpha16)
+    attrs = (cxcy, con_ab, con_c_alpha, filled[_R_RGB])
 
     if config.depth_bits == DEPTH_BITS_PACKED:
         key = (tile_id << DEPTH_BITS_PACKED) | q_s

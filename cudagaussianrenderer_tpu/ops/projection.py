@@ -157,11 +157,13 @@ def project_splats(
         + a12 * (x1 * y2 + x2 * y1)
     )
 
-    # Anti-shrink trace bump: (1/pi) * (2/screen)^2 (cu:267-276).
-    texel_clip = 2.0 / float(config.screen_size)
-    trace_bump = (1.0 / jnp.pi) * texel_clip * texel_clip
-    cov_a = cov_a + trace_bump
-    cov_c = cov_c + trace_bump
+    # Anti-shrink trace bump: (1/pi) * (2/screen)^2 (cu:267-276),
+    # generalized per-axis for rectangular viewports (the reference's
+    # square screen makes both texel sizes equal).
+    texel_x = 2.0 / float(config.screen_w)
+    texel_y = 2.0 / float(config.screen_h)
+    cov_a = cov_a + (1.0 / jnp.pi) * texel_x * texel_x
+    cov_c = cov_c + (1.0 / jnp.pi) * texel_y * texel_y
 
     # --- clip-space center (cu:265) ---
     # The affine projection applied to its own linearization point reduces
@@ -180,7 +182,13 @@ def project_splats(
     lambda1 = jnp.maximum(0.0, mid - radius)
 
     # Principal eigenvector; guard the degenerate (already-axis-aligned)
-    # case where (b, lambda0 - a) vanishes.
+    # case where (b, lambda0 - a) vanishes.  The minor axis is the exact
+    # clip-space perpendicular (sin, -cos) — the covariance is symmetric,
+    # so its eigenvectors ARE perpendicular in clip coordinates at every
+    # aspect.  The reference computes an "aspect-straightened"
+    # eigenVector1 (cu:292) but never uses it: its stored ellipse is
+    # {cos, sin, ext0, ext1} and Ellipse::getMinorAxis() reconstructs the
+    # perpendicular (GaussianRender.cuh:48-52), identical to ours.
     ev_x, ev_y = cov_b, lambda0 - cov_a
     ev_norm = jnp.sqrt(ev_x * ev_x + ev_y * ev_y)
     degenerate = ev_norm < 1e-20

@@ -7,11 +7,12 @@ front-to-back alpha blending with a cooperative early-saturation exit
 (rasterizeTilesKernel, /root/reference/src/GaussianRender.cu:908-1034).
 
 TPU re-design:
-  * The random splat gather is hoisted OUT of the kernel entirely: after
-    sorting, one bulk XLA gather materializes a planar [16, C] float32
-    streaming buffer (attribute rows x sorted pairs).  The kernel then
-    only ever reads *contiguous* lane-slices — sequential HBM traffic at
-    full bandwidth instead of per-splat random loads.
+  * The random splat gather is gone entirely: the variadic sort carries
+    the packed raster attributes with the keys, and pack_pair_data just
+    stacks them into a planar [4, C] float32 streaming buffer (attribute
+    rows x sorted pairs).  The kernel then only ever reads *contiguous*
+    lane-slices — sequential HBM traffic at full bandwidth instead of
+    per-splat random loads.
   * TPU DMA slices along the minor (lane) dimension must be 128-aligned,
     so chunks are 128 pairs wide and each tile's streaming starts at
     ``start & ~127`` — over-fetching into the previous tile's tail and
@@ -44,16 +45,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 
-# Streaming-buffer row layout ([8, C] planar).
+# Streaming-buffer row layout ([4, C] planar).
 ROW_CXCY = 0                # (x16 << 16 | y16) fixed point, bitcast to f32
-ROW_CON_A = 1
-ROW_CON_BC = 2              # conic b | c as bf16 halves, bitcast to f32
-ROW_RGB, ROW_ALPHA = 3, 4   # rgb = 0x00RRGGBB carried as its f32 VALUE
-PAIR_ROWS = 8  # padded to a power of two for clean DMA shapes
+ROW_CON_AB = 1              # conic a | b as bf16 halves, bitcast to f32
+ROW_CON_C_ALPHA = 2         # conic c bf16 high | 16-bit fixed alpha low
+ROW_RGB = 3                 # rgb = 0x00RRGGBB carried as its f32 VALUE
+PAIR_ROWS = 4  # power of two for clean DMA shapes
 
 LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
 
 CENTER_INV_SCALE = 2.0 / 65535.0
+ALPHA_INV_SCALE = 1.0 / 65535.0
 
 
 def pack_pair_data(sorted_attrs, chunk: int) -> jnp.ndarray:
@@ -93,8 +95,9 @@ def _raster_kernel(
     chunk = config.raster_chunk
     tile_size = config.tile_size
     pixels = tile_size * tile_size
-    tps = config.tiles_per_screen
-    pix_to_clip = 2.0 / float(config.screen_size)
+    tiles_x = config.tiles_x
+    pix_to_clip_x = 2.0 / float(config.screen_w)
+    pix_to_clip_y = 2.0 / float(config.screen_h)
     eps = config.transmittance_eps
     cell = pl.program_id(0)
 
@@ -122,10 +125,10 @@ def _raster_kernel(
         span = start - astart + count
         num_chunks = pl.cdiv(span, chunk)
 
-        tile_x = (tile % tps).astype(jnp.float32)
-        tile_y = (tile // tps + rowoff_ref[0]).astype(jnp.float32)
-        pcx = (tile_x * tile_size + px_in_tile) * pix_to_clip - 1.0  # [pixels,1]
-        pcy = (tile_y * tile_size + py_in_tile) * pix_to_clip - 1.0
+        tile_x = (tile % tiles_x).astype(jnp.float32)
+        tile_y = (tile // tiles_x + rowoff_ref[0]).astype(jnp.float32)
+        pcx = (tile_x * tile_size + px_in_tile) * pix_to_clip_x - 1.0  # [pixels,1]
+        pcy = (tile_y * tile_size + py_in_tile) * pix_to_clip_y - 1.0
 
         state[:, 0:3] = jnp.zeros((pixels, 3), jnp.float32)
         state[:, 3:4] = jnp.ones((pixels, 1), jnp.float32)
@@ -156,11 +159,16 @@ def _raster_kernel(
             cy = (cxcy & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * (
                 CENTER_INV_SCALE
             ) - 1.0
-            con_a = data[ROW_CON_A : ROW_CON_A + 1, :]
-            bc = pltpu.bitcast(data[ROW_CON_BC : ROW_CON_BC + 1, :], jnp.uint32)
-            con_b = pltpu.bitcast(bc & jnp.uint32(0xFFFF0000), jnp.float32)
-            con_c = pltpu.bitcast(bc << 16, jnp.float32)
-            a_s = data[ROW_ALPHA : ROW_ALPHA + 1, :]
+            ab = pltpu.bitcast(data[ROW_CON_AB : ROW_CON_AB + 1, :], jnp.uint32)
+            con_a = pltpu.bitcast(ab & jnp.uint32(0xFFFF0000), jnp.float32)
+            con_b = pltpu.bitcast(ab << 16, jnp.float32)
+            cal = pltpu.bitcast(
+                data[ROW_CON_C_ALPHA : ROW_CON_C_ALPHA + 1, :], jnp.uint32
+            )
+            con_c = pltpu.bitcast(cal & jnp.uint32(0xFFFF0000), jnp.float32)
+            a_s = (cal & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * (
+                ALPHA_INV_SCALE
+            )
 
             dx = pcx - cx  # [pixels, chunk]
             dy = pcy - cy
@@ -275,17 +283,17 @@ def rasterize_tiles(
 
 
 def tiles_to_image(tile_rgba: jnp.ndarray, config: RenderConfig) -> jnp.ndarray:
-    """[T, pixels, 4] tile-major float -> [screen, screen, 4] uint8.
+    """[T, pixels, 4] tile-major float -> [height, width, 4] uint8.
 
     Quantization matches the reference: truncating *255 cast, alpha 255 on
     covered tiles, untouched tiles stay fully zero (cu:1007-1015 plus the
     frame-start clear at Demo.cpp:399).
     """
-    tps = config.tiles_per_screen
+    tx = config.tiles_x
     ts = config.tile_size
-    rows = tile_rgba.shape[0] // tps  # < tps when rendering a band
-    img = tile_rgba.reshape(rows, tps, ts, ts, 4)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(rows * ts, tps * ts, 4)
+    rows = tile_rgba.shape[0] // tx  # < tiles_y when rendering a band
+    img = tile_rgba.reshape(rows, tx, ts, ts, 4)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(rows * ts, tx * ts, 4)
     rgb = img[..., :3]
     if config.gamma is not None:
         rgb = jnp.power(jnp.clip(rgb, 0.0, 1.0), config.gamma)

@@ -11,11 +11,14 @@ splat pipeline:
     over IMAGE TILE ROWS.  After projection, the compact per-splat clip
     data is all-gathered over ICI (tens of MB — cheap), and each device
     then builds, sorts and rasterizes ONLY the pairs intersecting its
-    slice of tile rows.  The sort — the dominant stage — shrinks by the
-    device count, so scaling is near-linear where it matters.
-  * FRAME parallelism: an optional leading camera axis batches frames
-    data-parallel (each device renders whole frames); compose with tile
-    sharding via a 2D mesh.
+    band of tile rows: candidate rects are clamped to the band at
+    emission, so out-of-band pairs never consume capacity or sort
+    bandwidth and the pair lists partition exactly across devices.  The
+    sort — the dominant stage — shrinks by the device count, so scaling
+    is near-linear where it matters.
+  * FRAME parallelism: ``render_frames_sharded`` batches cameras over a
+    second mesh axis on a 2D ("frames", "tiles") mesh; each frame group
+    renders tile-row-sharded within its slice of the mesh.
 
 The final image comes out row-sharded across devices — exactly the
 layout a sharded encoder or tiled display consumer wants.
@@ -27,7 +30,7 @@ ICI; there is no NCCL-style host orchestration to translate.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +38,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
+from ..models.camera import Camera
 from ..models.scene import GaussianScene
 from ..ops.binning import build_tile_pairs
 from ..ops.projection import SplatClipData, project_splats
@@ -47,6 +51,16 @@ from ..render import _splat_colors
 def make_mesh(n_devices: Optional[int] = None, axis: str = "tiles") -> Mesh:
     devices = jax.devices()[: n_devices or len(jax.devices())]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(
+    n_frames: int, n_tiles: int, axes: Tuple[str, str] = ("frames", "tiles")
+) -> Mesh:
+    """2D mesh: data-parallel frames on the outer axis (cheap, no
+    communication) x tile-row sharding on the inner axis (ICI
+    all-gather of clip data), so the all-gathers ride the fastest links."""
+    devices = jax.devices()[: n_frames * n_tiles]
+    return Mesh(np.asarray(devices).reshape(n_frames, n_tiles), axes)
 
 
 def _render_shard(
@@ -77,27 +91,25 @@ def _render_shard(
     opacities = gather(scene.opacities)
 
     # --- tile-parallel stages: restrict to this device's tile rows ---
-    # Splats whose ellipse AABB misses the band get their extents zeroed;
-    # they then emit zero candidate tiles, exactly like culled splats.
-    # (Straddling splats still emit a few out-of-band pairs, which sort
-    # into tiles this device never rasterizes — harmless.)
-    rows_per_dev = config.tiles_per_screen // n_dev
-    band_lo = (idx * rows_per_dev).astype(jnp.float32)
-    tile_clip = 2.0 * config.tile_size / config.screen_size
-    y_lo = band_lo * tile_clip - 1.0
-    y_hi = (band_lo + rows_per_dev) * tile_clip - 1.0
-    hy = jnp.abs(clip.sin_t * clip.e0) + jnp.abs(clip.cos_t * clip.e1)
-    in_band = (clip.cy + hy >= y_lo) & (clip.cy - hy <= y_hi)
-    bandf = in_band.astype(jnp.float32)
-    clip = clip._replace(e0=clip.e0 * bandf, e1=clip.e1 * bandf)
-
-    pairs = build_tile_pairs(clip, colors, opacities, config, capacity_per_device)
+    # Candidate rects are clamped to the band inside splat_tile_rects, so
+    # each (splat, tile) pair is emitted on exactly one device and
+    # num_candidates counts only in-band tiles.
+    rows_per_dev = config.tiles_y // n_dev
+    band_lo = idx * rows_per_dev
+    pairs = build_tile_pairs(
+        clip,
+        colors,
+        opacities,
+        config,
+        capacity_per_device,
+        row_band=(band_lo, band_lo + rows_per_dev),
+    )
     keys, _, attrs = sort_pairs(pairs)
     starts, counts = tile_ranges(keys, config)
     pair_data = pack_pair_data(attrs, config.raster_chunk)
 
     # Rasterize only this band's tiles, offset to their screen position.
-    band_tiles = rows_per_dev * config.tiles_per_screen
+    band_tiles = rows_per_dev * config.tiles_x
     t0 = idx * band_tiles
     starts_b = jax.lax.dynamic_slice(starts, (t0,), (band_tiles,))
     counts_b = jax.lax.dynamic_slice(counts, (t0,), (band_tiles,))
@@ -107,16 +119,54 @@ def _render_shard(
         counts_b,
         config,
         num_tiles=band_tiles,
-        tile_row_offset=idx * rows_per_dev,
+        tile_row_offset=band_lo,
     )
     img = tiles_to_image(tiles, config)
     aux = dict(
         # max over devices: the right saturation signal for per-device
         # capacity management
         num_candidates=jax.lax.pmax(pairs.num_candidates, axis),
+        # bands partition the pair set exactly, so the sum is the global
+        # pair count (equals the single-device count).
         num_pairs=jax.lax.psum(pairs.num_pairs, axis),
     )
     return img, aux
+
+
+def _scene_spec(scene: GaussianScene, axis: str) -> GaussianScene:
+    return GaussianScene(
+        means=P(None, axis),
+        scales=P(None, axis),
+        quats=P(axis),
+        opacities=P(axis),
+        colors=P(None, axis),
+        sh=None if scene.sh is None else P(None, None, axis),
+        sh_degree=scene.sh_degree,
+        count=scene.count,
+        bounds_min=scene.bounds_min,
+        bounds_max=scene.bounds_max,
+    )
+
+
+def _validate(config: RenderConfig, mesh: Mesh, axis: str, scene: GaussianScene):
+    n_dev = mesh.shape[axis]
+    if config.tiles_y % n_dev != 0:
+        raise ValueError(
+            f"tiles_per_screen ({config.tiles_y}) must be divisible "
+            f"by the device count ({n_dev}) for tile-row sharding"
+        )
+    band_tiles = (config.tiles_y // n_dev) * config.tiles_x
+    if band_tiles % config.tiles_per_cell != 0:
+        raise ValueError(
+            f"per-device tile band ({band_tiles} tiles) must be divisible by "
+            f"tiles_per_cell ({config.tiles_per_cell})"
+        )
+    n = scene.means.shape[-1]
+    if n % n_dev != 0:
+        raise ValueError(
+            f"splat count ({n}) must be divisible by the device count "
+            f"({n_dev}); pad the scene first (GaussianScene.pad_to_multiple)"
+        )
 
 
 def render_frame_sharded(
@@ -131,18 +181,7 @@ def render_frame_sharded(
     sharded binning/sort/raster.  Returns the image with rows sharded over
     ``axis`` plus aggregate pair statistics.
     """
-    n_dev = mesh.shape[axis]
-    if config.tiles_per_screen % n_dev != 0:
-        raise ValueError(
-            f"tiles_per_screen ({config.tiles_per_screen}) must be divisible "
-            f"by the device count ({n_dev}) for tile-row sharding"
-        )
-    band_tiles = (config.tiles_per_screen // n_dev) * config.tiles_per_screen
-    if band_tiles % config.tiles_per_cell != 0:
-        raise ValueError(
-            f"per-device tile band ({band_tiles} tiles) must be divisible by "
-            f"tiles_per_cell ({config.tiles_per_cell})"
-        )
+    _validate(config, mesh, axis, scene)
     fn = jax.shard_map(
         functools.partial(
             _render_shard,
@@ -151,24 +190,164 @@ def render_frame_sharded(
             axis=axis,
         ),
         mesh=mesh,
-        in_specs=(
-            GaussianScene(
-                means=P(None, axis),
-                scales=P(None, axis),
-                quats=P(axis),
-                opacities=P(axis),
-                colors=P(None, axis),
-                sh=None if scene.sh is None else P(None, None, axis),
-                sh_degree=scene.sh_degree,
-                count=scene.count,
-                bounds_min=scene.bounds_min,
-                bounds_max=scene.bounds_max,
-            ),
-            P(),
-        ),
+        in_specs=(_scene_spec(scene, axis), P()),
         out_specs=(P(axis), P()),
         # Pallas calls inside the shard don't annotate varying-mesh-axes
         # metadata; skip the strict vma check.
         check_vma=False,
     )
     return fn(scene, camera_data)
+
+
+def render_frames_sharded(
+    scene: GaussianScene,
+    camera_batch: dict,
+    config: RenderConfig,
+    capacity_per_device: int,
+    mesh: Mesh,
+    frame_axis: str = "frames",
+    tile_axis: str = "tiles",
+):
+    """Frame-parallel + tile-row-sharded render over a 2D mesh.
+
+    ``camera_batch`` is a camera_data pytree with a leading frame axis
+    (build with ``stack_cameras``); the batch size must be a multiple of
+    the frame-axis size.  Each frame group renders its cameras
+    sequentially, tile-row-sharded over the inner axis.  Returns images
+    [frames, screen, screen, 4] (sharded over both axes) and per-frame
+    pair statistics.
+    """
+    _validate(config, mesh, tile_axis, scene)
+    n_frames = mesh.shape[frame_axis]
+    batch = jax.tree_util.tree_leaves(camera_batch)[0].shape[0]
+    if batch % n_frames != 0:
+        raise ValueError(
+            f"camera batch ({batch}) must be divisible by the frame-axis "
+            f"size ({n_frames})"
+        )
+
+    def body(scene_shard, cams_shard):
+        render = functools.partial(
+            _render_shard,
+            scene_shard,
+            config=config,
+            capacity_per_device=capacity_per_device,
+            axis=tile_axis,
+        )
+        # Sequential over this group's frames; parallel across groups.
+        return jax.lax.map(render, cams_shard)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(_scene_spec(scene, tile_axis), P(frame_axis)),
+        out_specs=(P(frame_axis, tile_axis), P(frame_axis)),
+        check_vma=False,
+    )
+    return fn(scene, camera_batch)
+
+
+def stack_cameras(cameras: List[Camera]) -> dict:
+    """[Camera] -> camera_data pytree with a leading frame axis."""
+    return jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[c.camera_data() for c in cameras],
+    )
+
+
+class DistributedRenderer:
+    """Host-side multi-chip renderer mirroring render.Renderer: jit
+    caching over (capacity, mesh), per-device adaptive capacity driven by
+    the pmax'd candidate count, and reference-style saturation handling
+    (an overflowing frame renders truncated; the next frame grows).
+    """
+
+    MAX_CAPACITY = (1 << 24) - (1 << 18)
+
+    def __init__(
+        self,
+        scene: GaussianScene,
+        config: RenderConfig = RenderConfig(),
+        *,
+        mesh: Optional[Mesh] = None,
+        n_devices: Optional[int] = None,
+    ):
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices)
+        self.axes = self.mesh.axis_names
+        self.tile_axis = self.axes[-1]
+        self.n_tile_devices = self.mesh.shape[self.tile_axis]
+        self.n_frame_devices = (
+            self.mesh.shape[self.axes[0]] if len(self.axes) == 2 else 1
+        )
+        self.config = config
+        # Non-divisible splat counts are padded up front.
+        self.scene = scene.pad_to_multiple(256 * self.n_tile_devices)
+        _validate(config, self.mesh, self.tile_axis, self.scene)
+        # Per-device capacity: the global estimate split across bands.
+        self.capacity = max(
+            1 << 14,
+            config.tile_capacity(self.scene.count) // self.n_tile_devices,
+        )
+        self.capacity = -(-self.capacity // 1024) * 1024
+        self.saturated = False
+        self.adaptive = config.capacity is None
+        self._fns: Dict[tuple, object] = {}
+        self.frame_count = 0
+
+    def _bucket(self, candidates: int) -> int:
+        want = max(1 << 14, int(candidates * 1.2))
+        grain = 1 << 15
+        return min(-(-want // grain) * grain, self.MAX_CAPACITY)
+
+    def _get_fn(self, batched: bool):
+        key = (self.capacity, batched)
+        if key not in self._fns:
+            cfg, cap, mesh = self.config, self.capacity, self.mesh
+            if batched:
+                fn = jax.jit(
+                    lambda s, c: render_frames_sharded(s, c, cfg, cap, mesh)
+                )
+            else:
+                fn = jax.jit(
+                    lambda s, c: render_frame_sharded(
+                        s, c, cfg, cap, mesh, axis=self.tile_axis
+                    )
+                )
+            self._fns[key] = fn
+        return self._fns[key]
+
+    def _update_capacity(self, candidates: int):
+        if self.adaptive:
+            self.capacity = self._bucket(candidates)
+            self.saturated = False
+        else:
+            self.saturated = candidates >= self.capacity
+
+    def render(self, camera: Camera, *, check_saturation: bool = True) -> np.ndarray:
+        if self.saturated:
+            self.capacity = min(self.capacity * 2, self.MAX_CAPACITY)
+            self.saturated = False
+        image, aux = self._get_fn(False)(self.scene, camera.camera_data())
+        self.frame_count += 1
+        if check_saturation:
+            self._update_capacity(int(aux["num_candidates"]))
+        return np.asarray(image)
+
+    def render_batch(
+        self, cameras: List[Camera], *, check_saturation: bool = True
+    ) -> np.ndarray:
+        """Frame-parallel render of a camera batch (needs a 2D mesh from
+        make_mesh_2d unless the mesh has one axis, which renders the
+        batch sequentially)."""
+        if self.saturated:
+            self.capacity = min(self.capacity * 2, self.MAX_CAPACITY)
+            self.saturated = False
+        if len(self.axes) == 1:
+            return np.stack([self.render(c, check_saturation=check_saturation)
+                             for c in cameras])
+        cams = stack_cameras(cameras)
+        images, aux = self._get_fn(True)(self.scene, cams)
+        self.frame_count += len(cameras)
+        if check_saturation:
+            self._update_capacity(int(np.asarray(aux["num_candidates"]).max()))
+        return np.asarray(images)

@@ -245,16 +245,19 @@ def test_sorted_attrs_match_value_gather(pipeline_state):
         bits = np.asarray(x, np.float32).view(np.uint32)
         return (bits + 0x7FFF + ((bits >> 16) & 1)) & np.uint32(0xFFFF0000)
 
-    bc = rnd_bf16(np.asarray(clip.con_b)[idx]) | (
-        rnd_bf16(np.asarray(clip.con_c)[idx]) >> 16
+    ab = rnd_bf16(np.asarray(clip.con_a)[idx]) | (
+        rnd_bf16(np.asarray(clip.con_b)[idx]) >> 16
     )
+    alpha16 = (
+        np.clip(np.asarray(scene.opacities)[idx], 0.0, 1.0) * 65535.0 + 0.5
+    ).astype(np.uint32)
+    c_alpha = rnd_bf16(np.asarray(clip.con_c)[idx]) | alpha16
     want = np.stack(
         [
             ((qx << 16) | qy).astype(np.float64),
-            np.asarray(clip.con_a)[idx].astype(np.float64),
-            bc.astype(np.float64),
+            ab.astype(np.float64),
+            c_alpha.astype(np.float64),
             packed[idx].astype(np.float64),
-            np.asarray(scene.opacities)[idx].astype(np.float64),
         ]
     )
     np.testing.assert_array_equal(attrs[:, valid].astype(np.float64), want)

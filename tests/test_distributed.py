@@ -6,13 +6,17 @@ import pytest
 import jax
 
 from cudagaussianrenderer_tpu.config import RenderConfig
-from cudagaussianrenderer_tpu.models.camera import Camera
+from cudagaussianrenderer_tpu.models.camera import Camera, orbit_cameras
 from cudagaussianrenderer_tpu.models.scene import random_scene
 from cudagaussianrenderer_tpu.parallel.distributed import (
+    DistributedRenderer,
     make_mesh,
+    make_mesh_2d,
     render_frame_sharded,
+    render_frames_sharded,
+    stack_cameras,
 )
-from cudagaussianrenderer_tpu.render import render_frame
+from cudagaussianrenderer_tpu.render import Renderer, render_frame
 
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 2, reason="needs multiple devices"
@@ -40,9 +44,84 @@ def test_sharded_matches_single_device():
     # only come from sort-tie ordering, which the stable sort removes.
     diff = np.abs(img_s.astype(np.int32) - img_1.astype(np.int32))
     assert (diff > 1).mean() < 0.001, f"max diff {diff.max()}"
-    # Device-local lists double-count band-straddling splats' out-of-band
-    # pairs, so the sharded sum can only exceed the single-device count.
-    assert int(np.asarray(aux_s["num_pairs"])) >= int(np.asarray(aux_1["num_pairs"]))
+    # Band-clamped rects partition the pair set exactly across devices:
+    # the sharded sum equals the single-device pair count.
+    assert int(np.asarray(aux_s["num_pairs"])) == int(np.asarray(aux_1["num_pairs"]))
+
+
+def test_sharded_saturation_truncates():
+    """A too-small per-device capacity truncates but stays shape-correct
+    and reports saturation via the pmax'd candidate count."""
+    n_dev = min(8, len(jax.devices()))
+    mesh = make_mesh(n_dev)
+    config = RenderConfig(screen_size=128)
+    scene = random_scene(256 * n_dev, seed=3).pad_to_multiple(256 * n_dev)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+
+    img, aux = jax.jit(
+        lambda s, c: render_frame_sharded(s, c, config, 256, mesh)
+    )(scene, cam.camera_data())
+    assert np.asarray(img).shape == (128, 128, 4)
+    assert int(np.asarray(aux["num_candidates"])) > 256  # saturated signal
+
+
+def test_distributed_renderer_padding_and_capacity():
+    """DistributedRenderer pads non-divisible splat counts and adapts
+    per-device capacity from the saturation signal."""
+    n_dev = min(8, len(jax.devices()))
+    config = RenderConfig(screen_size=128)
+    scene = random_scene(1000, seed=5)  # NOT divisible by 256 * n_dev
+    r = DistributedRenderer(scene, config, mesh=make_mesh(n_dev))
+    assert r.scene.padded_count % (256 * n_dev) == 0
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    img = r.render(cam)
+    assert img.shape == (128, 128, 4)
+    cap0 = r.capacity
+    img2 = r.render(cam)
+    assert img2.shape == (128, 128, 4)
+    assert r.capacity <= cap0  # adapted to the measured candidate count
+
+    # Single-device Renderer comparison (same scene padding semantics).
+    ref = Renderer(scene, config).render(cam)
+    diff = np.abs(ref.astype(np.int32) - img2.astype(np.int32))
+    assert (diff > 1).mean() < 0.001
+
+
+def test_frame_parallel_2d_mesh():
+    n_total = min(8, len(jax.devices()))
+    if n_total < 4:
+        pytest.skip("needs 4 devices for a 2x2 mesh")
+    mesh = make_mesh_2d(2, 2)
+    config = RenderConfig(screen_size=128)
+    scene = random_scene(512, seed=9).pad_to_multiple(512)
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 4)
+    batch = stack_cameras(cams)
+
+    imgs, aux = jax.jit(
+        lambda s, c: render_frames_sharded(s, c, config, 8192, mesh)
+    )(scene, batch)
+    imgs = np.asarray(imgs)
+    assert imgs.shape == (4, 128, 128, 4)
+
+    # Each frame matches its single-device render.
+    for i, cam in enumerate(cams):
+        ref, _ = jax.jit(
+            lambda s, c: render_frame(s, c, config, 8192)
+        )(scene, cam.camera_data())
+        diff = np.abs(imgs[i].astype(np.int32) - np.asarray(ref).astype(np.int32))
+        assert (diff > 1).mean() < 0.001, f"frame {i}: max diff {diff.max()}"
+
+
+def test_distributed_renderer_render_batch_2d():
+    n_total = min(8, len(jax.devices()))
+    if n_total < 4:
+        pytest.skip("needs 4 devices for a 2x2 mesh")
+    config = RenderConfig(screen_size=128)
+    scene = random_scene(500, seed=11)
+    r = DistributedRenderer(scene, config, mesh=make_mesh_2d(2, 2))
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 4)
+    imgs = r.render_batch(cams)
+    assert imgs.shape == (4, 128, 128, 4)
 
 
 def test_graft_entry_multichip():

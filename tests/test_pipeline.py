@@ -41,6 +41,22 @@ def test_render_matches_golden(falloff):
     _image_close(got, want, msg=falloff)
 
 
+def test_rectangular_viewport_matches_golden():
+    """192x128 viewport: per-axis tile math, aspect-corrected camera and
+    per-axis trace bump must all agree with the float64 oracle."""
+    scene = random_scene(250, seed=6)
+    config = RenderConfig(screen_size=192, screen_height=128)
+    assert config.tiles_x == 12 and config.tiles_y == 8
+    cam = Camera(aspect=config.aspect).framed(scene.bounds_min, scene.bounds_max)
+
+    r = Renderer(scene, config)
+    got = r.render(cam)
+    want = golden_render(scene_to_numpy(scene), cam.camera_data(), config)
+    assert got.shape == want.shape == (128, 192, 4)
+    assert got[..., 3].max() == 255
+    _image_close(got, want, msg="rect")
+
+
 def test_render_sh_scene_matches_golden():
     scene = random_scene(200, seed=8, sh_degree=3)
     config = RenderConfig(screen_size=128)
