@@ -2,19 +2,33 @@
 """Benchmark driver — renders the headline workload and prints ONE JSON line.
 
 Workload: the BASELINE.json north star — a ~1M-splat procedural scene at
-1024x1024, orbit fly-through with per-frame re-sort, on one TPU chip.
-The metric is frames per second of the fused device pipeline (project ->
-bin -> sort -> ranges -> raster), amortized over a device-side scan of
-frames so host/tunnel dispatch latency is excluded — mirroring how the
-reference reports CUDA-kernel-only times (README.md:142).
+1024x1024, orbit fly-through with per-frame re-sort, on one TPU chip.  The
+procedural scale range is tuned so the exact-test pair density matches the
+reference's heaviest published scene (Lilly Boquet runs ~4 sorted pairs
+per splat; see vs_baseline below), giving >= 3.9M pairs/frame at 1M splats
+versus ~3.3M for the count-scaled reference.
 
-vs_baseline compares against the reference's Lilly Boquet frame time
-(12.502574 ms for 815,957 splats on an RTX 3050 laptop, README.md:153),
-scaled linearly to this scene's splat count — the reference's own
-observation is that total time scales roughly linearly with load
-(README.md:125).
+Method: frames-per-second of the fused device pipeline (project -> bin ->
+sort -> ranges -> raster), amortized over a device-side scan of 8 orbit
+cameras so host/tunnel dispatch latency is excluded — mirroring how the
+reference reports CUDA-kernel-only times (README.md:142).  Inputs are
+salted per repetition (the remote runtime memoizes identical executions).
+
+vs_baseline is sorted-pairs-per-second relative to the reference's Lilly
+Boquet run: 815,957 splats at ~4 pairs/splat in 12.502574 ms on an RTX
+3050 laptop (README.md:146,153) = 261.1M pairs/s.  Pair throughput is the
+honest unit — total time scales with tile-list length (README.md:125),
+not splat count.
+
+The JSON line also carries per-stage milliseconds (reference stage names,
+Demo.cpp:556-562), each measured as its own scan-amortized jit with
+per-repetition salting, so stage regressions are visible to the driver.
+
+``--devices N`` benchmarks the tile-row-sharded multi-chip pipeline on an
+N-device mesh instead (requires N attached devices).
 """
 
+import argparse
 import json
 import sys
 import time
@@ -22,9 +36,38 @@ import time
 import numpy as np
 
 
+def _timed_ms(fn, args, reps=8):
+    """Best-of-3 of a jitted fn(salt, *args) scanning `reps` salted bodies."""
+    import jax
+    import jax.numpy as jnp
+
+    def wrapper(salt, *a):
+        def step(c, s):
+            return c + fn(s, *a), 0
+
+        c, _ = jax.lax.scan(
+            step, jnp.float32(0.0), salt + jnp.arange(reps, dtype=jnp.float32)
+        )
+        return c
+
+    jfn = jax.jit(wrapper)
+    np.asarray(jfn(jnp.float32(0.0), *args))  # compile + warm
+    best = float("inf")
+    for it in range(1, 4):
+        t0 = time.perf_counter()
+        np.asarray(jfn(jnp.float32(it), *args))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3 / reps
+
+
 def main():
-    n_splats = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_splats", nargs="?", type=int, default=1_000_000)
+    ap.add_argument("frames", nargs="?", type=int, default=8)
+    ap.add_argument("--devices", type=int, default=1)
+    ap.add_argument("--stages", action="store_true", default=True)
+    ap.add_argument("--no-stages", dest="stages", action="store_false")
+    args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
@@ -34,63 +77,177 @@ def main():
     from cudagaussianrenderer_tpu.models.scene import random_scene
     from cudagaussianrenderer_tpu.render import render_frame
 
+    # max_scale 0.053 yields ~4.07 exact pairs/splat on the orbit cameras
+    # — matched to the reference's Lilly Boquet density (~4 pairs/splat).
     scene = random_scene(
-        n_splats, seed=0, min_scale=0.002, max_scale=0.03, extent=4.0
-    ).pad_to_multiple(256)
+        args.n_splats, seed=0, min_scale=0.002, max_scale=0.053, extent=4.0
+    ).pad_to_multiple(256 * args.devices)
     config = RenderConfig(screen_size=1024)
-    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, frames)
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, args.frames)
     cam_stack = jax.tree.map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
         *[c.camera_data() for c in cams],
     )
+    cam0 = jax.tree.map(lambda x: x[0], cam_stack)
+
+    if args.devices > 1:
+        from cudagaussianrenderer_tpu.parallel.distributed import (
+            make_mesh,
+            render_frame_sharded,
+        )
+
+        mesh = make_mesh(args.devices)
+
+        def frame(scene, cam, capacity):
+            return render_frame_sharded(scene, cam, config, capacity, mesh)
+
+    else:
+        frame = lambda scene, cam, capacity: render_frame(scene, cam, config, capacity)  # noqa: E731
 
     # Size capacity like the adaptive Renderer would: probe one frame.
+    # The orbit's per-frame candidate count varies a few percent; use the
+    # max-ish headroom the Renderer's bucket would give.
     probe = jax.jit(
-        lambda s, c: render_frame(s, c, config, config.tile_capacity(s.count))[1][
+        lambda s, c: frame(s, c, config.tile_capacity(s.count) // args.devices)[1][
             "num_candidates"
         ]
     )
-    candidates = int(np.asarray(probe(scene, jax.tree.map(lambda x: x[0], cam_stack))))
-    grain = 1 << 18
-    capacity = max(grain, -(-int(candidates * 1.2) // grain) * grain)
+    candidates = int(np.asarray(probe(scene, cam0)))
+    grain = 1 << 17
+    capacity = max(grain, -(-int(candidates * 1.1) // grain) * grain)
 
-    @jax.jit
-    def render_many(scene, cam_stack, salt):
-        cam_stack = dict(cam_stack, position=cam_stack["position"] + salt)
+    # ---- headline: fused whole-frame throughput over the orbit ----
+    def frames_body(salt, scene, cam_stack):
+        # Salt the view translation: every pipeline stage depends on it.
+        view = cam_stack["view"].at[:, 0, 3].add(salt * 1e-6)
+        cam_stack = dict(cam_stack, view=view)
 
         def step(carry, cam):
-            img, aux = render_frame(scene, cam, config, capacity)
-            return carry + jnp.sum(img[::64, ::64, 0].astype(jnp.int32)), aux[
+            img, aux = frame(scene, cam, capacity)
+            return carry + jnp.sum(img[::64, ::64, 0].astype(jnp.float32)), aux[
                 "num_pairs"
             ]
 
-        return jax.lax.scan(step, jnp.int32(0), cam_stack)
+        c, pairs = jax.lax.scan(step, jnp.float32(0.0), cam_stack)
+        return c, pairs
 
-    # Warm up / compile; materialize to force execution (block_until_ready
-    # is unreliable through the remote runtime).
-    np.asarray(render_many(scene, cam_stack, jnp.float32(0))[0])
-
+    jfn = jax.jit(frames_body)
+    out = jfn(jnp.float32(0.0), scene, cam_stack)
+    np.asarray(out[0])
     best = float("inf")
-    for it in range(3):
+    for it in range(1, 4):
         t0 = time.perf_counter()
-        out = render_many(scene, cam_stack, jnp.float32((it + 1) * 1e-6))
+        out = jfn(jnp.float32(it), scene, cam_stack)
         np.asarray(out[0])
         best = min(best, time.perf_counter() - t0)
-
-    ms_per_frame = best * 1e3 / frames
+    ms_per_frame = best * 1e3 / args.frames
     fps = 1e3 / ms_per_frame
+    pairs_per_frame = int(np.asarray(out[1]).mean())
 
-    # Reference baseline scaled to this splat count.
-    ref_ms = 12.502574 * (n_splats / 815_957.0)
+    # ---- per-stage breakdown (reference stage names) ----
+    stages = {}
+    if args.stages and args.devices == 1:
+        from cudagaussianrenderer_tpu.ops.binning import build_tile_pairs
+        from cudagaussianrenderer_tpu.ops.projection import project_splats
+        from cudagaussianrenderer_tpu.ops.ranges import tile_ranges
+        from cudagaussianrenderer_tpu.ops.raster import (
+            pack_pair_data,
+            rasterize_tiles,
+            tiles_to_image,
+        )
+        from cudagaussianrenderer_tpu.ops.sorting import sort_pairs
+
+        base = _timed_ms(lambda s, x: jnp.sum(x) + s, (jnp.ones((8, 128), jnp.float32),))
+
+        clip = jax.jit(
+            lambda s, c: project_splats(s.means, s.scales, s.quats, c, config)
+        )(scene, cam0)
+        pairs = jax.jit(
+            lambda cl, s: build_tile_pairs(cl, s.colors, s.opacities, config, capacity)
+        )(clip, scene)
+        skeys, _, sattrs = jax.jit(sort_pairs)(pairs)
+        starts, counts = jax.jit(lambda k: tile_ranges(k, config))(skeys)
+        pair_data = jax.jit(lambda a: pack_pair_data(a, config.raster_chunk))(sattrs)
+        jax.block_until_ready(pair_data)
+
+        def net(ms):
+            return max(0.0, round(ms - base, 3))
+
+        stages["evaluateClipData"] = net(
+            _timed_ms(
+                lambda s, sc, c: jnp.sum(
+                    project_splats(
+                        sc.means, sc.scales, sc.quats,
+                        dict(c, view=c["view"].at[0, 3].add(s * 1e-6)), config
+                    ).cx[:128]
+                ),
+                (scene, cam0),
+            )
+        )
+        stages["buildTileList"] = net(
+            _timed_ms(
+                lambda s, cl, sc: jnp.sum(
+                    build_tile_pairs(
+                        cl._replace(cx=cl.cx + s * 1e-9), sc.colors, sc.opacities,
+                        config, capacity,
+                    ).keys[0][:128].astype(jnp.float32)
+                ),
+                (clip, scene),
+            )
+        )
+        key0 = pairs.keys[0]
+        stages["sortTileList"] = net(
+            _timed_ms(
+                lambda s, k, *a: sum(
+                    o[0].astype(jnp.float32) * 1e-9
+                    for o in jax.lax.sort(
+                        (k ^ s.astype(jnp.uint32), *a), num_keys=1, is_stable=True
+                    )
+                ),
+                (key0, *pairs.attrs),
+            )
+        )
+        stages["evaluateTileRanges"] = net(
+            _timed_ms(
+                lambda s, k: jnp.sum(
+                    tile_ranges((k | s.astype(jnp.uint32),), config)[0][:128].astype(
+                        jnp.float32
+                    )
+                ),
+                (skeys[0],),
+            )
+        )
+        stages["renderDepthBuffer"] = net(
+            _timed_ms(
+                lambda s, a0, a1, a2, a3, st, ct: jnp.sum(
+                    tiles_to_image(
+                        rasterize_tiles(
+                            pack_pair_data((a0, a1, a2, a3 + s), config.raster_chunk),
+                            st, ct, config,
+                        ),
+                        config,
+                    )[::64, ::64, 0].astype(jnp.float32)
+                ),
+                (*sattrs, starts, counts),
+            )
+        )
+
+    # Reference pair throughput: Lilly Boquet, 815,957 splats * ~4
+    # pairs/splat / 12.502574 ms (reference README.md:146,153).
+    ref_pairs_per_sec = 815_957 * 4.0 / 12.502574e-3
+    pairs_per_sec = pairs_per_frame * fps
     result = {
-        "metric": f"fps_1024x1024_{n_splats // 1000}k_splats",
+        "metric": f"fps_1024x1024_{args.n_splats // 1000}k_splats",
         "value": round(fps, 2),
         "unit": "frames/s",
-        # >1 means faster than the count-scaled reference frame rate.
-        "vs_baseline": round(fps / (1e3 / ref_ms), 3),
+        # >1 means higher sorted-pair throughput than the reference.
+        "vs_baseline": round(pairs_per_sec / ref_pairs_per_sec, 3),
         "ms_per_frame": round(ms_per_frame, 2),
-        "pairs_per_frame": int(np.asarray(out[1]).mean()),
+        "pairs_per_frame": pairs_per_frame,
+        "pairs_per_sec_M": round(pairs_per_sec / 1e6, 1),
         "capacity": capacity,
+        "devices": args.devices,
+        "stages_ms": stages,
     }
     print(json.dumps(result))
 

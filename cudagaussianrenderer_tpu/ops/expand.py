@@ -118,6 +118,208 @@ def _expand_kernel(
         out_ref[:, :] = acc
 
 
+def _grouped_expand_kernel(
+    ws_ref,        # SMEM [G*nb] i32: first window index per block
+    nw_ref,        # SMEM [G*nb] i32: windows to walk per block (0 = dead)
+    base_ref,      # SMEM [G*nb] i32: candidate prefix before the first window
+    blo_ref,       # SMEM [G+1] i32: group tile-range boundaries
+    rows_hbm,      # HBM [16, Npad] f32 (15 attr rows + zero pad row)
+    out_ref,       # VMEM [16, block]: rows 0..14 attrs, row 15 = excl
+    win_buf,       # VMEM scratch [2, 16, W]
+    sems,
+    *,
+    block,
+    nb,
+    tiles_x,
+):
+    pid = pl.program_id(0)
+    g = pid // nb
+    b = pid - g * nb
+    ws = ws_ref[pid]
+    nw = nw_ref[pid]
+    blo = blo_ref[g]
+    bhi = blo_ref[g + 1]
+    # Boundary tiles as (row, col); G+1 scalars, serial div is fine.
+    r_lo = (blo // tiles_x).astype(jnp.float32)
+    c_lo = (blo % tiles_x).astype(jnp.float32)
+    r_hi = (bhi // tiles_x).astype(jnp.float32)
+    c_hi = (bhi % tiles_x).astype(jnp.float32)
+
+    def make_dma(slot, wi):
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds((ws + wi) * WINDOW, WINDOW)],
+            win_buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nw == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((16, block), jnp.float32)
+
+    @pl.when(nw > 0)
+    def _():
+        q = (
+            b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        ).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
+
+        make_dma(0, 0).start()
+
+        def rect_prefix(r, c, x0, y0, w, h):
+            """#tiles of the rect with flat id < row r, col c (exact f32)."""
+            full = w * jnp.clip(r - y0, 0.0, h)
+            part = jnp.where(
+                (y0 <= r) & (r < y0 + h), jnp.clip(c - x0, 0.0, w), 0.0
+            )
+            return full + part
+
+        def body(wi, carry):
+            base, acc = carry
+            slot = jax.lax.rem(wi, 2)
+
+            @pl.when(wi + 1 < nw)
+            def _():
+                make_dma(1 - slot, wi + 1).start()
+
+            make_dma(slot, wi).wait()
+            win = win_buf[slot]
+            geom_a = win[0:1, :]  # x0*256 + y0
+            geom_b = win[1:2, :]  # w*256 + h
+            x0 = jnp.floor(geom_a * (1.0 / 256.0))
+            y0 = geom_a - x0 * 256.0
+            w = jnp.floor(geom_b * (1.0 / 256.0))
+            h = geom_b - w * 256.0
+            counts = rect_prefix(r_hi, c_hi, x0, y0, w, h) - rect_prefix(
+                r_lo, c_lo, x0, y0, w, h
+            )  # [1, W]
+
+            # Inclusive cumsum along lanes (exact f32, values < 2^24).
+            cum = counts
+            shift = 1
+            while shift < WINDOW:
+                rolled = pltpu.roll(cum, shift, axis=1)
+                cum = cum + jnp.where(lane >= shift, rolled, 0.0)
+                shift *= 2
+            incl = base + cum
+            excl = incl - counts
+            match = ((excl <= q) & (q < incl)).astype(jnp.bfloat16)  # [block, W]
+
+            # Row 15 is the zero pad row; overwrite with the prefix so the
+            # one selection pass carries it to the output.
+            win_buf[slot, 15:16, :] = excl
+            win = win_buf[slot]
+
+            mask = jnp.uint32(0xFFFF0000)
+            hi = pltpu.bitcast(pltpu.bitcast(win, jnp.uint32) & mask, jnp.float32)
+            r1 = win - hi
+            mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
+            lo = r1 - mid
+
+            def sel(part):
+                return jax.lax.dot_general(
+                    part.astype(jnp.bfloat16),
+                    match,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [16, block]
+
+            acc = acc + (sel(hi) + sel(mid)) + sel(lo)
+            return incl[0, WINDOW - 1], acc
+
+        base0 = base_ref[pid].astype(jnp.float32)
+        _, acc = jax.lax.fori_loop(
+            0, nw, body, (base0, jnp.zeros((16, block), jnp.float32))
+        )
+        out_ref[:, :] = acc
+
+
+# Output row holding each slot's owning-splat candidate prefix (within its
+# group) — appended by the grouped kernel after the 15 attribute rows.
+GROUPED_EXCL_ROW = 15
+
+
+def grouped_expand(
+    rows: jnp.ndarray,
+    ckpt_incl: jnp.ndarray,
+    boundaries: jnp.ndarray,
+    group_counts: jnp.ndarray,
+    n_groups: int,
+    group_capacity: int,
+    tiles_x: int,
+    *,
+    interpret=None,
+) -> jnp.ndarray:
+    """Keyspace-grouped expansion.
+
+    The pair list is emitted as ``n_groups`` independent segments, group g
+    covering the contiguous tile range [boundaries[g], boundaries[g+1]).
+    Group boundaries are data-dependent (chosen at equal candidate-count
+    quantiles), so the per-splat segment bounds cannot be precomputed like
+    segmented_expand's prefix rows; instead each block reconstructs them
+    on the fly: window rect rows -> per-splat in-group candidate counts
+    (closed form) -> lane cumsum -> running prefix carried across windows,
+    seeded from window-granular checkpoints.
+
+    rows: [15, Npad] f32 attr rows, geomA=(x0*256+y0), geomB=(w*256+h)
+          first; Npad a multiple of WINDOW.
+    ckpt_incl: [G, nwin] i32/f32 inclusive per-window candidate prefixes.
+    boundaries: [G+1] i32 tile ids.
+    group_counts: [G] i32 candidates per group.
+    Returns [16, G * group_capacity]: rows 0..14 = selected attr rows,
+    row 15 = owning splat's in-group exclusive prefix.  Slots past a
+    group's count are zero.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block = MAX_BLOCK
+    while block > 128 and group_capacity % block:
+        block //= 2
+    if group_capacity % block != 0:
+        raise ValueError(f"group_capacity must be a multiple of {block}")
+    if n_groups * group_capacity + 1 >= MAX_EXACT_I32:
+        raise ValueError("grouped capacity too large for exact f32 selection")
+    a, npad = rows.shape
+    assert a == 15 and npad % WINDOW == 0, (a, npad)
+    nwin = npad // WINDOW
+    nb = group_capacity // block
+
+    rows16 = jnp.concatenate([rows, jnp.zeros((1, npad), rows.dtype)])
+
+    # Per-block window ranges + prefix bases, from the checkpoints.
+    q0 = jnp.arange(nb, dtype=jnp.int32) * block  # [nb]
+    ck = ckpt_incl.astype(jnp.int32)  # [G, nwin]
+    ws = jax.vmap(lambda row: jnp.searchsorted(row, q0, side="right"))(ck)
+    ws = jnp.minimum(ws, nwin - 1).astype(jnp.int32)  # [G, nb]
+    qend = jnp.minimum(q0[None, :] + block, group_counts[:, None]).astype(jnp.int32)
+    we = jax.vmap(lambda row, p: jnp.searchsorted(row, p, side="left"))(ck, qend)
+    we = jnp.minimum(we, nwin - 1).astype(jnp.int32)
+    live = q0[None, :] < group_counts[:, None]
+    nw = jnp.where(live, we - ws + 1, 0).astype(jnp.int32)
+    base = jnp.where(
+        ws > 0, jnp.take_along_axis(ck, jnp.maximum(ws - 1, 0), axis=1), 0
+    ).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _grouped_expand_kernel, block=block, nb=nb, tiles_x=tiles_x
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_groups * nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((16, block), lambda i, *_: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, n_groups * group_capacity), jnp.float32),
+        interpret=interpret,
+    )(ws.reshape(-1), nw.reshape(-1), base.reshape(-1), boundaries, rows16)
+
+
 def segmented_expand(
     rows: jnp.ndarray, incl: jnp.ndarray, capacity: int, *, interpret=None
 ) -> jnp.ndarray:

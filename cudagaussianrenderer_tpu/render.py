@@ -26,12 +26,12 @@ import numpy as np
 from .config import RenderConfig
 from .models.camera import Camera
 from .models.scene import GaussianScene
-from .ops.binning import build_tile_pairs
+from .ops.binning import build_tile_pairs, build_tile_pairs_grouped
 from .ops.projection import project_splats
-from .ops.ranges import tile_ranges
+from .ops.ranges import tile_ranges, tile_ranges_grouped
 from .ops.raster import pack_pair_data, rasterize_tiles, tiles_to_image
 from .ops.sh import evaluate_sh_colors
-from .ops.sorting import sort_pairs
+from .ops.sorting import sort_pairs, sort_pairs_grouped
 
 
 def _splat_colors(scene: GaussianScene, camera_data: dict) -> jnp.ndarray:
@@ -50,25 +50,47 @@ def render_frame(
     config: RenderConfig,
     capacity: int,
     *,
+    groups: Optional[Tuple[int, int]] = None,
     interpret=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Render one frame.  Jittable end-to-end (config/capacity static).
 
-    Returns (image uint8 [S, S, 4], aux dict with pair statistics).
+    ``groups = (n_groups, group_capacity)`` selects the keyspace-grouped
+    emission + batched per-group sort (the fast path on TPU; requires the
+    packed 19-bit-depth key).  ``capacity`` is then ignored — the list
+    area is n_groups * group_capacity.
+
+    Returns (image uint8 [H, W, 4], aux dict with pair statistics).
     """
     colors = _splat_colors(scene, camera_data)
     clip = project_splats(scene.means, scene.scales, scene.quats, camera_data, config)
-    pairs = build_tile_pairs(
-        clip, colors, scene.opacities, config, capacity, interpret=interpret
-    )
-    sorted_keys, _, sorted_attrs = sort_pairs(pairs)
-    starts, counts = tile_ranges(sorted_keys, config)
+    if groups is not None:
+        n_groups, group_capacity = groups
+        pairs, boundaries, gcount = build_tile_pairs_grouped(
+            clip, colors, scene.opacities, config, n_groups, group_capacity,
+            interpret=interpret,
+        )
+        sorted_keys, _, sorted_attrs = sort_pairs_grouped(
+            pairs, n_groups, group_capacity
+        )
+        starts, counts = tile_ranges_grouped(
+            sorted_keys, boundaries, group_capacity, config
+        )
+        extra = dict(max_group_candidates=jnp.max(gcount))
+    else:
+        pairs = build_tile_pairs(
+            clip, colors, scene.opacities, config, capacity, interpret=interpret
+        )
+        sorted_keys, _, sorted_attrs = sort_pairs(pairs)
+        starts, counts = tile_ranges(sorted_keys, config)
+        extra = {}
     pair_data = pack_pair_data(sorted_attrs, config.raster_chunk)
     tiles = rasterize_tiles(pair_data, starts, counts, config, interpret=interpret)
     image = tiles_to_image(tiles, config)
     aux = dict(
         num_candidates=pairs.num_candidates,
         num_pairs=pairs.num_pairs,
+        **extra,
     )
     return image, aux
 
@@ -114,30 +136,60 @@ class Renderer:
         # An explicit config.capacity opts into the reference's fixed
         # grow-only behavior instead.
         self.adaptive_capacity = config.capacity is None
+        # Keyspace-grouped emission + batched per-group sort (the TPU fast
+        # path; see ops/binning.py).  Needs the packed single-u32 key; an
+        # explicit fixed capacity opts into the reference's exact flat
+        # list semantics instead.
+        self.use_groups = (
+            config.use_grouped_sort
+            and config.depth_bits == 19
+            and config.capacity is None
+        )
+        self.n_groups = 1
+        while (
+            self.n_groups < 128
+            and self.capacity // (2 * self.n_groups) >= self.MIN_GROUP_CAPACITY
+        ):
+            self.n_groups *= 2
+        self.group_capacity = self._group_bucket(self.capacity // self.n_groups)
 
     # Hard capacity ceiling: segmented_expand's exact f32 one-hot selection
     # requires capacity + 1 < 2^24.  Beyond it the pipeline renders with a
     # truncated list forever (the reference's saturation semantics,
     # cu:700-703) instead of raising mid-run.
     MAX_CAPACITY = (1 << 24) - (1 << 18)
+    MIN_GROUP_CAPACITY = 8192
 
     @classmethod
     def _bucket(cls, candidates: int) -> int:
         """Capacity bucket: 20% headroom, 256Ki granularity (bounds the
         number of distinct compiled pipelines while staying tight —
         every post-binning stage costs O(capacity))."""
-        want = max(1 << 17, int(candidates * 1.2))
-        grain = 1 << 18
+        want = max(1 << 17, int(candidates * 1.1))
+        grain = 1 << 17
         return min(-(-want // grain) * grain, cls.MAX_CAPACITY)
 
+    def _group_bucket(self, per_group: int) -> int:
+        """Per-group capacity bucket: 2Ki granularity, 20% headroom
+        applied by callers; total area stays under the exact-f32 limit."""
+        grain = 1 << 11
+        want = max(self.MIN_GROUP_CAPACITY, -(-per_group // grain) * grain)
+        return min(want, self.MAX_CAPACITY // self.n_groups)
+
+    def _groups(self) -> Optional[Tuple[int, int]]:
+        return (self.n_groups, self.group_capacity) if self.use_groups else None
+
     def _get_fn(self):
-        key = self.capacity
+        key = (self.capacity, self._groups())
         if key not in self._fns:
             cfg, cap, interp = self.config, self.capacity, self.interpret
+            groups = self._groups()
 
             @jax.jit
             def fn(scene, camera_data):
-                return render_frame(scene, camera_data, cfg, cap, interpret=interp)
+                return render_frame(
+                    scene, camera_data, cfg, cap, groups=groups, interpret=interp
+                )
 
             self._fns[key] = fn
         return self._fns[key]
@@ -152,13 +204,23 @@ class Renderer:
         truncated list if it overflowed, exactly like the reference.
         """
         if self.saturated:
-            self.capacity = min(self.capacity * 2, self.MAX_CAPACITY)  # Demo.cpp:356-366
+            # Demo.cpp:356-366 grow-on-saturation behavior.
+            self.capacity = min(self.capacity * 2, self.MAX_CAPACITY)
+            self.group_capacity = self._group_bucket(self.group_capacity * 2)
             self.saturated = False
         image, aux = self._get_fn()(self.scene, camera.camera_data())
         self.frame_count += 1
         if check_saturation:
             candidates = int(aux["num_candidates"])
-            if self.adaptive_capacity:
+            if self.use_groups:
+                max_group = int(aux["max_group_candidates"])
+                if self.adaptive_capacity:
+                    self.group_capacity = self._group_bucket(int(max_group * 1.2))
+                    self.capacity = self._bucket(candidates)
+                    self.saturated = False
+                else:
+                    self.saturated = max_group >= self.group_capacity
+            elif self.adaptive_capacity:
                 self.capacity = self._bucket(candidates)
                 self.saturated = False
             else:
@@ -194,17 +256,34 @@ class Renderer:
             stages[name] = stages.get(name, 0.0) + dt
             return out
 
+        groups = self._groups()
         sh_fn = jax.jit(lambda s, c: _splat_colors(s, c))
         proj_fn = jax.jit(
             lambda s, c: project_splats(s.means, s.scales, s.quats, c, cfg)
         )
-        bin_fn = jax.jit(
-            lambda clip, colors, s: build_tile_pairs(
-                clip, colors, s.opacities, cfg, cap, interpret=interp
+        if groups is not None:
+            ng, gcap = groups
+            bin_fn = jax.jit(
+                lambda clip, colors, s: build_tile_pairs_grouped(
+                    clip, colors, s.opacities, cfg, ng, gcap, interpret=interp
+                )
             )
-        )
-        sort_fn = jax.jit(sort_pairs)
-        rng_fn = jax.jit(lambda keys: tile_ranges(keys, cfg))
+            sort_fn = jax.jit(lambda p: sort_pairs_grouped(p, ng, gcap))
+            rng_fn = jax.jit(
+                lambda keys, bounds: tile_ranges_grouped(keys, bounds, gcap, cfg)
+            )
+        else:
+            bin_fn = jax.jit(
+                lambda clip, colors, s: (
+                    build_tile_pairs(
+                        clip, colors, s.opacities, cfg, cap, interpret=interp
+                    ),
+                    None,
+                    None,
+                )
+            )
+            sort_fn = jax.jit(sort_pairs)
+            rng_fn = jax.jit(lambda keys, bounds: tile_ranges(keys, cfg))
         rast_fn = jax.jit(
             lambda attrs, starts, counts: rasterize_tiles(
                 pack_pair_data(attrs, cfg.raster_chunk),
@@ -215,17 +294,17 @@ class Renderer:
         if warmup:
             colors = sh_fn(scene, cam)
             clip = proj_fn(scene, cam)
-            pairs = bin_fn(clip, colors, scene)
+            pairs, bounds, _ = bin_fn(clip, colors, scene)
             keys, _, attrs = sort_fn(pairs)
-            starts, counts = rng_fn(keys)
+            starts, counts = rng_fn(keys, bounds)
             np.asarray(rast_fn(attrs, starts, counts))
             stages.clear()
 
         colors = timed("evaluateSphericalHarmonics" if has_sh else "_baked", sh_fn, scene, cam)
         clip = timed("evaluateClipData", proj_fn, scene, cam)
-        pairs = timed("buildTileList", bin_fn, clip, colors, scene)
+        pairs, bounds, _ = timed("buildTileList", bin_fn, clip, colors, scene)
         keys, _, attrs = timed("sortTileList", sort_fn, pairs)
-        starts, counts = timed("evaluateTileRanges", rng_fn, keys)
+        starts, counts = timed("evaluateTileRanges", rng_fn, keys, bounds)
         timed("renderDepthBuffer", rast_fn, attrs, starts, counts)
 
         stages.pop("_baked", None)

@@ -1,0 +1,107 @@
+"""Keyspace-grouped emission + batched per-group sort vs the flat path.
+
+The grouped pipeline (binning.build_tile_pairs_grouped et al.) is a pure
+performance re-arrangement: same pairs, same per-tile depth order (sort
+ties resolve to splat-index order on both paths), so images must be
+bit-identical to the flat path.
+"""
+
+import numpy as np
+
+import jax
+
+from cudagaussianrenderer_tpu.config import RenderConfig
+from cudagaussianrenderer_tpu.models.camera import Camera
+from cudagaussianrenderer_tpu.models.scene import random_scene
+from cudagaussianrenderer_tpu.ops.binning import build_tile_pairs_grouped
+from cudagaussianrenderer_tpu.ops.projection import project_splats
+from cudagaussianrenderer_tpu.ops.ranges import tile_ranges_grouped
+from cudagaussianrenderer_tpu.ops.sorting import sort_pairs_grouped
+from cudagaussianrenderer_tpu.render import Renderer, render_frame
+
+
+def _setup(n=500, seed=3, screen=128):
+    scene = random_scene(n, seed=seed).pad_to_multiple(256)
+    config = RenderConfig(screen_size=screen)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    return scene, config, cam
+
+
+def test_grouped_image_matches_flat():
+    scene, config, cam = _setup()
+    flat = jax.jit(lambda s, c: render_frame(s, c, config, 16384))(
+        scene, cam.camera_data()
+    )
+    for n_groups in (1, 4, 8):
+        grouped = jax.jit(
+            lambda s, c, g=n_groups: render_frame(
+                s, c, config, 0, groups=(g, 16384 // g)
+            )
+        )(scene, cam.camera_data())
+        np.testing.assert_array_equal(
+            np.asarray(grouped[0]), np.asarray(flat[0])
+        ), f"G={n_groups}"
+        assert int(grouped[1]["num_pairs"]) == int(flat[1]["num_pairs"])
+        assert int(grouped[1]["num_candidates"]) == int(flat[1]["num_candidates"])
+
+
+def test_grouped_ranges_invariants():
+    scene, config, cam = _setup(seed=5)
+    n_groups, gcap = 8, 2048
+
+    @jax.jit
+    def fn(s, c):
+        clip = project_splats(s.means, s.scales, s.quats, c, config)
+        pairs, bounds, gcount = build_tile_pairs_grouped(
+            clip, s.colors, s.opacities, config, n_groups, gcap
+        )
+        keys, _, attrs = sort_pairs_grouped(pairs, n_groups, gcap)
+        starts, counts = tile_ranges_grouped(keys, bounds, gcap, config)
+        return pairs, bounds, gcount, keys[0], starts, counts
+
+    pairs, bounds, gcount, keys, starts, counts = fn(scene, cam.camera_data())
+    bounds = np.asarray(bounds)
+    gcount = np.asarray(gcount)
+    keys = np.asarray(keys)
+    starts, counts = np.asarray(starts), np.asarray(counts)
+
+    # Group boundaries tile-partition the screen.
+    assert bounds[0] == 0 and bounds[-1] == config.total_tiles
+    assert (np.diff(bounds) >= 0).all()
+    assert gcount.sum() == int(pairs.num_candidates)
+    # Flattened per-group-sorted keys are globally sorted (sentinel design).
+    assert (np.diff(keys.astype(np.int64)) >= 0).all()
+    # Ranges partition exactly the valid pairs.
+    assert counts.sum() == int(pairs.num_pairs)
+    t = np.arange(config.total_tiles)
+    g_of_t = np.searchsorted(bounds, t, side="right") - 1
+    assert (starts >= g_of_t * gcap).all()
+    assert (starts + counts <= g_of_t * gcap + gcap).all()
+    # Every counted entry's key belongs to its tile.
+    for tile in np.nonzero(counts)[0][:50]:
+        seg = keys[starts[tile] : starts[tile] + counts[tile]]
+        assert ((seg >> 19) == tile).all()
+
+
+def test_grouped_saturation_truncates():
+    scene, config, cam = _setup(seed=7)
+    img, aux = jax.jit(
+        lambda s, c: render_frame(s, c, config, 0, groups=(4, 256))
+    )(scene, cam.camera_data())
+    assert np.asarray(img).shape == (128, 128, 4)
+    assert int(aux["max_group_candidates"]) > 256  # saturated signal
+
+
+def test_renderer_uses_groups_and_adapts():
+    scene, config, cam = _setup(seed=9)
+    import dataclasses
+
+    config = dataclasses.replace(config, use_grouped_sort=True)
+    r = Renderer(scene, config)
+    assert r.use_groups
+    img = r.render(cam)
+    assert img.shape == (128, 128, 4) and img[..., 3].max() == 255
+    cap0 = r.group_capacity
+    img2 = r.render(cam)
+    assert r.group_capacity <= cap0  # adapted to measured max group
+    np.testing.assert_array_equal(img, img2)
