@@ -43,7 +43,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RenderConfig
-from .expand import segmented_expand
+from .geometry import (  # noqa: F401  (re-exported: tests + golden parity)
+    ALPHA_SCALE,
+    CENTER_SCALE,
+    _segment_hits_unit_circle,
+    _to_ellipse_coords,
+    ellipse_rect_overlap,
+    pack_bf16_pair,
+    pack_bf16_u16,
+    pack_center_u32,
+    pack_rgb_u32,
+)
 from .projection import SplatClipData
 
 DEPTH_BITS_PACKED = 19
@@ -72,55 +82,6 @@ def ellipse_aabb_half(ellipse: jnp.ndarray) -> jnp.ndarray:
     hx = jnp.abs(c * e0) + jnp.abs(s * e1)
     hy = jnp.abs(s * e0) + jnp.abs(c * e1)
     return jnp.stack([hx, hy], axis=-1)
-
-
-def _to_ellipse_coords(cx, cy, cos_t, sin_t, e0, e1, px, py):
-    """Map a clip-space point into the ellipse's unit-circle frame
-    (convertToEllipseCoordinates, cu:351-358)."""
-    dx = px - cx
-    dy = py - cy
-    lx = (dx * cos_t + dy * sin_t) / e0
-    ly = (dy * cos_t - dx * sin_t) / e1
-    return lx, ly
-
-
-def _segment_hits_unit_circle(x0, y0, x1, y1):
-    """Segment vs unit circle (intersectsUnitCircle, cu:361-372)."""
-    dx, dy = x1 - x0, y1 - y0
-    len_sqr = dx * dx + dy * dy
-    t = jnp.clip(-(x0 * dx + y0 * dy) / len_sqr, 0.0, 1.0)
-    # NaN-safe: clip(NaN) stays NaN, all comparisons below yield False,
-    # matching CUDA __saturatef(NaN) == 0 semantics in effect.
-    px = x0 + t * dx
-    py = y0 + t * dy
-    return px * px + py * py < 1.0
-
-
-def ellipse_rect_overlap(cx, cy, cos_t, sin_t, e0, e1,
-                         rect_min_x, rect_min_y, rect_max_x, rect_max_y):
-    """Exact oriented-ellipse / axis-aligned-rect overlap
-    (ellipseRectOverlap, cu:375-405): center-in-rect OR rect-center-in-
-    ellipse OR any rect edge intersects the unit circle in ellipse frame.
-    All arrays broadcast elementwise."""
-    overlaps = (
-        (cx > rect_min_x) & (cx < rect_max_x) & (cy > rect_min_y) & (cy < rect_max_y)
-    )
-
-    ell = (cx, cy, cos_t, sin_t, e0, e1)
-    mx = rect_min_x + (rect_max_x - rect_min_x) * 0.5
-    my = rect_min_y + (rect_max_y - rect_min_y) * 0.5
-    lx, ly = _to_ellipse_coords(*ell, mx, my)
-    overlaps |= lx * lx + ly * ly < 1.0
-
-    p0 = _to_ellipse_coords(*ell, rect_min_x, rect_min_y)
-    p1 = _to_ellipse_coords(*ell, rect_max_x, rect_min_y)
-    p2 = _to_ellipse_coords(*ell, rect_max_x, rect_max_y)
-    p3 = _to_ellipse_coords(*ell, rect_min_x, rect_max_y)
-    overlaps |= _segment_hits_unit_circle(*p0, *p1)
-    overlaps |= _segment_hits_unit_circle(*p1, *p2)
-    overlaps |= _segment_hits_unit_circle(*p2, *p3)
-    overlaps |= _segment_hits_unit_circle(*p3, *p0)
-    return overlaps
 
 
 # ---------------------------------------------------------------------------
@@ -198,62 +159,6 @@ class TilePairs(NamedTuple):
     num_pairs: jnp.ndarray         # scalar int32: pairs passing the exact test
 
 
-def pack_rgb_u32(colors: jnp.ndarray) -> jnp.ndarray:
-    """[3, N] planar float colors -> uint32 0x00RRGGBB (truncating, like
-    the reference's final uchar cast, cu:1007-1010)."""
-    c = (jnp.clip(colors, 0.0, 1.0) * 255.0).astype(jnp.uint32)
-    return (c[0] << 16) | (c[1] << 8) | c[2]
-
-
-CENTER_SCALE = 65535.0
-
-
-def pack_center_u32(cx: jnp.ndarray, cy: jnp.ndarray) -> jnp.ndarray:
-    """Clip-space center -> (x16 << 16 | y16) fixed point over [-1, 1]."""
-    qx = (jnp.clip((cx + 1.0) * 0.5, 0.0, 1.0) * CENTER_SCALE + 0.5).astype(jnp.uint32)
-    qy = (jnp.clip((cy + 1.0) * 0.5, 0.0, 1.0) * CENTER_SCALE + 0.5).astype(jnp.uint32)
-    return (qx << 16) | qy
-
-
-def pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Two f32 -> one u32 of round-to-nearest bf16 halves (a high, b low).
-
-    Used for the conic terms: the density quadratic tolerates ~0.4%
-    relative error on these (sub-LSB at the framebuffer), and dropping a
-    sort operand is worth more than the bits.
-    """
-
-    def rnd(x):
-        bits = x.view(jnp.uint32)
-        return (bits + 0x7FFF + ((bits >> 16) & 1)) & jnp.uint32(0xFFFF0000)
-
-    return rnd(a) | (rnd(b) >> 16)
-
-
-def pack_bf16_u16(a: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """f32 (as round-to-nearest bf16 high half) | 16-bit integer low half."""
-
-    bits = a.view(jnp.uint32)
-    hi = (bits + 0x7FFF + ((bits >> 16) & 1)) & jnp.uint32(0xFFFF0000)
-    return hi | (q & jnp.uint32(0xFFFF))
-
-
-ALPHA_SCALE = 65535.0
-
-
-# Row layout of the segmented-expand output ([R, C] planar; rows 0-1 are
-# the segment bounds the kernel prepends).  The tile rect is packed into
-# ONE row — (x0*128 + y0)*128 + w < 2^20, exact in f32, and /128 splits
-# are exact power-of-two float ops — so the whole expand payload is
-# 14 rows = 16 with the bounds, exactly one sublane tile (the unpacked
-# layout padded to 24 rows and cost 50% more DMA + MXU).
-_R_EXCL, _R_INCL = 0, 1
-_R_GEOM, _R_DEPTH, _R_IDX = 2, 3, 4
-_R_COS, _R_SIN, _R_E0, _R_E1 = 5, 6, 7, 8
-_R_CX, _R_CY = 9, 10
-_R_CA, _R_CB, _R_CC, _R_RGB, _R_ALPHA = 11, 12, 13, 14, 15
-
-
 def build_tile_pairs(
     clip_data: SplatClipData,
     colors: jnp.ndarray,
@@ -264,9 +169,25 @@ def build_tile_pairs(
     row_band=None,
     interpret=None,
 ) -> TilePairs:
-    """Phase 2: expansion + exact test + key emission, all static-shape."""
+    """Phase 2: expansion + exact test + key emission, all static-shape.
+
+    Thin wrapper over ops.expand.emit_pairs, which fuses the segment
+    expansion, the exact ellipse/rect test, and the key/attribute packing
+    into one Pallas kernel (the per-slot math used to be an XLA post-pass
+    costing ~7 ms of intermediate HBM traffic at 6.3M slots).
+    """
+    from .expand import (
+        OUT_AB,
+        OUT_CAL,
+        OUT_CXCY,
+        OUT_KEY0,
+        OUT_KEY1,
+        OUT_RGB,
+        OUT_VALUES,
+        emit_pairs,
+    )
+
     rects = splat_tile_rects(clip_data, config, row_band=row_band)
-    tiles_x = config.tiles_x
 
     incl = jnp.cumsum(rects.counts)                       # [N] inclusive
     total = incl[-1]
@@ -294,7 +215,6 @@ def build_tile_pairs(
             clip_data.sin_t,
             clip_data.e0,
             clip_data.e1,
-            # raster attrs, contiguous:
             clip_data.cx,
             clip_data.cy,
             clip_data.con_a,
@@ -303,69 +223,26 @@ def build_tile_pairs(
             rgb_u32.astype(jnp.float32),       # < 2^24, exact in f32
             opacities,
         ]
-    )  # [14, N]
+    )  # [14, N] — layout must match ops.expand.R_* indices
 
-    filled = segmented_expand(rows, incl, capacity, interpret=interpret)  # [R, C]
-    slots = jnp.arange(capacity, dtype=jnp.int32)
-    in_range = slots < jnp.minimum(total, capacity)
+    out = emit_pairs(rows, incl, capacity, config, interpret=interpret)
 
-    # Unpack the rect row; /256 is an exact power-of-two float division.
-    g = filled[_R_GEOM]
-    g_hi = jnp.floor(g * (1.0 / 256.0))
-    w_raw = g - g_hi * 256.0
-    x0_f = jnp.floor(g_hi * (1.0 / 256.0))
-    y0_f = g_hi - x0_f * 256.0
+    def u32(r):
+        return jax.lax.bitcast_convert_type(out[r], jnp.uint32)
 
-    # Local tile coordinates within the owning splat's rect, in float:
-    # integer div/mod with a VECTOR divisor lowers to a serial loop on
-    # TPU (~20 ms at 4M slots).  Float division is exact here — operands
-    # are integers < 2^24 and the quotient's fractional part is at most
-    # (w-1)/w <= 63/64, far beyond f32 rounding of the ratio.
-    w_f = jnp.maximum(w_raw, 1.0)
-    local_f = slots.astype(jnp.float32) - filled[_R_EXCL]
-    ly_f = jnp.floor(local_f / w_f)
-    lx_f = local_f - ly_f * w_f
-    gx_f = x0_f + lx_f
-    gy_f = y0_f + ly_f
-    splat_idx = filled[_R_IDX].astype(jnp.int32)
-
-    # Candidate tile rect in clip space (cu:653-664).
-    tile_clip_w = 2.0 * config.tile_size / config.screen_w
-    tile_clip_h = 2.0 * config.tile_size / config.screen_h
-    tcx = gx_f * tile_clip_w - 1.0
-    tcy = gy_f * tile_clip_h - 1.0
-    hit = ellipse_rect_overlap(
-        filled[_R_CX], filled[_R_CY],
-        filled[_R_COS], filled[_R_SIN], filled[_R_E0], filled[_R_E1],
-        tcx, tcy, tcx + tile_clip_w, tcy + tile_clip_h,
-    )
-    valid = in_range & hit
-
-    # tile id computed in f32 (exact: < 65026 < 2^24), cast once.
-    tile_id = (gy_f * tiles_x + gx_f).astype(jnp.uint32)
-    q_s = filled[_R_DEPTH].astype(jnp.uint32)
-    values = jnp.where(valid, splat_idx, -1)
-    cxcy = pack_center_u32(filled[_R_CX], filled[_R_CY])
-    con_ab = pack_bf16_pair(filled[_R_CA], filled[_R_CB])
-    alpha16 = (
-        jnp.clip(filled[_R_ALPHA], 0.0, 1.0) * ALPHA_SCALE + 0.5
-    ).astype(jnp.uint32)
-    con_c_alpha = pack_bf16_u16(filled[_R_CC], alpha16)
-    attrs = (cxcy, con_ab, con_c_alpha, filled[_R_RGB])
-
+    values = jax.lax.bitcast_convert_type(out[OUT_VALUES], jnp.int32)
+    attrs = (u32(OUT_CXCY), u32(OUT_AB), u32(OUT_CAL), out[OUT_RGB])
     if config.depth_bits == DEPTH_BITS_PACKED:
-        key = (tile_id << DEPTH_BITS_PACKED) | q_s
-        keys = (jnp.where(valid, key, SENTINEL_KEY_U32),)
+        keys = (u32(OUT_KEY0),)
     else:
-        tile_op = jnp.where(valid, tile_id, jnp.uint32(config.sentinel_tile))
-        keys = (tile_op, jnp.where(valid, q_s << jnp.uint32(8), SENTINEL_KEY_U32))
+        keys = (u32(OUT_KEY0), u32(OUT_KEY1))
 
     return TilePairs(
         keys=keys,
         values=values,
         attrs=attrs,
         num_candidates=total.astype(jnp.int32),
-        num_pairs=jnp.sum(valid).astype(jnp.int32),
+        num_pairs=jnp.sum(values >= 0).astype(jnp.int32),
     )
 
 
@@ -481,7 +358,7 @@ def build_tile_pairs_grouped(
     """
     if config.depth_bits != DEPTH_BITS_PACKED:
         raise ValueError("grouped emission requires depth_bits=19 (packed keys)")
-    from .expand import WINDOW, grouped_expand
+    from .expand import GROUPED_WINDOW as WINDOW, grouped_expand
 
     rects = splat_tile_rects(clip_data, config, row_band=row_band)
     tiles_x = config.tiles_x

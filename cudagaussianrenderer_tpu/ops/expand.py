@@ -1,51 +1,101 @@
-"""Segmented expand — the Pallas workhorse behind tile-list construction.
+"""Tile-list emission kernels — the Pallas workhorses behind stage C.
 
-Problem: replicate per-splat attribute vectors across their candidate-tile
-segments — slot j of the pair list gets the attributes of the splat whose
-[excl_i, incl_i) prefix-sum segment contains j.  The CUDA reference does
-this with warp scans + shared-memory staging (GaussianRender.cu:566-628);
-XLA formulations need a gather / scatter / searchsorted over millions of
-slots, all of which execute serially on TPU (measured ~100+ ms at 1M
-splats on v5e).
+Problem: slot j of the fixed-capacity pair list belongs to the splat whose
+[excl_i, incl_i) candidate-count prefix segment contains j; the slot needs
+that splat's attributes, its local tile coordinates, the exact
+ellipse/rect test, and the packed sort operands.  The CUDA reference does
+the expansion with warp scans + shared-memory staging
+(GaussianRender.cu:566-628); XLA formulations need a gather / scatter /
+searchsorted over millions of slots, all of which execute serially on TPU
+(measured ~100+ ms at 1M splats on v5e).
 
-TPU-native approach: one-hot selection on the MXU.
-  * The slot axis is blocked; a tiny host-side searchsorted gives each
-    block its first owning splat (scalar-prefetched).
-  * Each block DMAs a lane-aligned window of splat rows, builds the
-    match matrix M[j, w] = (excl_w <= j) & (j < incl_w) with iota
-    compares, and computes out[:, j] = attrs_window @ M^T on the MXU.
-  * Selection is EXACT: each output element is 1*x + 0*... in float32,
-    so float payloads pass through bit-identically and integer payloads
-    are exact for values < 2^24 (all of ours are).
-  * Windows wider than one tile of splats (dense runs of zero-count,
-    culled splats) are handled by accumulating over sub-windows in a
-    loop — each slot matches exactly one splat globally, so the
-    accumulation stays exact.  Window DMAs are double-buffered.
-  * Blocks entirely past the candidate total short-circuit to zeros
-    (with a generous capacity, a third of the list can be dead).
+TPU-native approach — one fused kernel:
+  * The slot axis is blocked; a host-side searchsorted gives each block
+    its first owning splat (scalar-prefetched).
+  * Each block DMAs lane-aligned windows of splat rows, builds the match
+    matrix M[j, w] = (excl_w <= j) & (j < incl_w) with iota compares, and
+    selects out[:, j] = rows_window @ M^T on the MXU.
+  * Selection is EXACT: each payload is split into three bf16-exact
+    truncation parts (8 mantissa bits each); 1.0 * part is exact and the
+    telescoping re-sum in f32 is exact, so f32 payloads pass through
+    bit-identically and integers < 2^24 exactly.
+  * The per-slot emission math — tile-rect unpack, local tile coords,
+    the exact ellipse/rect overlap test, sort-key and attribute packing —
+    runs IN-KERNEL on the selected rows: keeping it in VMEM instead of a
+    post-pass saved ~7 ms/frame of XLA intermediate HBM traffic at 6.3M
+    slots, and the kernel writes 8 output rows instead of 16.
+  * Window DMAs are double-buffered, and each block's first window is
+    prefetched by its predecessor (cross-block software pipeline), hiding
+    the per-block HBM latency.
+  * Blocks entirely past the candidate total emit sentinel keys directly.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..config import RenderConfig
+from .geometry import ALPHA_SCALE, CENTER_SCALE, ellipse_rect_overlap
+
 # Slots per grid block and splats per DMA window.
 MAX_BLOCK = 1024
-WINDOW = 512
+WINDOW = 256
 
 # f32 can represent integers exactly only below 2^24; all integer payloads
-# (prefix sums clamped to capacity, tile coords, packed rgb, splat ids)
-# must stay under this.
+# (prefix sums clamped to capacity, packed tile rects, packed rgb, splat
+# ids) must stay under this.
 MAX_EXACT_I32 = 1 << 24
 
+# Input row layout fed to the kernels ([14, N] planar f32; the kernels
+# prepend the excl/incl prefix rows -> 16 rows, one sublane tile).
+R_GEOM, R_DEPTH, R_IDX = 0, 1, 2
+R_COS, R_SIN, R_E0, R_E1 = 3, 4, 5, 6
+R_CX, R_CY = 7, 8
+R_CA, R_CB, R_CC, R_RGB, R_ALPHA = 9, 10, 11, 12, 13
+NUM_ROWS_IN = 14
 
-def _expand_kernel(
-    starts_ref, rows_hbm, out_ref, win_buf, sems, *, num_rows, block
+# Output row layout ([8, C] f32 bit-carriers).
+OUT_KEY0, OUT_KEY1, OUT_VALUES = 0, 1, 2
+OUT_CXCY, OUT_AB, OUT_CAL, OUT_RGB = 3, 4, 5, 6
+NUM_ROWS_OUT = 8
+
+DEPTH_SHIFT = 19
+SENTINEL_KEY = 0xFFFFFFFF
+
+
+def _bf16_triple_select(win, match):
+    """Exact one-hot row selection: three single-pass bf16 matmuls."""
+    mask = jnp.uint32(0xFFFF0000)
+    hi = pltpu.bitcast(pltpu.bitcast(win, jnp.uint32) & mask, jnp.float32)
+    r1 = win - hi
+    mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
+    lo = r1 - mid
+
+    def sel(part):
+        return jax.lax.dot_general(
+            part.astype(jnp.bfloat16),
+            match,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return (sel(hi) + sel(mid)) + sel(lo)
+
+
+def _rnd_bf16_bits_u32(x):
+    bits = pltpu.bitcast(x, jnp.uint32)
+    return (bits + 0x7FFF + ((bits >> 16) & 1)) & jnp.uint32(0xFFFF0000)
+
+
+def _emit_kernel(
+    starts_ref, rows_hbm, out_ref, win_buf, sems, *, block, config: RenderConfig
 ):
     b = pl.program_id(0)
     s0 = starts_ref[b]
@@ -55,67 +105,245 @@ def _expand_kernel(
     num_windows = (s1 - a0) // WINDOW + 1
 
     live = b * block < total
+    packed = config.depth_bits == 19
+    tiles_x = config.tiles_x
+    tcw = 2.0 * config.tile_size / config.screen_w
+    tch = 2.0 * config.tile_size / config.screen_h
 
-    def make_dma(slot, wi):
+    def make_dma(slot, base, wi):
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(a0 + wi * WINDOW, WINDOW)],
+            rows_hbm.at[:, pl.ds(base + wi * WINDOW, WINDOW)],
             win_buf.at[slot],
             sems.at[slot],
         )
 
+    # Cross-block software pipeline: window 0 of block b lives in slot
+    # 2 + (b % 2), issued by block b-1 (block 0 issues its own), so the
+    # first-window HBM latency overlaps the previous block's compute.
+    # Slots 0/1 double-buffer the remaining windows.
+    my_w0 = 2 + jax.lax.rem(b, 2)
+
+    @pl.when(b == 0)
+    def _():
+        make_dma(my_w0, a0, 0).start()
+
+    @pl.when(b + 1 < pl.num_programs(0))
+    def _():
+        next_a0 = (starts_ref[b + 1] // 128) * 128
+        make_dma(2 + jax.lax.rem(b + 1, 2), next_a0, 0).start()
+
+    # Every block's w0 was issued (by its predecessor or itself); always
+    # consume it so the semaphore stays balanced even for dead blocks.
+    make_dma(my_w0, a0, 0).wait()
+
     @pl.when(jnp.logical_not(live))
     def _():
-        out_ref[:, :] = jnp.zeros((num_rows, block), jnp.float32)
+        # All-sentinel block: keys sort to the dead suffix, values = -1.
+        zero = jnp.zeros((1, block), jnp.float32)
+        sent = jnp.full((1, block), SENTINEL_KEY, jnp.uint32)
+        if packed:
+            out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = pltpu.bitcast(sent, jnp.float32)
+            out_ref[OUT_KEY1 : OUT_KEY1 + 1, :] = zero
+        else:
+            tile_sent = jnp.full(
+                (1, block), config.sentinel_tile, jnp.uint32
+            )
+            out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = pltpu.bitcast(tile_sent, jnp.float32)
+            out_ref[OUT_KEY1 : OUT_KEY1 + 1, :] = pltpu.bitcast(sent, jnp.float32)
+        out_ref[OUT_VALUES : OUT_VALUES + 1, :] = pltpu.bitcast(
+            jnp.full((1, block), -1, jnp.int32), jnp.float32
+        )
+        out_ref[OUT_CXCY:NUM_ROWS_OUT, :] = jnp.zeros(
+            (NUM_ROWS_OUT - OUT_CXCY, block), jnp.float32
+        )
 
     @pl.when(live)
     def _():
-        # Absolute slot index of each output column, on sublanes for the
-        # match-matrix build.
-        j = (
+        # Absolute slot index of each output column: on sublanes for the
+        # match-matrix build, on lanes for the emission math.
+        j_sub = (
             b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
         ).astype(jnp.float32)
+        j_lane = (
+            b * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        ).astype(jnp.float32)
 
-        make_dma(0, 0).start()
+        @pl.when(num_windows > 1)
+        def _():
+            make_dma(1, a0, 1).start()
 
         def body(wi, acc):
-            slot = jax.lax.rem(wi, 2)
+            slot = jnp.where(wi == 0, my_w0, jax.lax.rem(wi, 2))
 
-            @pl.when(wi + 1 < num_windows)
+            @pl.when((wi + 1 < num_windows) & (wi > 0))
             def _():
-                make_dma(1 - slot, wi + 1).start()
+                make_dma(1 - jax.lax.rem(wi, 2), a0, wi + 1).start()
 
-            make_dma(slot, wi).wait()
+            @pl.when(wi > 0)
+            def _():
+                make_dma(jax.lax.rem(wi, 2), a0, wi).wait()
+
             win = win_buf[slot]
             excl = win[0:1, :]  # [1, WINDOW]
             incl = win[1:2, :]
-            match = ((excl <= j) & (j < incl)).astype(jnp.bfloat16)  # [block, W]
-
-            # Exact f32 selection via three single-pass bf16 matmuls:
-            # truncation-split x = hi + mid + lo (8+8+8 mantissa bits, each
-            # part bf16-representable), select each part with the one-hot
-            # match (1.0 * part is exact), re-sum in f32 (telescoping sums
-            # of the parts are exactly representable).  Half the MXU passes
-            # of a Precision.HIGHEST f32 matmul.
-            mask = jnp.uint32(0xFFFF0000)
-            hi = pltpu.bitcast(pltpu.bitcast(win, jnp.uint32) & mask, jnp.float32)
-            r1 = win - hi
-            mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
-            lo = r1 - mid
-
-            def sel(part):
-                return jax.lax.dot_general(
-                    part.astype(jnp.bfloat16),
-                    match,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [num_rows, block]
-
-            return acc + (sel(hi) + sel(mid)) + sel(lo)
+            match = ((excl <= j_sub) & (j_sub < incl)).astype(jnp.bfloat16)
+            return acc + _bf16_triple_select(win, match)
 
         acc = jax.lax.fori_loop(
-            0, num_windows, body, jnp.zeros((num_rows, block), jnp.float32)
+            0, num_windows, body, jnp.zeros((16, block), jnp.float32)
         )
-        out_ref[:, :] = acc
+
+        # ---- fused per-slot emission math (all VMEM-resident) ----
+        def row(r):
+            return acc[2 + r : 3 + r, :]  # [1, block]
+
+        excl = acc[0:1, :]
+        in_range = j_lane < jnp.minimum(
+            total.astype(jnp.float32), float(block * pl.num_programs(0))
+        )
+
+        # Tile rect unpack; /256 is an exact power-of-two float division.
+        g = row(R_GEOM)
+        g_hi = jnp.floor(g * (1.0 / 256.0))
+        w_raw = g - g_hi * 256.0
+        x0 = jnp.floor(g_hi * (1.0 / 256.0))
+        y0 = g_hi - x0 * 256.0
+
+        # Local tile coords: float division is exact (ints < 2^24,
+        # fractional part of the quotient bounded away from rounding).
+        w_f = jnp.maximum(w_raw, 1.0)
+        local = j_lane - excl
+        ly = jnp.floor(local / w_f)
+        lx = local - ly * w_f
+        gx = x0 + lx
+        gy = y0 + ly
+
+        # Exact ellipse/rect test (cu:653-679) on the candidate tile.
+        tcx = gx * tcw - 1.0
+        tcy = gy * tch - 1.0
+        hit = ellipse_rect_overlap(
+            row(R_CX), row(R_CY), row(R_COS), row(R_SIN), row(R_E0), row(R_E1),
+            tcx, tcy, tcx + tcw, tcy + tch,
+        )
+        valid = in_range & hit
+
+        # Mosaic has no f32->u32 cast; values are < 2^31 so go via i32.
+        def to_u32(x):
+            return pltpu.bitcast(x.astype(jnp.int32), jnp.uint32)
+
+        tile_u = to_u32(gy * float(tiles_x) + gx)
+        q_u = to_u32(row(R_DEPTH))
+        sent = jnp.full((1, block), SENTINEL_KEY, jnp.uint32)
+        if packed:
+            key = (tile_u << DEPTH_SHIFT) | q_u
+            key0 = jnp.where(valid, key, sent)
+            key1 = jnp.zeros((1, block), jnp.uint32)
+        else:
+            key0 = jnp.where(
+                valid, tile_u, jnp.uint32(config.sentinel_tile)
+            )
+            key1 = jnp.where(valid, q_u << 8, sent)
+
+        values = jnp.where(
+            valid, row(R_IDX).astype(jnp.int32), -1
+        )
+
+        # Packed raster attributes (sort operands).
+        def q16(x):
+            return to_u32(jnp.clip((x + 1.0) * 0.5, 0.0, 1.0) * CENTER_SCALE + 0.5)
+
+        cxcy = (q16(row(R_CX)) << 16) | q16(row(R_CY))
+        ab = _rnd_bf16_bits_u32(row(R_CA)) | (_rnd_bf16_bits_u32(row(R_CB)) >> 16)
+        alpha16 = to_u32(jnp.clip(row(R_ALPHA), 0.0, 1.0) * ALPHA_SCALE + 0.5)
+        cal = _rnd_bf16_bits_u32(row(R_CC)) | alpha16
+
+        out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = pltpu.bitcast(key0, jnp.float32)
+        out_ref[OUT_KEY1 : OUT_KEY1 + 1, :] = pltpu.bitcast(key1, jnp.float32)
+        out_ref[OUT_VALUES : OUT_VALUES + 1, :] = pltpu.bitcast(values, jnp.float32)
+        out_ref[OUT_CXCY : OUT_CXCY + 1, :] = pltpu.bitcast(cxcy, jnp.float32)
+        out_ref[OUT_AB : OUT_AB + 1, :] = pltpu.bitcast(ab, jnp.float32)
+        out_ref[OUT_CAL : OUT_CAL + 1, :] = pltpu.bitcast(cal, jnp.float32)
+        out_ref[OUT_RGB : OUT_RGB + 1, :] = row(R_RGB)
+        out_ref[NUM_ROWS_OUT - 1 : NUM_ROWS_OUT, :] = jnp.zeros(
+            (1, block), jnp.float32
+        )
+
+
+def emit_pairs(
+    rows: jnp.ndarray,
+    incl: jnp.ndarray,
+    capacity: int,
+    config: RenderConfig,
+    *,
+    interpret=None,
+) -> jnp.ndarray:
+    """Expand + test + pack the pair list in one fused kernel.
+
+    rows: [14, N] float32 per-splat attribute rows (layout R_*; integers
+          pre-cast to f32, all < 2^24).
+    incl: [N] int32 inclusive prefix sum of candidate counts.
+    Returns [8, capacity] float32 bit-carrier rows (layout OUT_*): sort
+    keys, splat indices (-1 = invalid), and the packed raster attributes.
+    Slots beyond the candidate total carry sentinel keys.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block = MAX_BLOCK
+    while block > 128 and capacity % block:
+        block //= 2
+    if capacity % block != 0:
+        raise ValueError(f"capacity must be a multiple of {block}")
+    if capacity + 1 >= MAX_EXACT_I32:
+        raise ValueError("capacity too large for exact f32 selection")
+    a, n = rows.shape
+    assert a == NUM_ROWS_IN, a
+
+    clamp = capacity + 1
+    incl_c = jnp.minimum(incl, clamp)
+    # excl[i] = incl[i-1] (exclusive prefix), excl[0] = 0.
+    excl_c = jnp.minimum(jnp.pad(incl[:-1], (1, 0)), clamp)
+
+    full = jnp.concatenate(
+        [excl_c[None].astype(jnp.float32), incl_c[None].astype(jnp.float32), rows]
+    )  # [16, N]
+    # Columns padded so aligned windows can run past the last splat.
+    full = jnp.pad(full, ((0, 0), (0, 2 * WINDOW + 128)))
+
+    nblocks = capacity // block
+    # First splat owning each block's first slot, a final bound, and the
+    # candidate total (for dead-block short-circuiting).
+    probes = jnp.arange(nblocks + 1, dtype=jnp.int32) * block
+    starts = jnp.clip(
+        jnp.searchsorted(incl_c, probes, side="right").astype(jnp.int32), 0, n - 1
+    )
+    starts = jnp.concatenate([starts, jnp.minimum(incl[-1:], capacity)])
+
+    kernel = functools.partial(_emit_kernel, block=block, config=config)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((NUM_ROWS_OUT, block), lambda i, *_: (0, i)),
+        scratch_shapes=[
+            # Slots 0/1: in-block double buffer; 2/3: cross-block
+            # first-window pipeline (by block parity).
+            pltpu.VMEM((4, 16, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NUM_ROWS_OUT, capacity), jnp.float32),
+        interpret=interpret,
+    )(starts, full)
+
+
+# ---------------------------------------------------------------------------
+# Keyspace-grouped expansion (experimental; see binning.py)
+# ---------------------------------------------------------------------------
+
+GROUPED_WINDOW = 512
 
 
 def _grouped_expand_kernel(
@@ -144,10 +372,11 @@ def _grouped_expand_kernel(
     c_lo = (blo % tiles_x).astype(jnp.float32)
     r_hi = (bhi // tiles_x).astype(jnp.float32)
     c_hi = (bhi % tiles_x).astype(jnp.float32)
+    W = GROUPED_WINDOW
 
     def make_dma(slot, wi):
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds((ws + wi) * WINDOW, WINDOW)],
+            rows_hbm.at[:, pl.ds((ws + wi) * W, W)],
             win_buf.at[slot],
             sems.at[slot],
         )
@@ -161,7 +390,7 @@ def _grouped_expand_kernel(
         q = (
             b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
         ).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
         make_dma(0, 0).start()
 
@@ -196,7 +425,7 @@ def _grouped_expand_kernel(
             # Inclusive cumsum along lanes (exact f32, values < 2^24).
             cum = counts
             shift = 1
-            while shift < WINDOW:
+            while shift < W:
                 rolled = pltpu.roll(cum, shift, axis=1)
                 cum = cum + jnp.where(lane >= shift, rolled, 0.0)
                 shift *= 2
@@ -208,23 +437,8 @@ def _grouped_expand_kernel(
             # one selection pass carries it to the output.
             win_buf[slot, 15:16, :] = excl
             win = win_buf[slot]
-
-            mask = jnp.uint32(0xFFFF0000)
-            hi = pltpu.bitcast(pltpu.bitcast(win, jnp.uint32) & mask, jnp.float32)
-            r1 = win - hi
-            mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
-            lo = r1 - mid
-
-            def sel(part):
-                return jax.lax.dot_general(
-                    part.astype(jnp.bfloat16),
-                    match,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [16, block]
-
-            acc = acc + (sel(hi) + sel(mid)) + sel(lo)
-            return incl[0, WINDOW - 1], acc
+            acc = acc + _bf16_triple_select(win, match)
+            return incl[0, W - 1], acc
 
         base0 = base_ref[pid].astype(jnp.float32)
         _, acc = jax.lax.fori_loop(
@@ -249,22 +463,20 @@ def grouped_expand(
     *,
     interpret=None,
 ) -> jnp.ndarray:
-    """Keyspace-grouped expansion.
+    """Keyspace-grouped expansion (see binning.build_tile_pairs_grouped).
 
     The pair list is emitted as ``n_groups`` independent segments, group g
     covering the contiguous tile range [boundaries[g], boundaries[g+1]).
-    Group boundaries are data-dependent (chosen at equal candidate-count
-    quantiles), so the per-splat segment bounds cannot be precomputed like
-    segmented_expand's prefix rows; instead each block reconstructs them
-    on the fly: window rect rows -> per-splat in-group candidate counts
-    (closed form) -> lane cumsum -> running prefix carried across windows,
-    seeded from window-granular checkpoints.
+    Group boundaries are data-dependent (equal candidate-count quantiles),
+    so per-splat segment bounds cannot be precomputed; each block
+    reconstructs them on the fly: window rect rows -> per-splat in-group
+    candidate counts (closed form) -> lane cumsum -> running prefix
+    carried across windows, seeded from window-granular checkpoints.
 
     rows: [15, Npad] f32 attr rows, geomA=(x0*256+y0), geomB=(w*256+h)
-          first; Npad a multiple of WINDOW.
-    ckpt_incl: [G, nwin] i32/f32 inclusive per-window candidate prefixes.
-    boundaries: [G+1] i32 tile ids.
-    group_counts: [G] i32 candidates per group.
+          first; Npad a multiple of GROUPED_WINDOW.
+    ckpt_incl: [G, nwin] i32 inclusive per-window candidate prefixes.
+    boundaries: [G+1] i32 tile ids.  group_counts: [G] i32.
     Returns [16, G * group_capacity]: rows 0..14 = selected attr rows,
     row 15 = owning splat's in-group exclusive prefix.  Slots past a
     group's count are zero.
@@ -279,8 +491,8 @@ def grouped_expand(
     if n_groups * group_capacity + 1 >= MAX_EXACT_I32:
         raise ValueError("grouped capacity too large for exact f32 selection")
     a, npad = rows.shape
-    assert a == 15 and npad % WINDOW == 0, (a, npad)
-    nwin = npad // WINDOW
+    assert a == 15 and npad % GROUPED_WINDOW == 0, (a, npad)
+    nwin = npad // GROUPED_WINDOW
     nb = group_capacity // block
 
     rows16 = jnp.concatenate([rows, jnp.zeros((1, npad), rows.dtype)])
@@ -308,7 +520,7 @@ def grouped_expand(
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((16, block), lambda i, *_: (0, i)),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, WINDOW), jnp.float32),
+            pltpu.VMEM((2, 16, GROUPED_WINDOW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -318,69 +530,3 @@ def grouped_expand(
         out_shape=jax.ShapeDtypeStruct((16, n_groups * group_capacity), jnp.float32),
         interpret=interpret,
     )(ws.reshape(-1), nw.reshape(-1), base.reshape(-1), boundaries, rows16)
-
-
-def segmented_expand(
-    rows: jnp.ndarray, incl: jnp.ndarray, capacity: int, *, interpret=None
-) -> jnp.ndarray:
-    """Expand per-splat rows into per-slot rows.
-
-    rows: [A, N] float32 per-splat attributes (integers pre-cast to f32,
-          all values < 2^24 in magnitude).
-    incl: [N] int32 inclusive prefix sum of candidate counts.
-    Returns [R, capacity] float32 planar rows, R = A + 2 rounded up to a
-    sublane multiple: row 0 = segment start (excl), row 1 = segment end
-    (incl) — both clamped to capacity + 1 — rows 2..A+1 the expanded
-    attributes, and zero padding rows after.  Slots beyond the total
-    candidate count are all-zero.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    block = MAX_BLOCK
-    while block > 128 and capacity % block:
-        block //= 2
-    if capacity % block != 0:
-        raise ValueError(f"capacity must be a multiple of {block}")
-    if capacity + 1 >= MAX_EXACT_I32:
-        raise ValueError("capacity too large for exact f32 selection")
-    a, n = rows.shape
-
-    clamp = capacity + 1
-    incl_c = jnp.minimum(incl, clamp)
-    # excl[i] = incl[i-1] (exclusive prefix), excl[0] = 0.
-    excl_c = jnp.minimum(jnp.pad(incl[:-1], (1, 0)), clamp)
-
-    full = jnp.concatenate(
-        [excl_c[None].astype(jnp.float32), incl_c[None].astype(jnp.float32), rows]
-    )  # [A + 2, N]
-    # Row count padded to a sublane multiple (Mosaic DMA tiling), columns
-    # padded so aligned windows can run past the last splat.
-    num_rows = -(-(a + 2) // 8) * 8
-    full = jnp.pad(full, ((0, num_rows - (a + 2)), (0, 2 * WINDOW + 128)))
-
-    nblocks = capacity // block
-    # First splat owning each block's first slot, a final bound, and the
-    # candidate total (for dead-block short-circuiting).
-    probes = jnp.arange(nblocks + 1, dtype=jnp.int32) * block
-    starts = jnp.clip(
-        jnp.searchsorted(incl_c, probes, side="right").astype(jnp.int32), 0, n - 1
-    )
-    starts = jnp.concatenate([starts, jnp.minimum(incl[-1:], capacity)])
-
-    kernel = functools.partial(_expand_kernel, num_rows=num_rows, block=block)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((num_rows, block), lambda i, *_: (0, i)),
-        scratch_shapes=[
-            pltpu.VMEM((2, num_rows, WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_rows, capacity), jnp.float32),
-        interpret=interpret,
-    )(starts, full)

@@ -153,7 +153,7 @@ class Renderer:
             self.n_groups *= 2
         self.group_capacity = self._group_bucket(self.capacity // self.n_groups)
 
-    # Hard capacity ceiling: segmented_expand's exact f32 one-hot selection
+    # Hard capacity ceiling: the emit kernel's exact f32 one-hot selection
     # requires capacity + 1 < 2^24.  Beyond it the pipeline renders with a
     # truncated list forever (the reference's saturation semantics,
     # cu:700-703) instead of raising mid-run.

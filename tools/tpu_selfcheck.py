@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""On-TPU compiled-numerics parity check.
+
+The CPU test suite runs the Pallas kernels in interpreter mode; this is
+the one command to run on a real chip to catch compiled-path drift
+(bf16-triple splits, pltpu.roll/matmul scans, DMA alignment masking):
+
+    python tools/tpu_selfcheck.py
+
+Renders small procedural scenes with the COMPILED kernels on the default
+backend and asserts the same golden-oracle tolerances the CPU suite uses
+(tests/test_pipeline.py), plus flat-vs-grouped bit-identity.  Exits 0 on
+pass, 1 on drift.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+
+from cudagaussianrenderer_tpu.config import RenderConfig
+from cudagaussianrenderer_tpu.golden import golden_render, scene_to_numpy
+from cudagaussianrenderer_tpu.models.camera import Camera
+from cudagaussianrenderer_tpu.models.scene import random_scene
+from cudagaussianrenderer_tpu.render import render_frame
+
+FAILURES = []
+
+
+def check(name, got, want, *, pix_tol=8, frac=0.02):
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    bad = float((diff > pix_tol).any(axis=-1).mean())
+    status = "ok" if bad <= frac else "DRIFT"
+    print(f"{name:42s} bad_px={bad:.4f} max_diff={int(diff.max()):3d}  {status}")
+    if bad > frac:
+        FAILURES.append(name)
+
+
+def main():
+    backend = jax.default_backend()
+    print(f"backend: {backend} (compiled kernels: {backend == 'tpu'})")
+    if backend != "tpu":
+        print("WARNING: not a TPU backend — this checks interpret mode only")
+
+    cases = [
+        ("gaussian 128px", dict(n=500, seed=2, cfg=dict(screen_size=128))),
+        ("epanechnikov 128px", dict(n=500, seed=2, cfg=dict(screen_size=128, falloff="epanechnikov"))),
+        ("sh-degree-3 128px", dict(n=300, seed=8, sh=3, cfg=dict(screen_size=128))),
+        ("rect 192x128", dict(n=400, seed=6, cfg=dict(screen_size=192, screen_height=128))),
+    ]
+    for name, c in cases:
+        config = RenderConfig(**c["cfg"])
+        scene = random_scene(c["n"], seed=c["seed"], sh_degree=c.get("sh", 0)).pad_to_multiple(256)
+        cam = Camera(aspect=config.aspect).framed(scene.bounds_min, scene.bounds_max)
+        got, _ = jax.jit(
+            lambda s, cd, cfg=config: render_frame(s, cd, cfg, 16384)
+        )(scene, cam.camera_data())
+        got = np.asarray(got)
+        want = golden_render(scene_to_numpy(scene), cam.camera_data(), config)
+        check(name, got, want)
+
+    # Grouped emission must be bit-identical to the flat path when compiled.
+    config = RenderConfig(screen_size=128)
+    scene = random_scene(500, seed=3).pad_to_multiple(256)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    flat, _ = jax.jit(lambda s, cd: render_frame(s, cd, config, 16384))(
+        scene, cam.camera_data()
+    )
+    grouped, _ = jax.jit(
+        lambda s, cd: render_frame(s, cd, config, 0, groups=(4, 4096))
+    )(scene, cam.camera_data())
+    same = bool((np.asarray(flat) == np.asarray(grouped)).all())
+    print(f"{'grouped vs flat bit-identity':42s} {'ok' if same else 'DRIFT'}")
+    if not same:
+        FAILURES.append("grouped-vs-flat")
+
+    if FAILURES:
+        print(f"FAILED: {FAILURES}")
+        return 1
+    print("PASS: compiled numerics match the golden oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
