@@ -65,26 +65,6 @@ SENTINEL_KEY_U32 = np.uint32(0xFFFFFFFF)
 
 
 # ---------------------------------------------------------------------------
-# Geometry helpers (exact ellipse/rect overlap, cu:350-436)
-# ---------------------------------------------------------------------------
-
-def ellipse_aabb_half(ellipse: jnp.ndarray) -> jnp.ndarray:
-    """Half-extent of the AABB of an oriented ellipse (getAABBRect,
-    cu:408-436).
-
-    The AABB of {±principal ± minor} is componentwise
-    |principal| + |minor| around the center.
-    ellipse: [..., 4] = (cos, sin, ext_major, ext_minor).
-    Returns [..., 2].
-    """
-    c, s = ellipse[..., 0], ellipse[..., 1]
-    e0, e1 = ellipse[..., 2], ellipse[..., 3]
-    hx = jnp.abs(c * e0) + jnp.abs(s * e1)
-    hy = jnp.abs(s * e0) + jnp.abs(c * e1)
-    return jnp.stack([hx, hy], axis=-1)
-
-
-# ---------------------------------------------------------------------------
 # Phase 1: per-splat candidate tile rects + counts (cu:526-551)
 # ---------------------------------------------------------------------------
 

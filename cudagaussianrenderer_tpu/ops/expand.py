@@ -33,7 +33,6 @@ TPU-native approach — one fused kernel:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
