@@ -67,6 +67,9 @@ def main():
     # closer to the reference's dispatch-free CUDA-kernel-only timing.
     ap.add_argument("frames", nargs="?", type=int, default=16)
     ap.add_argument("--devices", type=int, default=1)
+    # The reference also publishes an Epanechnikov-falloff figure
+    # (README.md:133-136: 10.30 ms gaussian vs 8.84 ms epanechnikov).
+    ap.add_argument("--falloff", choices=["gaussian", "epanechnikov"], default="gaussian")
     ap.add_argument("--stages", action="store_true", default=True)
     ap.add_argument("--no-stages", dest="stages", action="store_false")
     args = ap.parse_args()
@@ -84,7 +87,7 @@ def main():
     scene = random_scene(
         args.n_splats, seed=0, min_scale=0.002, max_scale=0.053, extent=4.0
     ).pad_to_multiple(256 * args.devices)
-    config = RenderConfig(screen_size=1024)
+    config = RenderConfig(screen_size=1024, falloff=args.falloff)
     cams = orbit_cameras(scene.bounds_min, scene.bounds_max, args.frames)
     cam_stack = jax.tree.map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
