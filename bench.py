@@ -170,7 +170,7 @@ def main():
         pairs = jax.jit(
             lambda cl, s: build_tile_pairs(cl, s.colors, s.opacities, config, capacity)
         )(clip, scene)
-        skeys, _, sattrs = jax.jit(sort_pairs)(pairs)
+        skeys, _, sattrs = jax.jit(lambda p: sort_pairs(p))(pairs)
         starts, counts = jax.jit(lambda k: tile_ranges(k, config))(skeys)
         pair_data = jax.jit(lambda a: pack_pair_data(a, config.raster_chunk))(sattrs)
         jax.block_until_ready(pair_data)
@@ -206,7 +206,7 @@ def main():
                 lambda s, k, *a: sum(
                     o[0].astype(jnp.float32) * 1e-9
                     for o in jax.lax.sort(
-                        (k ^ s.astype(jnp.uint32), *a), num_keys=1, is_stable=True
+                        (k ^ s.astype(jnp.uint32), *a), num_keys=1, is_stable=False
                     )
                 ),
                 (key0, *pairs.attrs),

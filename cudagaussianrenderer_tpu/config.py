@@ -56,6 +56,15 @@ class RenderConfig:
     # spatially ordered per frame.
     use_grouped_sort: bool = False
 
+    # --- sort semantics ---
+    # Stable sorting preserves emission (= splat index) order among
+    # equal-key pairs, making tie blending bit-reproducible across list
+    # layouts — at a measured 26% cost on the whole sort stage (XLA
+    # augments keys with indices).  The default (False) is still
+    # deterministic run-to-run and matches the reference more closely:
+    # CUDA's tie order depends on block scheduling (cu:672-712).
+    stable_sort: bool = False
+
     # --- sort key layout ---
     # Number of bits of quantized linear depth carried in the sort key.
     # 19 (default): a single uint32 key packs (tile_id << 19) | depth19 —

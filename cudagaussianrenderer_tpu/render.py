@@ -71,7 +71,7 @@ def render_frame(
             interpret=interpret,
         )
         sorted_keys, _, sorted_attrs = sort_pairs_grouped(
-            pairs, n_groups, group_capacity
+            pairs, n_groups, group_capacity, stable=config.stable_sort
         )
         starts, counts = tile_ranges_grouped(
             sorted_keys, boundaries, group_capacity, config
@@ -81,7 +81,7 @@ def render_frame(
         pairs = build_tile_pairs(
             clip, colors, scene.opacities, config, capacity, interpret=interpret
         )
-        sorted_keys, _, sorted_attrs = sort_pairs(pairs)
+        sorted_keys, _, sorted_attrs = sort_pairs(pairs, stable=config.stable_sort)
         starts, counts = tile_ranges(sorted_keys, config)
         extra = {}
     pair_data = pack_pair_data(sorted_attrs, config.raster_chunk)
@@ -268,7 +268,7 @@ class Renderer:
                     clip, colors, s.opacities, cfg, ng, gcap, interpret=interp
                 )
             )
-            sort_fn = jax.jit(lambda p: sort_pairs_grouped(p, ng, gcap))
+            sort_fn = jax.jit(lambda p: sort_pairs_grouped(p, ng, gcap, stable=cfg.stable_sort))
             rng_fn = jax.jit(
                 lambda keys, bounds: tile_ranges_grouped(keys, bounds, gcap, cfg)
             )
@@ -282,7 +282,7 @@ class Renderer:
                     None,
                 )
             )
-            sort_fn = jax.jit(sort_pairs)
+            sort_fn = jax.jit(lambda p: sort_pairs(p, stable=cfg.stable_sort))
             rng_fn = jax.jit(lambda keys, bounds: tile_ranges(keys, cfg))
         rast_fn = jax.jit(
             lambda attrs, starts, counts: rasterize_tiles(

@@ -22,7 +22,9 @@ from cudagaussianrenderer_tpu.render import Renderer, render_frame
 
 def _setup(n=500, seed=3, screen=128):
     scene = random_scene(n, seed=seed).pad_to_multiple(256)
-    config = RenderConfig(screen_size=screen)
+    # stable sort: grouped-vs-flat bit-identity requires reproducible tie
+    # order across the two list shapes.
+    config = RenderConfig(screen_size=screen, stable_sort=True)
     cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
     return scene, config, cam
 

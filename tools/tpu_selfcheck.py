@@ -62,8 +62,9 @@ def main():
         want = golden_render(scene_to_numpy(scene), cam.camera_data(), config)
         check(name, got, want)
 
-    # Grouped emission must be bit-identical to the flat path when compiled.
-    config = RenderConfig(screen_size=128)
+    # Grouped emission must be bit-identical to the flat path when compiled
+    # (stable sort: tie order must match across the two list shapes).
+    config = RenderConfig(screen_size=128, stable_sort=True)
     scene = random_scene(500, seed=3).pad_to_multiple(256)
     cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
     flat, _ = jax.jit(lambda s, cd: render_frame(s, cd, config, 16384))(
