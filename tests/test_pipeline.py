@@ -101,6 +101,41 @@ def test_jit_render_frame_is_traceable():
     np.testing.assert_array_equal(img, img2)  # deterministic
 
 
+def test_ply_roundtrip_renders_identically(tmp_path):
+    """End-to-end .ply path: export -> import -> render matches rendering
+    the original in-memory scene (activation/quantization round-trips)."""
+    from cudagaussianrenderer_tpu.ply import load_gaussian_ply, write_gaussian_ply
+
+    from cudagaussianrenderer_tpu.models.scene import SH_C0
+    from cudagaussianrenderer_tpu.utils.quantize import decode_quat_xyzw
+
+    scene = random_scene(200, seed=14, sh_degree=2)
+    # Reconstruct the raw (pre-activation) .ply fields from the scene.
+    opac = np.clip(np.asarray(scene.opacities), 1e-6, 1 - 1e-6)
+    xyzw = decode_quat_xyzw(np.asarray(scene.quats))
+    sh = np.transpose(np.asarray(scene.sh), (2, 0, 1))  # [N, 3, K]
+    path = tmp_path / "scene.ply"
+    write_gaussian_ply(
+        path,
+        np.asarray(scene.means).T,
+        np.log(np.asarray(scene.scales).T),
+        xyzw[:, [3, 0, 1, 2]],  # wxyz
+        np.log(opac / (1.0 - opac)),
+        (np.asarray(scene.colors).T - 0.5) / SH_C0,
+        sh[:, :, 1:],
+    )
+    loaded = load_gaussian_ply(path, use_native=False)
+    assert loaded.count == scene.count and loaded.sh_degree == 2
+
+    config = RenderConfig(screen_size=128)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    img_orig = Renderer(scene, config).render(cam)
+    img_ply = Renderer(loaded, config).render(cam)
+    # Rotations re-quantize through the 8-bit lattice (+-1 LSB), so allow
+    # slightly more than exactness.
+    _image_close(img_ply, img_orig, pix_tol=4, frac=0.005, msg="ply roundtrip")
+
+
 def test_orbit_consistency():
     """Render from two nearby orbit cameras; images differ but both cover."""
     scene = random_scene(150, seed=3)
