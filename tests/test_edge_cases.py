@@ -1,0 +1,113 @@
+"""Degenerate-input hardening: tiny scenes, tiny screens, extreme splats.
+
+The reference handles these implicitly (or crashes — it asserts on zero
+splats, Demo.cpp:443); the TPU pipeline must keep static shapes sane.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from cudagaussianrenderer_tpu.config import RenderConfig
+from cudagaussianrenderer_tpu.models.camera import Camera
+from cudagaussianrenderer_tpu.models.scene import random_scene, scene_from_arrays
+from cudagaussianrenderer_tpu.render import Renderer
+
+
+def test_single_splat_renders():
+    scene = scene_from_arrays(
+        means=np.zeros((1, 3), np.float32),
+        scales=np.full((1, 3), 0.3, np.float32),
+        quats_xyzw=np.array([[0.0, 0.0, 0.0, 1.0]], np.float32),
+        opacities=np.array([0.9], np.float32),
+        colors=np.array([[1.0, 0.2, 0.1]], np.float32),
+    )
+    scene = dataclasses.replace(
+        scene, bounds_min=(-1.0, -1.0, -1.0), bounds_max=(1.0, 1.0, 1.0)
+    )
+    config = RenderConfig(screen_size=128)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    img = Renderer(scene, config).render(cam)
+    # The red-ish splat covers the image center.
+    c = img[60:68, 60:68]
+    assert c[..., 0].max() > 100 and c[..., 3].max() == 255
+
+
+def test_one_tile_screen():
+    """16px screen = exactly one tile; tiles_per_cell must be adjusted."""
+    config = RenderConfig(screen_size=16, tiles_per_cell=1)
+    assert config.total_tiles == 1
+    scene = random_scene(64, seed=1)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    img = Renderer(scene, config).render(cam)
+    assert img.shape == (16, 16, 4)
+    assert img[..., 3].max() == 255
+
+
+def test_tiles_per_cell_must_divide():
+    with pytest.raises(ValueError):
+        RenderConfig(screen_size=16)  # default tiles_per_cell=8 > 1 tile
+
+
+def test_huge_splat_covers_screen():
+    """One splat larger than the frustum: its rect clamps to the full tile
+    grid and every pixel blends it."""
+    scene = scene_from_arrays(
+        means=np.zeros((1, 3), np.float32),
+        scales=np.full((1, 3), 50.0, np.float32),
+        quats_xyzw=np.array([[0.0, 0.0, 0.0, 1.0]], np.float32),
+        opacities=np.array([1.0], np.float32),
+        colors=np.array([[0.0, 1.0, 0.0]], np.float32),
+    )
+    scene = dataclasses.replace(
+        scene, bounds_min=(-1.0, -1.0, -1.0), bounds_max=(1.0, 1.0, 1.0)
+    )
+    config = RenderConfig(screen_size=64, tiles_per_cell=4)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    img = Renderer(scene, config).render(cam)
+    assert (img[..., 1] > 200).mean() > 0.99  # green everywhere
+    assert (img[..., 3] == 255).all()
+
+
+def test_all_splats_at_same_depth():
+    """Massive depth-key ties must not break ordering invariants."""
+    n = 128
+    rng = np.random.default_rng(3)
+    means = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    means[:, 2] = 0.0  # identical camera-space depth plane
+    scene = scene_from_arrays(
+        means=means,
+        scales=np.full((n, 3), 0.1, np.float32),
+        quats_xyzw=np.tile(np.array([[0, 0, 0, 1.0]], np.float32), (n, 1)),
+        opacities=np.full(n, 0.5, np.float32),
+        colors=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+    )
+    scene = dataclasses.replace(
+        scene, bounds_min=(-1.0, -1.0, -1.0), bounds_max=(1.0, 1.0, 1.0)
+    )
+    config = RenderConfig(screen_size=64, tiles_per_cell=4)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    r = Renderer(scene, config)
+    r.render(cam)  # first render adapts capacity (a different program)
+    img1 = r.render(cam)
+    img2 = r.render(cam)
+    # Deterministic despite ties — for a fixed compiled program.  (Across
+    # capacity changes, unstable-sort tie order may differ; opt into
+    # config.stable_sort for layout-independent tie order.)
+    np.testing.assert_array_equal(img1, img2)
+    assert img1[..., 3].max() == 255
+
+
+def test_zero_opacity_scene_renders_black():
+    scene = random_scene(100, seed=5)
+    scene = dataclasses.replace(
+        scene, opacities=jax.numpy.zeros_like(scene.opacities)
+    )
+    config = RenderConfig(screen_size=64, tiles_per_cell=4)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    img = Renderer(scene, config).render(cam)
+    # Pairs exist (coverage alpha = 255 on touched tiles) but colors are 0.
+    assert img[..., :3].max() == 0
