@@ -1,0 +1,44 @@
+"""CLI subcommands and the profiling/report path (reference Demo.cpp's
+exit-time stats table + the GaussianRender CLI surface)."""
+
+import numpy as np
+import pytest
+
+from cudagaussianrenderer_tpu.cli import main
+from cudagaussianrenderer_tpu.config import RenderConfig
+from cudagaussianrenderer_tpu.models.camera import Camera
+from cudagaussianrenderer_tpu.models.scene import random_scene
+from cudagaussianrenderer_tpu.render import Renderer, STAGE_NAMES
+
+PIL = pytest.importorskip("PIL.Image")
+
+
+def test_cli_render_writes_png(tmp_path):
+    out = tmp_path / "out.png"
+    main(["render", "--procedural", "300", "--size", "64", "-o", str(out)])
+    img = np.asarray(PIL.open(out))
+    assert img.shape == (64, 64, 4)
+    assert img[..., 3].max() == 255
+
+
+def test_cli_orbit_writes_frames(tmp_path):
+    out = tmp_path / "frames"
+    main(["orbit", "--procedural", "200", "--size", "64", "-o", str(out), "-n", "2"])
+    frames = sorted(out.glob("frame_*.png"))
+    assert len(frames) == 2
+
+
+def test_profile_frame_and_report():
+    scene = random_scene(300, seed=4)
+    r = Renderer(scene, RenderConfig(screen_size=64, tiles_per_cell=4))
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    stages = r.profile_frame(cam, warmup=True)
+    # All reference stage names except SH (scene has none) are timed.
+    expected = set(STAGE_NAMES) - {"evaluateSphericalHarmonics"}
+    assert expected <= set(stages)
+    assert all(ms >= 0.0 for ms in stages.values())
+    assert r.profiled_count == 1
+    report = r.report()
+    for name in expected:
+        assert name in report
+    assert "Total average time ms" in report
