@@ -7,13 +7,16 @@ scans, shared-memory staging and device-wide atomic appends
 None of that maps to TPU.  The TPU-native formulation is a static-shape,
 two-phase scan:
 
-  1. per-splat candidate-tile counts from the ellipse AABB in tile space
-     (same math as cu:526-551), then an inclusive prefix sum;
+  1. per-splat exact candidate counts: the ellipse AABB in tile space
+     (same math as cu:526-551) refined to exact per-tile-row x-runs
+     (splat_row_packs) — emitting exactly the pair set the reference's
+     per-candidate ellipse/rect test (cu:350-436) would keep, WITHOUT
+     testing candidates: the dead ~40% of the AABB never enters the
+     list.  Then an inclusive prefix sum;
   2. "expansion": every slot j of a fixed-capacity list recovers its
-     owning splat's attributes, local tile coordinates, and runs the
-     *exact* ellipse/rectangle overlap test (same geometry as
-     cu:350-436).  Slots whose test fails — and slots beyond the total
-     candidate count — become sentinel entries that sort to the end.
+     owning splat's attributes and local tile coordinates from the
+     packed per-row runs.  Slots beyond the total candidate count
+     become sentinel entries that sort to the end.
 
 The expansion is gather-free — XLA gathers, scatters and searchsorted
 execute serially on TPU (~100 ms per million elements measured on v5e).
@@ -108,6 +111,118 @@ def splat_tile_rects(
 
 
 # ---------------------------------------------------------------------------
+# Phase 1b: per-row exact x-ranges (TPU replacement for the per-candidate
+# exact test)
+# ---------------------------------------------------------------------------
+#
+# The reference emits every AABB tile and culls with an exact
+# ellipse/rect test per candidate (cu:653-679).  On TPU the cull can be
+# moved BEFORE emission: for one tile row (a horizontal strip), the tiles
+# intersecting the ellipse form one contiguous x-run (the ellipse is
+# convex, so ellipse ∩ strip is connected and its x-projection is an
+# interval) and EVERY tile in the run intersects — so emitting exactly
+# [floor(xlo), ceil(xhi)) per row reproduces the exact test's pair set
+# with no per-candidate test at all, and the AABB's ~40% dead candidates
+# (measured at the bench workload) never enter the pair list, shrinking
+# every capacity-proportional stage (emission, sort, ranges).
+#
+# Closed form: with the ellipse parametrized p(u,v) = c + R(θ)·(e0·u,
+# e1·v), u²+v² ≤ 1, write y - cy = A·u + B·v (A = e0·sinθ, B = e1·cosθ)
+# and x - cx = C·u + D·v (C = e0·cosθ, D = -e1·sinθ).  On the chord
+# y - cy = k the x-extent is k·M/ry² ± (e0·e1/ry)·√(1 - k²/ry²) with
+# M = C·A + D·B = sinθcosθ(e0² - e1²) and ry² = A² + B²; as a function of
+# k the upper branch is concave with its maximum rx at k* = M/rx, so the
+# strip maximum is the branch evaluated at k* clamped into the strip's
+# k-interval (and symmetrically for the minimum).
+#
+# The ranges round OUTWARD by STRIP_EPS before the tile floor/ceil so
+# float rounding can only ADD a boundary-grazing tile (whose density is
+# below the ellipse cutoff — invisible), never drop one the exact test
+# would keep (validated против the f64 exact test in tests).
+
+STRIP_EPS = 1e-5
+# Per-row (dx, width) pairs pack as 6-bit fields, 2 rows per exact-f32
+# carrier, 4 carriers = 8 rows; splats with wider rects fall back to
+# full-rect emission (rows 12+6·... see ops.expand), taller ones emit
+# full-width rows past the eighth.
+MAX_PACK_ROWS = 8
+MAX_PACK_W = 63
+
+
+class RowPacks(NamedTuple):
+    packs: Tuple[jnp.ndarray, ...]  # 4 x [N] f32: rows 2p/2p+1 (dx,w) 6-bit fields
+    counts: jnp.ndarray             # [N] int32 exact candidate counts
+
+
+def splat_row_packs(
+    clip_data: SplatClipData, rects: TileRects, config: RenderConfig
+) -> RowPacks:
+    """Exact per-tile-row x-ranges for the first MAX_PACK_ROWS rect rows.
+
+    Returns packed (dx, w) pairs relative to the rect origin plus the
+    exact per-splat candidate count the ops.expand emit kernel maps slots
+    with.  Count layout (must mirror the kernel's decode):
+      * w ≤ 63, h ≤ 8:   count = Σ w_r                      (fully exact)
+      * w ≤ 63, h > 8:   count = Σ w_r + (h - 8)·w          (rows 8+ full)
+      * w > 63:          count = h·w, all w_r = 0           (full rect)
+    """
+    d = clip_data
+    tch = 2.0 * config.tile_size / config.screen_h
+    sx = 0.5 * config.tiles_x
+    ct, st, e0, e1 = d.cos_t, d.sin_t, d.e0, d.e1
+    a_ = e0 * st
+    b_ = e1 * ct
+    m = ct * st * (e0 * e0 - e1 * e1)
+    ry2 = a_ * a_ + b_ * b_
+    ry = jnp.sqrt(ry2)
+    rx = jnp.sqrt(e0 * e0 * ct * ct + e1 * e1 * st * st)
+    kstar = m / jnp.maximum(rx, 1e-30)
+    inv_ry2 = 1.0 / jnp.maximum(ry2, 1e-30)
+    p_inv_ry = (e0 * e1) / jnp.maximum(ry, 1e-30)
+    slope = m * inv_ry2
+
+    x0f = rects.x0.astype(jnp.float32)
+    y0f = rects.y0.astype(jnp.float32)
+    x1f = x0f + rects.w.astype(jnp.float32)
+    hf = rects.h.astype(jnp.float32)
+    packable = rects.w <= MAX_PACK_W
+
+    packs = []
+    count_f = jnp.zeros_like(x0f)
+    pack = None
+    for r in range(MAX_PACK_ROWS):
+        ya = (y0f + float(r)) * tch - 1.0
+        yb = ya + tch
+        da, db = ya - d.cy, yb - d.cy
+        ka = jnp.clip(da, -ry, ry)
+        kb = jnp.clip(db, -ry, ry)
+        khi = jnp.clip(kstar, ka, kb)
+        klo = jnp.clip(-kstar, ka, kb)
+        s_hi = p_inv_ry * jnp.sqrt(jnp.maximum(1.0 - khi * khi * inv_ry2, 0.0))
+        s_lo = p_inv_ry * jnp.sqrt(jnp.maximum(1.0 - klo * klo * inv_ry2, 0.0))
+        xhi = d.cx + khi * slope + s_hi
+        xlo = d.cx + klo * slope - s_lo
+        live = (da <= ry) & (db >= -ry) & (float(r) < hf) & packable
+        xl_t = jnp.clip(jnp.floor((xlo - STRIP_EPS + 1.0) * sx), x0f, x1f)
+        xh_t = jnp.clip(jnp.ceil((xhi + STRIP_EPS + 1.0) * sx), x0f, x1f)
+        w_r = jnp.where(live, jnp.maximum(xh_t - xl_t, 0.0), 0.0)
+        dx_r = jnp.where(w_r > 0, xl_t - x0f, 0.0)
+        count_f = count_f + w_r
+        if r % 2 == 0:
+            pack = (dx_r * 64.0 + w_r) * 4096.0
+        else:
+            packs.append(pack + dx_r * 64.0 + w_r)
+    wf = rects.w.astype(jnp.float32)
+    overflow_rows = jnp.where(
+        packable, jnp.maximum(hf - float(MAX_PACK_ROWS), 0.0), hf
+    )
+    count_f = count_f + overflow_rows * wf
+    return RowPacks(
+        packs=tuple(packs), counts=jnp.maximum(count_f, 0.0).astype(jnp.int32)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sort keys (getKey, cu:446-454)
 # ---------------------------------------------------------------------------
 
@@ -135,8 +250,9 @@ class TilePairs(NamedTuple):
     values: jnp.ndarray            # [C] int32 splat indices (-1 = invalid)
     attrs: Tuple[jnp.ndarray, ...]  # 4 operands: cxcy u32, con_ab u32
                                     # (bf16 pair), con_c|alpha16 u32, rgb f32
-    num_candidates: jnp.ndarray    # scalar int32: total AABB candidates (pre-test)
-    num_pairs: jnp.ndarray         # scalar int32: pairs passing the exact test
+    num_candidates: jnp.ndarray    # scalar int32: total exact-range candidates
+    num_pairs: jnp.ndarray         # scalar int32: emitted pairs (candidates
+                                   # within capacity)
 
 
 def build_tile_pairs(
@@ -149,12 +265,14 @@ def build_tile_pairs(
     row_band=None,
     interpret=None,
 ) -> TilePairs:
-    """Phase 2: expansion + exact test + key emission, all static-shape.
+    """Phase 2: expansion + key emission, all static-shape.
 
     Thin wrapper over ops.expand.emit_pairs, which fuses the segment
-    expansion, the exact ellipse/rect test, and the key/attribute packing
-    into one Pallas kernel (the per-slot math used to be an XLA post-pass
-    costing ~7 ms of intermediate HBM traffic at 6.3M slots).
+    expansion, the per-row exact-range slot mapping (splat_row_packs —
+    replacing the reference's per-candidate exact test, cu:653-679), and
+    the key/attribute packing into one Pallas kernel (the per-slot math
+    used to be an XLA post-pass costing ~7 ms of intermediate HBM traffic
+    at 6.3M slots).
     """
     from .expand import (
         OUT_AB,
@@ -168,8 +286,9 @@ def build_tile_pairs(
     )
 
     rects = splat_tile_rects(clip_data, config, row_band=row_band)
+    row_packs = splat_row_packs(clip_data, rects, config)
 
-    incl = jnp.cumsum(rects.counts)                       # [N] inclusive
+    incl = jnp.cumsum(row_packs.counts)                   # [N] inclusive
     total = incl[-1]
 
     depth_bits = (
@@ -178,7 +297,7 @@ def build_tile_pairs(
     qdepth = quantize_depth(clip_data.clip_z, depth_bits)
 
     rgb_u32 = pack_rgb_u32(colors)
-    n = rects.counts.shape[0]
+    n = row_packs.counts.shape[0]
     # Tile rect packed into one exact-f32 row: (x0*256 + y0)*256 + w,
     # all components <= 255 (config caps tiles per axis) so the packed
     # value <= 2^24 - 1, exact in f32.
@@ -191,10 +310,6 @@ def build_tile_pairs(
             geom,
             qdepth.astype(jnp.float32),        # < 2^24, exact in f32
             jnp.arange(n, dtype=jnp.float32),  # splat id (provenance)
-            clip_data.cos_t,
-            clip_data.sin_t,
-            clip_data.e0,
-            clip_data.e1,
             clip_data.cx,
             clip_data.cy,
             clip_data.con_a,
@@ -202,6 +317,7 @@ def build_tile_pairs(
             clip_data.con_c,
             rgb_u32.astype(jnp.float32),       # < 2^24, exact in f32
             opacities,
+            *row_packs.packs,                  # 4 rows of (dx, w) 6-bit fields
         ]
     )  # [14, N] — layout must match ops.expand.R_* indices
 

@@ -2,12 +2,11 @@
 
 Problem: slot j of the fixed-capacity pair list belongs to the splat whose
 [excl_i, incl_i) candidate-count prefix segment contains j; the slot needs
-that splat's attributes, its local tile coordinates, the exact
-ellipse/rect test, and the packed sort operands.  The CUDA reference does
-the expansion with warp scans + shared-memory staging
-(GaussianRender.cu:566-628); XLA formulations need a gather / scatter /
-searchsorted over millions of slots, all of which execute serially on TPU
-(measured ~100+ ms at 1M splats on v5e).
+that splat's attributes, its local tile coordinates, and the packed sort
+operands.  The CUDA reference does the expansion with warp scans +
+shared-memory staging (GaussianRender.cu:566-628); XLA formulations need
+a gather / scatter / searchsorted over millions of slots, all of which
+execute serially on TPU (measured ~100+ ms at 1M splats on v5e).
 
 TPU-native approach — one fused kernel:
   * The slot axis is blocked; a host-side searchsorted gives each block
@@ -19,8 +18,9 @@ TPU-native approach — one fused kernel:
     truncation parts (8 mantissa bits each); 1.0 * part is exact and the
     telescoping re-sum in f32 is exact, so f32 payloads pass through
     bit-identically and integers < 2^24 exactly.
-  * The per-slot emission math — tile-rect unpack, local tile coords,
-    the exact ellipse/rect overlap test, sort-key and attribute packing —
+  * The per-slot emission math — tile-rect unpack, per-row exact-run
+    local tile coords (binning.splat_row_packs; there is no per-candidate
+    overlap test to run), sort-key and attribute packing —
     runs IN-KERNEL on the selected rows: keeping it in VMEM instead of a
     post-pass saved ~7 ms/frame of XLA intermediate HBM traffic at 6.3M
     slots, and the kernel writes 8 output rows instead of 16.
@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from .geometry import ALPHA_SCALE, CENTER_SCALE, ellipse_rect_overlap
+from .geometry import ALPHA_SCALE, CENTER_SCALE, ellipse_rect_overlap  # noqa: F401 (grouped kernel path)
 
 # Slots per grid block and splats per DMA window.
 MAX_BLOCK = 1024
@@ -55,9 +55,9 @@ MAX_EXACT_I32 = 1 << 24
 # Input row layout fed to the kernels ([14, N] planar f32; the kernels
 # prepend the excl/incl prefix rows -> 16 rows, one sublane tile).
 R_GEOM, R_DEPTH, R_IDX = 0, 1, 2
-R_COS, R_SIN, R_E0, R_E1 = 3, 4, 5, 6
-R_CX, R_CY = 7, 8
-R_CA, R_CB, R_CC, R_RGB, R_ALPHA = 9, 10, 11, 12, 13
+R_CX, R_CY = 3, 4
+R_CA, R_CB, R_CC, R_RGB, R_ALPHA = 5, 6, 7, 8, 9
+R_PACK0 = 10  # .. R_PACK0+3: per-row (dx, w) 6-bit fields, 2 rows each
 NUM_ROWS_IN = 14
 
 # Output row layout ([8, C] f32 bit-carriers).
@@ -106,8 +106,6 @@ def _emit_kernel(
     live = b * block < total
     packed = config.depth_bits == 19
     tiles_x = config.tiles_x
-    tcw = 2.0 * config.tile_size / config.screen_w
-    tch = 2.0 * config.tile_size / config.screen_h
 
     def make_dma(slot, base, wi):
         return pltpu.make_async_copy(
@@ -208,23 +206,40 @@ def _emit_kernel(
         x0 = jnp.floor(g_hi * (1.0 / 256.0))
         y0 = g_hi - x0 * 256.0
 
-        # Local tile coords: float division is exact (ints < 2^24,
-        # fractional part of the quotient bounded away from rounding).
+        # Per-row exact-run slot mapping (binning.splat_row_packs): walk
+        # the 8 packed (dx, w) runs to find the row owning local ordinal
+        # ``o``; ordinals past the packed total fall through to full-rect
+        # rows (row >= 8 of tall splats, or the whole rect of splats too
+        # wide to pack, flagged by w_raw > MAX_PACK_W).  All arithmetic
+        # on exact small integers in f32.
+        o = j_lane - excl
+        sel_cum = jnp.zeros((1, block), jnp.float32)
+        sel_dx = jnp.zeros((1, block), jnp.float32)
+        sel_ly = jnp.zeros((1, block), jnp.float32)
+        cum = jnp.zeros((1, block), jnp.float32)
+        for p in range(4):
+            t = row(R_PACK0 + p)
+            t_hi = jnp.floor(t * (1.0 / 4096.0))  # (dx, w) of row 2p
+            t_lo = t - t_hi * 4096.0              # (dx, w) of row 2p+1
+            for half, r in ((t_hi, 2 * p), (t_lo, 2 * p + 1)):
+                dx_r = jnp.floor(half * (1.0 / 64.0))
+                w_r = half - dx_r * 64.0
+                nxt = cum + w_r
+                m = ((cum <= o) & (o < nxt)).astype(jnp.float32)
+                sel_cum = sel_cum + m * cum
+                sel_dx = sel_dx + m * dx_r
+                sel_ly = sel_ly + m * float(r)
+                cum = nxt
+        in_packed = o < cum  # cum = packed total
+        # Full-rect fallthrough rows (exact small-int float division).
+        extra = o - cum
         w_f = jnp.maximum(w_raw, 1.0)
-        local = j_lane - excl
-        ly = jnp.floor(local / w_f)
-        lx = local - ly * w_f
-        gx = x0 + lx
-        gy = y0 + ly
-
-        # Exact ellipse/rect test (cu:653-679) on the candidate tile.
-        tcx = gx * tcw - 1.0
-        tcy = gy * tch - 1.0
-        hit = ellipse_rect_overlap(
-            row(R_CX), row(R_CY), row(R_COS), row(R_SIN), row(R_E0), row(R_E1),
-            tcx, tcy, tcx + tcw, tcy + tch,
-        )
-        valid = in_range & hit
+        ly_rel = jnp.floor(extra / w_f)
+        lx_o = extra - ly_rel * w_f
+        base_row = jnp.where(w_raw > 63.0, 0.0, 8.0)
+        gy = y0 + jnp.where(in_packed, sel_ly, base_row + ly_rel)
+        gx = x0 + jnp.where(in_packed, sel_dx + (o - sel_cum), lx_o)
+        valid = in_range
 
         # Mosaic has no f32->u32 cast; values are < 2^31 so go via i32.
         def to_u32(x):

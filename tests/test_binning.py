@@ -136,6 +136,58 @@ def test_counts_match_golden_aabbs(pipeline_state):
         assert abs(counts[i] - want) <= max(3, x1 - x0, y1 - y0), i
 
 
+def test_emission_matches_golden_exact_test(pipeline_state):
+    """The per-row exact-range emission (splat_row_packs + emit kernel)
+    must reproduce the golden per-candidate ellipse/rect test's pair set:
+    a SUPERSET (conservative float rounding may add boundary-grazing
+    tiles whose density is below the ellipse cutoff) that never misses a
+    pair the exact test keeps, and never leaves the candidate AABB."""
+    scene, cam, config, clip, capacity, pairs = pipeline_state
+    keys = np.asarray(pairs.keys[0])
+    values = np.asarray(pairs.values)
+    valid = values >= 0
+    emitted = set(
+        zip(values[valid].tolist(), (keys[valid] >> DEPTH_BITS_PACKED).tolist())
+    )
+
+    sn = scene_to_numpy(scene)
+    gold = golden_project(sn["means"], sn["scales"], sn["quats"], cam.camera_data(), config)
+    tps = config.tiles_per_screen
+    ts_clip = 2.0 / tps
+    n_exact = 0
+    n_extra = len(emitted)
+    for i in range(scene.count):
+        cx, cy = gold["clip_xy"][i]
+        ct, st, e0, e1 = gold["ellipse"][i]
+        hx = abs(ct * e0) + abs(st * e1)
+        hy = abs(st * e0) + abs(ct * e1)
+        x0 = min(max(int(np.floor((cx - hx + 1) * 0.5 * tps)), 0), tps)
+        y0 = min(max(int(np.floor((cy - hy + 1) * 0.5 * tps)), 0), tps)
+        x1 = min(max(int(np.ceil((cx + hx + 1) * 0.5 * tps)), 0), tps)
+        y1 = min(max(int(np.ceil((cy + hy + 1) * 0.5 * tps)), 0), tps)
+        for gy in range(y0, y1):
+            for gx in range(x0, x1):
+                rmin = (gx * ts_clip - 1, gy * ts_clip - 1)
+                rmax = (rmin[0] + ts_clip, rmin[1] + ts_clip)
+                hit = golden_ellipse_rect_overlap(
+                    (cx, cy), (ct, st), (e0, e1), rmin, rmax
+                )
+                pair = (i, gy * tps + gx)
+                if hit:
+                    n_exact += 1
+                    assert pair in emitted, f"missing exact pair {pair}"
+                if pair in emitted:
+                    n_extra -= 1
+    # Anything left in `emitted` beyond AABB candidates would be a bug;
+    # extras inside the AABB are bounded (full-width rows of very tall
+    # splats + float-boundary grazers).
+    assert n_extra == 0, f"{n_extra} pairs emitted outside candidate AABBs"
+    assert len(emitted) >= n_exact
+    assert len(emitted) - n_exact <= max(8, n_exact // 20), (
+        len(emitted), n_exact,
+    )
+
+
 def test_pair_list_structure(pipeline_state):
     scene, cam, config, clip, capacity, pairs = pipeline_state
     keys = np.asarray(pairs.keys[0])

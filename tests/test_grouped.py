@@ -1,9 +1,13 @@
 """Keyspace-grouped emission + batched per-group sort vs the flat path.
 
-The grouped pipeline (binning.build_tile_pairs_grouped et al.) is a pure
-performance re-arrangement: same pairs, same per-tile depth order (sort
-ties resolve to splat-index order on both paths), so images must be
-bit-identical to the flat path.
+The grouped pipeline (binning.build_tile_pairs_grouped et al.) emits AABB
+candidates and culls with the per-candidate exact ellipse/rect test; the
+flat path emits per-row exact ranges directly (binning.splat_row_packs).
+Both reproduce the reference's pair-culling semantics, but the flat path
+may additionally keep boundary-grazing tiles its conservative rounding
+admits (density below the ellipse cutoff) and the full-width rows of very
+tall splats — so images must agree to within a few output levels, not
+bit-for-bit, and the flat candidate count is the smaller exact one.
 """
 
 import numpy as np
@@ -40,11 +44,21 @@ def test_grouped_image_matches_flat():
                 s, c, config, 0, groups=(g, 16384 // g)
             )
         )(scene, cam.camera_data())
-        np.testing.assert_array_equal(
-            np.asarray(grouped[0]), np.asarray(flat[0])
-        ), f"G={n_groups}"
-        assert int(grouped[1]["num_pairs"]) == int(flat[1]["num_pairs"])
-        assert int(grouped[1]["num_candidates"]) == int(flat[1]["num_candidates"])
+        diff = np.abs(
+            np.asarray(grouped[0]).astype(np.int32)
+            - np.asarray(flat[0]).astype(np.int32)
+        )
+        # Pair sets agree except sub-cutoff grazers (see module docstring);
+        # those contribute at most a few output levels on a few pixels.
+        bad = (diff > 4).any(axis=-1).mean()
+        assert bad <= 0.002, f"G={n_groups}: {bad:.4f} pixels differ by >4"
+        # Flat emission is exact; grouped counts the (larger) AABB superset
+        # but culls to the same pairs modulo grazers.
+        assert int(grouped[1]["num_candidates"]) >= int(flat[1]["num_candidates"])
+        assert (
+            abs(int(grouped[1]["num_pairs"]) - int(flat[1]["num_pairs"]))
+            <= int(flat[1]["num_pairs"]) // 20
+        )
 
 
 def test_grouped_ranges_invariants():
