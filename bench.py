@@ -224,10 +224,13 @@ def main():
         )
         stages["renderDepthBuffer"] = net(
             _timed_ms(
-                lambda s, a0, a1, a2, a3, st, ct: jnp.sum(
+                lambda s, a0, a1, a2, st, ct: jnp.sum(
                     tiles_to_image(
                         rasterize_tiles(
-                            pack_pair_data((a0, a1, a2, a3 + s), config.raster_chunk),
+                            pack_pair_data(
+                                (a0, a1, a2 ^ s.astype(jnp.uint32)),
+                                config.raster_chunk,
+                            ),
                             st, ct, config,
                         ),
                         config,

@@ -52,10 +52,10 @@ from .geometry import (  # noqa: F401  (re-exported: tests + golden parity)
     _segment_hits_unit_circle,
     _to_ellipse_coords,
     ellipse_rect_overlap,
-    pack_bf16_pair,
-    pack_bf16_u16,
     pack_center_u32,
+    pack_conic_u32,
     pack_rgb_u32,
+    pack_rgba_u32,
 )
 from .projection import SplatClipData
 
@@ -235,15 +235,14 @@ def quantize_depth(clip_z: jnp.ndarray, bits: int) -> jnp.ndarray:
 class TilePairs(NamedTuple):
     """Fixed-capacity pair list with sentinel padding.
 
-    ``attrs`` carries the per-pair raster attributes as 4 sort operands,
-    so the sort moves them with the keys and the rasterizer needs no
-    post-sort gather: the splat center packed as two 16-bit fixed-point
-    halves of a uint32 (clip [-1,1] -> 1/65535 steps, ~1/128 pixel),
-    the conic a/b pair as two bf16 halves (~0.4% relative — sub-LSB on
-    the blended 8-bit output), conic c as a bf16 half over 16-bit
-    fixed-point alpha (1/65535 steps), and rgb packed to 8 bits/channel
-    carried as its exact f32 value (error <= half an output LSB — the
-    framebuffer quantizes to 8 bits anyway).
+    ``attrs`` carries the per-pair raster attributes as THREE sort
+    operands (each costs ~3 ms/sort at the bench workload), so the sort
+    moves them with the keys and the rasterizer needs no post-sort
+    gather: the splat center as two 16-bit fixed-point halves (~1/128
+    pixel), the conic as a12|c12|rho8 (geometry.pack_conic_u32 — bf16
+    precision on the diagonal, <1% bounded density-exponent error from
+    the 8-bit correlation), and rgb888|alpha8 (the framebuffer quantizes
+    to 8 bits anyway; alpha within half an output LSB after blending).
     """
 
     keys: Tuple[jnp.ndarray, ...]  # 1 operand (packed) or 2 (lex: tile, depth)
@@ -275,12 +274,11 @@ def build_tile_pairs(
     at 6.3M slots).
     """
     from .expand import (
-        OUT_AB,
-        OUT_CAL,
+        OUT_CONIC,
         OUT_CXCY,
         OUT_KEY0,
         OUT_KEY1,
-        OUT_RGB,
+        OUT_RGBA,
         OUT_VALUES,
         emit_pairs,
     )
@@ -324,10 +322,10 @@ def build_tile_pairs(
     out = emit_pairs(rows, incl, capacity, config, interpret=interpret)
 
     def u32(r):
-        return jax.lax.bitcast_convert_type(out[r], jnp.uint32)
+        return out[r]
 
     values = jax.lax.bitcast_convert_type(out[OUT_VALUES], jnp.int32)
-    attrs = (u32(OUT_CXCY), u32(OUT_AB), u32(OUT_CAL), out[OUT_RGB])
+    attrs = (u32(OUT_CXCY), u32(OUT_CONIC), u32(OUT_RGBA))
     if config.depth_bits == DEPTH_BITS_PACKED:
         keys = (u32(OUT_KEY0),)
     else:
@@ -560,12 +558,11 @@ def build_tile_pairs_grouped(
     q_s = filled[_G_DEPTH].astype(jnp.uint32)
     values = jnp.where(valid, splat_idx, -1)
     cxcy = pack_center_u32(filled[_G_CX], filled[_G_CY])
-    con_ab = pack_bf16_pair(filled[_G_CA], filled[_G_CB])
-    alpha16 = (
-        jnp.clip(filled[_G_ALPHA], 0.0, 1.0) * ALPHA_SCALE + 0.5
-    ).astype(jnp.uint32)
-    con_c_alpha = pack_bf16_u16(filled[_G_CC], alpha16)
-    attrs = (cxcy, con_ab, con_c_alpha, filled[_G_RGB])
+    conic = pack_conic_u32(filled[_G_CA], filled[_G_CB], filled[_G_CC])
+    rgba = pack_rgba_u32(
+        filled[_G_RGB].astype(jnp.uint32), filled[_G_ALPHA]
+    )
+    attrs = (cxcy, conic, rgba)
 
     key = (tile_id << DEPTH_BITS_PACKED) | q_s
     # Group-local sentinel: the next group's first possible key.  Keeps

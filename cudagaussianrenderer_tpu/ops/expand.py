@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from .geometry import ALPHA_SCALE, CENTER_SCALE, ellipse_rect_overlap  # noqa: F401 (grouped kernel path)
+from .geometry import CENTER_SCALE, MF12_K
 
 # Slots per grid block and splats per DMA window.
 MAX_BLOCK = 1024
@@ -60,9 +60,14 @@ R_CA, R_CB, R_CC, R_RGB, R_ALPHA = 5, 6, 7, 8, 9
 R_PACK0 = 10  # .. R_PACK0+3: per-row (dx, w) 6-bit fields, 2 rows each
 NUM_ROWS_IN = 14
 
-# Output row layout ([8, C] f32 bit-carriers).
+# Output row layout ([8, C] uint32; rows 6-7 pad the sublane tile).
+# Attributes pack to THREE sort operands (geometry.py packing: every
+# payload operand costs ~3 ms/sort at the bench workload).  The output is
+# INTEGER-typed: these are arbitrary packed bit patterns, and f32-typed
+# XLA data movement corrupts them on TPU (subnormals flush to +/-0, NaN
+# payloads canonicalize — see raster.pack_pair_data).
 OUT_KEY0, OUT_KEY1, OUT_VALUES = 0, 1, 2
-OUT_CXCY, OUT_AB, OUT_CAL, OUT_RGB = 3, 4, 5, 6
+OUT_CXCY, OUT_CONIC, OUT_RGBA = 3, 4, 5
 NUM_ROWS_OUT = 8
 
 DEPTH_SHIFT = 19
@@ -88,9 +93,12 @@ def _bf16_triple_select(win, match):
     return (sel(hi) + sel(mid)) + sel(lo)
 
 
-def _rnd_bf16_bits_u32(x):
+def _rnd_bf16_bits_u32(x, shift=False):
+    """Round-to-nearest-even bf16 bit pattern: high half, or the low half
+    when ``shift`` (matching geometry._rnd_bf16_bits16)."""
     bits = pltpu.bitcast(x, jnp.uint32)
-    return (bits + 0x7FFF + ((bits >> 16) & 1)) & jnp.uint32(0xFFFF0000)
+    r = bits + 0x7FFF + ((bits >> 16) & 1)
+    return (r >> 16) if shift else (r & jnp.uint32(0xFFFF0000))
 
 
 def _emit_kernel(
@@ -136,22 +144,22 @@ def _emit_kernel(
     @pl.when(jnp.logical_not(live))
     def _():
         # All-sentinel block: keys sort to the dead suffix, values = -1.
-        zero = jnp.zeros((1, block), jnp.float32)
+        zero = jnp.zeros((1, block), jnp.uint32)
         sent = jnp.full((1, block), SENTINEL_KEY, jnp.uint32)
         if packed:
-            out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = pltpu.bitcast(sent, jnp.float32)
+            out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = sent
             out_ref[OUT_KEY1 : OUT_KEY1 + 1, :] = zero
         else:
             tile_sent = jnp.full(
                 (1, block), config.sentinel_tile, jnp.uint32
             )
-            out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = pltpu.bitcast(tile_sent, jnp.float32)
-            out_ref[OUT_KEY1 : OUT_KEY1 + 1, :] = pltpu.bitcast(sent, jnp.float32)
+            out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = tile_sent
+            out_ref[OUT_KEY1 : OUT_KEY1 + 1, :] = sent
         out_ref[OUT_VALUES : OUT_VALUES + 1, :] = pltpu.bitcast(
-            jnp.full((1, block), -1, jnp.int32), jnp.float32
+            jnp.full((1, block), -1, jnp.int32), jnp.uint32
         )
         out_ref[OUT_CXCY:NUM_ROWS_OUT, :] = jnp.zeros(
-            (NUM_ROWS_OUT - OUT_CXCY, block), jnp.float32
+            (NUM_ROWS_OUT - OUT_CXCY, block), jnp.uint32
         )
 
     @pl.when(live)
@@ -262,24 +270,41 @@ def _emit_kernel(
             valid, row(R_IDX).astype(jnp.int32), -1
         )
 
-        # Packed raster attributes (sort operands).
+        # Packed raster attributes (sort operands; must match the XLA
+        # packing in geometry.py bit-for-bit).
         def q16(x):
             return to_u32(jnp.clip((x + 1.0) * 0.5, 0.0, 1.0) * CENTER_SCALE + 0.5)
 
-        cxcy = (q16(row(R_CX)) << 16) | q16(row(R_CY))
-        ab = _rnd_bf16_bits_u32(row(R_CA)) | (_rnd_bf16_bits_u32(row(R_CB)) >> 16)
-        alpha16 = to_u32(jnp.clip(row(R_ALPHA), 0.0, 1.0) * ALPHA_SCALE + 0.5)
-        cal = _rnd_bf16_bits_u32(row(R_CC)) | alpha16
+        def mf12(x):
+            b16 = _rnd_bf16_bits_u32(x, shift=True)
+            v = jnp.clip(
+                pltpu.bitcast(b16, jnp.int32) - MF12_K, 0, 4095
+            )
+            return pltpu.bitcast(v, jnp.uint32)
 
-        out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = pltpu.bitcast(key0, jnp.float32)
-        out_ref[OUT_KEY1 : OUT_KEY1 + 1, :] = pltpu.bitcast(key1, jnp.float32)
-        out_ref[OUT_VALUES : OUT_VALUES + 1, :] = pltpu.bitcast(values, jnp.float32)
-        out_ref[OUT_CXCY : OUT_CXCY + 1, :] = pltpu.bitcast(cxcy, jnp.float32)
-        out_ref[OUT_AB : OUT_AB + 1, :] = pltpu.bitcast(ab, jnp.float32)
-        out_ref[OUT_CAL : OUT_CAL + 1, :] = pltpu.bitcast(cal, jnp.float32)
-        out_ref[OUT_RGB : OUT_RGB + 1, :] = row(R_RGB)
-        out_ref[NUM_ROWS_OUT - 1 : NUM_ROWS_OUT, :] = jnp.zeros(
-            (1, block), jnp.float32
+        def mf12_dec(q):
+            return pltpu.bitcast((q + jnp.uint32(MF12_K)) << 16, jnp.float32)
+
+        cxcy = (q16(row(R_CX)) << 16) | q16(row(R_CY))
+        qa = mf12(row(R_CA))
+        qc = mf12(row(R_CC))
+        rho = row(R_CB) / jnp.maximum(
+            jnp.sqrt(mf12_dec(qa) * mf12_dec(qc)), 1e-30
+        )
+        q_rho = to_u32(jnp.clip((rho + 1.0) * 127.5 + 0.5, 0.0, 255.0))
+        conic = (qa << 20) | (qc << 8) | q_rho
+        rgba = (to_u32(row(R_RGB)) << 8) | to_u32(
+            jnp.clip(row(R_ALPHA), 0.0, 1.0) * 255.0 + 0.5
+        )
+
+        out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = key0
+        out_ref[OUT_KEY1 : OUT_KEY1 + 1, :] = key1
+        out_ref[OUT_VALUES : OUT_VALUES + 1, :] = pltpu.bitcast(values, jnp.uint32)
+        out_ref[OUT_CXCY : OUT_CXCY + 1, :] = cxcy
+        out_ref[OUT_CONIC : OUT_CONIC + 1, :] = conic
+        out_ref[OUT_RGBA : OUT_RGBA + 1, :] = rgba
+        out_ref[OUT_RGBA + 1 : NUM_ROWS_OUT, :] = jnp.zeros(
+            (NUM_ROWS_OUT - OUT_RGBA - 1, block), jnp.uint32
         )
 
 
@@ -296,9 +321,9 @@ def emit_pairs(
     rows: [14, N] float32 per-splat attribute rows (layout R_*; integers
           pre-cast to f32, all < 2^24).
     incl: [N] int32 inclusive prefix sum of candidate counts.
-    Returns [8, capacity] float32 bit-carrier rows (layout OUT_*): sort
-    keys, splat indices (-1 = invalid), and the packed raster attributes.
-    Slots beyond the candidate total carry sentinel keys.
+    Returns [8, capacity] uint32 rows (layout OUT_*): sort keys, splat
+    indices (-1 = invalid), and the packed raster attributes.  Slots
+    beyond the candidate total carry sentinel keys.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -348,7 +373,7 @@ def emit_pairs(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NUM_ROWS_OUT, capacity), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NUM_ROWS_OUT, capacity), jnp.uint32),
         interpret=interpret,
     )(starts, full)
 

@@ -9,8 +9,8 @@ front-to-back alpha blending with a cooperative early-saturation exit
 TPU re-design:
   * The random splat gather is gone entirely: the variadic sort carries
     the packed raster attributes with the keys, and pack_pair_data just
-    stacks them into a planar [4, C] float32 streaming buffer (attribute
-    rows x sorted pairs).  The kernel then only ever reads *contiguous*
+    stacks them into a planar [4, C] uint32 streaming buffer (attribute
+    rows x sorted pairs; integer-typed — see pack_pair_data).  The kernel then only ever reads *contiguous*
     lane-slices — sequential HBM traffic at full bandwidth instead of
     per-splat random loads.
   * TPU DMA slices along the minor (lane) dimension must be 128-aligned,
@@ -44,12 +44,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
+from .geometry import MF12_K
 
-# Streaming-buffer row layout ([4, C] planar).
-ROW_CXCY = 0                # (x16 << 16 | y16) fixed point, bitcast to f32
-ROW_CON_AB = 1              # conic a | b as bf16 halves, bitcast to f32
-ROW_CON_C_ALPHA = 2         # conic c bf16 high | 16-bit fixed alpha low
-ROW_RGB = 3                 # rgb = 0x00RRGGBB carried as its f32 VALUE
+# Streaming-buffer row layout ([4, C] planar; row 3 pads the DMA shape).
+ROW_CXCY = 0                # (x16 << 16 | y16) fixed point
+ROW_CONIC = 1               # a_mf12 | c_mf12 | rho8 (geometry.pack_conic_u32)
+ROW_RGBA = 2                # 0xRRGGBBAA
 PAIR_ROWS = 4  # power of two for clean DMA shapes
 
 LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
@@ -64,26 +64,30 @@ LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
 SCAN_MODE = "logmm"
 
 CENTER_INV_SCALE = 2.0 / 65535.0
-ALPHA_INV_SCALE = 1.0 / 65535.0
 
 
 def pack_pair_data(sorted_attrs, chunk: int) -> jnp.ndarray:
-    """Sorted attribute operands -> [PAIR_ROWS, C + 2*chunk] buffer.
+    """Sorted attribute operands -> [PAIR_ROWS, C + 2*chunk] uint32 buffer.
 
     The attributes arrive already in sorted pair order (carried through the
-    variadic sort — no gather); this stacks them into planar rows (the u32
-    center row bitcast to f32), pads rows to a power of two and adds lane
-    tail-padding so the kernel's fixed-size DMAs can run past the final
-    partial chunk.
+    variadic sort — no gather); this stacks them into planar rows, pads
+    rows to a power of two and adds lane tail-padding so the kernel's
+    fixed-size DMAs can run past the final partial chunk.
+
+    The buffer is INTEGER-typed on purpose: the rows are arbitrary packed
+    bit patterns, and moving them through f32-typed XLA ops corrupts them
+    on TPU — subnormal patterns (f32 exponent bits all zero) flush to
+    +/-0 and NaN patterns canonicalize to 0x7FC00000 in vector-unit
+    copies.  Integer ops are exact for all 2^32 values.
     """
-    def f32row(x):
+    def u32row(x):
         return (
-            jax.lax.bitcast_convert_type(x, jnp.float32)
+            x
             if x.dtype == jnp.uint32
-            else x
+            else jax.lax.bitcast_convert_type(x, jnp.uint32)
         )
 
-    rows = jnp.stack([f32row(a) for a in sorted_attrs])
+    rows = jnp.stack([u32row(a) for a in sorted_attrs])
     pad_r = PAIR_ROWS - rows.shape[0]
     return jnp.pad(rows, ((0, pad_r), (0, 2 * chunk)))
 
@@ -92,7 +96,7 @@ def _raster_kernel(
     starts_ref,    # SMEM [num_tiles] int32 (scalar prefetch)
     counts_ref,    # SMEM [num_tiles] int32 (scalar prefetch)
     rowoff_ref,    # SMEM [1] int32: tile-row offset (multi-chip bands)
-    pairs_hbm,     # HBM  [PAIR_ROWS, C + 2*chunk] float32
+    pairs_hbm,     # HBM  [PAIR_ROWS, C + 2*chunk] uint32
     out_ref,       # VMEM [tiles_per_cell, pixels, 4] float32
     state,         # VMEM scratch [pixels, 8] (cols: r, g, b, transmittance)
     chunk_buf,     # VMEM scratch [2, PAIR_ROWS, chunk]
@@ -159,24 +163,30 @@ def _raster_kernel(
                 make_dma(1 - slot, astart, c + 1).start()
 
             make_dma(slot, astart, c).wait()
-            data = chunk_buf[slot]  # [PAIR_ROWS, chunk]
+            data = chunk_buf[slot]  # [PAIR_ROWS, chunk] uint32
 
-            cxcy = pltpu.bitcast(data[ROW_CXCY : ROW_CXCY + 1, :], jnp.uint32)
+            cxcy = data[ROW_CXCY : ROW_CXCY + 1, :]
             cx = (cxcy >> 16).astype(jnp.int32).astype(jnp.float32) * (
                 CENTER_INV_SCALE
             ) - 1.0                                     # [1, chunk]
             cy = (cxcy & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * (
                 CENTER_INV_SCALE
             ) - 1.0
-            ab = pltpu.bitcast(data[ROW_CON_AB : ROW_CON_AB + 1, :], jnp.uint32)
-            con_a = pltpu.bitcast(ab & jnp.uint32(0xFFFF0000), jnp.float32)
-            con_b = pltpu.bitcast(ab << 16, jnp.float32)
-            cal = pltpu.bitcast(
-                data[ROW_CON_C_ALPHA : ROW_CON_C_ALPHA + 1, :], jnp.uint32
+            con = data[ROW_CONIC : ROW_CONIC + 1, :]
+            con_a = pltpu.bitcast(
+                ((con >> 20) + jnp.uint32(MF12_K)) << 16, jnp.float32
             )
-            con_c = pltpu.bitcast(cal & jnp.uint32(0xFFFF0000), jnp.float32)
-            a_s = (cal & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * (
-                ALPHA_INV_SCALE
+            con_c = pltpu.bitcast(
+                (((con >> 8) & jnp.uint32(0xFFF)) + jnp.uint32(MF12_K)) << 16,
+                jnp.float32,
+            )
+            rho = (con & 0xFF).astype(jnp.int32).astype(jnp.float32) * (
+                1.0 / 127.5
+            ) - 1.0
+            con_b = rho * jnp.sqrt(con_a * con_c)
+            rgba = data[ROW_RGBA : ROW_RGBA + 1, :]
+            a_s = (rgba & 0xFF).astype(jnp.int32).astype(jnp.float32) * (
+                1.0 / 255.0
             )
 
             dx = pcx - cx  # [pixels, chunk]
@@ -233,18 +243,16 @@ def _raster_kernel(
                 l1a = jnp.log(jnp.maximum(1.0 - alpha, 1e-30))
                 t_out = t_in * jnp.exp(jnp.sum(l1a, axis=1, keepdims=True))
             weight = t_in * excl * alpha                # [pixels, chunk]
-            # rgb rides as the packed integer VALUE in f32 (< 2^24, exact).
-            bits = data[ROW_RGB : ROW_RGB + 1, :].astype(jnp.int32)
             inv255 = jnp.float32(1.0 / 255.0)
 
             def chan(x):
-                return x.astype(jnp.float32) * inv255
+                return x.astype(jnp.int32).astype(jnp.float32) * inv255
 
             rgb = jnp.concatenate(
                 [
-                    chan((bits >> 16) & 0xFF),
-                    chan((bits >> 8) & 0xFF),
-                    chan(bits & 0xFF),
+                    chan(rgba >> 24),
+                    chan((rgba >> 16) & 0xFF),
+                    chan((rgba >> 8) & 0xFF),
                 ],
                 axis=0,
             )  # [3, chunk]
@@ -309,7 +317,7 @@ def rasterize_tiles(
         out_specs=pl.BlockSpec((tpc, pixels, 4), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((pixels, 8), jnp.float32),
-            pltpu.VMEM((2, PAIR_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, PAIR_ROWS, chunk), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

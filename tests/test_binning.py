@@ -293,23 +293,35 @@ def test_sorted_attrs_match_value_gather(pipeline_state):
     qx = (np.clip((cx + 1.0) * 0.5, 0, 1) * 65535.0 + 0.5).astype(np.uint32)
     qy = (np.clip((cy + 1.0) * 0.5, 0, 1) * 65535.0 + 0.5).astype(np.uint32)
 
-    def rnd_bf16(x):
-        bits = np.asarray(x, np.float32).view(np.uint32)
-        return (bits + 0x7FFF + ((bits >> 16) & 1)) & np.uint32(0xFFFF0000)
+    # Independent numpy replica of geometry.pack_conic_u32 / pack_rgba_u32.
+    MF12_K = (127 - 5) << 7
 
-    ab = rnd_bf16(np.asarray(clip.con_a)[idx]) | (
-        rnd_bf16(np.asarray(clip.con_b)[idx]) >> 16
+    def mf12(x):
+        bits = np.asarray(x, np.float32).view(np.uint32)
+        b16 = (bits + 0x7FFF + ((bits >> 16) & 1)) >> 16
+        return np.clip(b16.astype(np.int64) - MF12_K, 0, 4095).astype(np.uint32)
+
+    def mf12_dec(q):
+        return ((q + np.uint32(MF12_K)) << np.uint32(16)).view(np.float32)
+
+    qa = mf12(np.asarray(clip.con_a)[idx])
+    qc = mf12(np.asarray(clip.con_c)[idx])
+    rho = np.asarray(clip.con_b)[idx] / np.maximum(
+        np.sqrt(mf12_dec(qa).astype(np.float64) * mf12_dec(qc)), 1e-30
     )
-    alpha16 = (
-        np.clip(np.asarray(scene.opacities)[idx], 0.0, 1.0) * 65535.0 + 0.5
+    q_rho = np.clip(
+        np.floor((rho + 1.0) * 127.5 + 0.5), 0.0, 255.0
     ).astype(np.uint32)
-    c_alpha = rnd_bf16(np.asarray(clip.con_c)[idx]) | alpha16
+    conic = (qa << 20) | (qc << 8) | q_rho
+    alpha8 = (
+        np.clip(np.asarray(scene.opacities)[idx], 0.0, 1.0) * 255.0 + 0.5
+    ).astype(np.uint32)
+    rgba = (packed[idx] << 8) | alpha8
     want = np.stack(
         [
             ((qx << 16) | qy).astype(np.float64),
-            ab.astype(np.float64),
-            c_alpha.astype(np.float64),
-            packed[idx].astype(np.float64),
+            conic.astype(np.float64),
+            rgba.astype(np.float64),
         ]
     )
     np.testing.assert_array_equal(attrs[:, valid].astype(np.float64), want)
