@@ -102,7 +102,17 @@ def _rnd_bf16_bits_u32(x, shift=False):
 
 
 def _emit_kernel(
-    starts_ref, rows_hbm, out_ref, win_buf, sems, *, block, config: RenderConfig
+    starts_ref,
+    prefix_hbm,
+    limbs_hbm,
+    out_ref,
+    pre_buf,
+    limb_buf,
+    sems_pre,
+    sems_limb,
+    *,
+    block,
+    config: RenderConfig,
 ):
     b = pl.program_id(0)
     s0 = starts_ref[b]
@@ -116,11 +126,24 @@ def _emit_kernel(
     tiles_x = config.tiles_x
 
     def make_dma(slot, base, wi):
-        return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(base + wi * WINDOW, WINDOW)],
-            win_buf.at[slot],
-            sems.at[slot],
+        """One window = prefix rows (f32, match build) + bf16 limb rows."""
+        sl = pl.ds(base + wi * WINDOW, WINDOW)
+        return (
+            pltpu.make_async_copy(
+                prefix_hbm.at[:, sl], pre_buf.at[slot], sems_pre.at[slot]
+            ),
+            pltpu.make_async_copy(
+                limbs_hbm.at[:, sl], limb_buf.at[slot], sems_limb.at[slot]
+            ),
         )
+
+    def start(slot, base, wi):
+        for c in make_dma(slot, base, wi):
+            c.start()
+
+    def wait(slot, base, wi):
+        for c in make_dma(slot, base, wi):
+            c.wait()
 
     # Cross-block software pipeline: window 0 of block b lives in slot
     # 2 + (b % 2), issued by block b-1 (block 0 issues its own), so the
@@ -130,16 +153,16 @@ def _emit_kernel(
 
     @pl.when(b == 0)
     def _():
-        make_dma(my_w0, a0, 0).start()
+        start(my_w0, a0, 0)
 
     @pl.when(b + 1 < pl.num_programs(0))
     def _():
         next_a0 = (starts_ref[b + 1] // 128) * 128
-        make_dma(2 + jax.lax.rem(b + 1, 2), next_a0, 0).start()
+        start(2 + jax.lax.rem(b + 1, 2), next_a0, 0)
 
     # Every block's w0 was issued (by its predecessor or itself); always
     # consume it so the semaphore stays balanced even for dead blocks.
-    make_dma(my_w0, a0, 0).wait()
+    wait(my_w0, a0, 0)
 
     @pl.when(jnp.logical_not(live))
     def _():
@@ -175,24 +198,36 @@ def _emit_kernel(
 
         @pl.when(num_windows > 1)
         def _():
-            make_dma(1, a0, 1).start()
+            start(1, a0, 1)
 
         def body(wi, acc):
             slot = jnp.where(wi == 0, my_w0, jax.lax.rem(wi, 2))
 
             @pl.when((wi + 1 < num_windows) & (wi > 0))
             def _():
-                make_dma(1 - jax.lax.rem(wi, 2), a0, wi + 1).start()
+                start(1 - jax.lax.rem(wi, 2), a0, wi + 1)
 
             @pl.when(wi > 0)
             def _():
-                make_dma(jax.lax.rem(wi, 2), a0, wi).wait()
+                wait(jax.lax.rem(wi, 2), a0, wi)
 
-            win = win_buf[slot]
-            excl = win[0:1, :]  # [1, WINDOW]
-            incl = win[1:2, :]
+            pre = pre_buf[slot]
+            excl = pre[0:1, :]  # [1, WINDOW] f32
+            incl = pre[1:2, :]
             match = ((excl <= j_sub) & (j_sub < incl)).astype(jnp.bfloat16)
-            return acc + _bf16_triple_select(win, match)
+            # One M=48 selection matmul over the pre-split bf16 limbs
+            # (hi/mid/lo of every row, emit_pairs) — 3x the sublane
+            # utilization of three M=16 per-part matmuls, and no in-kernel
+            # splitting.  Exact: each match row is one-hot, so every
+            # output element IS one limb value; the telescoping limb re-sum
+            # in f32 reconstructs the original f32 bit-exactly.
+            sel = jax.lax.dot_general(
+                limb_buf[slot],
+                match,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [48, block]
+            return acc + (sel[0:16] + sel[16:32]) + sel[32:48]
 
         acc = jax.lax.fori_loop(
             0, num_windows, body, jnp.zeros((16, block), jnp.float32)
@@ -347,6 +382,21 @@ def emit_pairs(
     )  # [16, N]
     # Columns padded so aligned windows can run past the last splat.
     full = jnp.pad(full, ((0, 0), (0, 2 * WINDOW + 128)))
+    # Pre-split every row into three bf16-exact truncation limbs (8
+    # mantissa bits each; f32 = hi + mid + lo exactly).  The kernel's
+    # one-hot selection then runs as ONE M=48 bf16 matmul per window.
+    bits = jax.lax.bitcast_convert_type(full, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    r1 = full - hi
+    mid = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(r1, jnp.uint32) & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+    lo = r1 - mid
+    limbs = jnp.concatenate([hi, mid, lo]).astype(jnp.bfloat16)  # [48, Npad]
+    prefix = full[0:2]  # [2, Npad] f32 (exact match-compare operands)
 
     nblocks = capacity // block
     # First splat owning each block's first slot, a final bound, and the
@@ -361,12 +411,17 @@ def emit_pairs(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
         out_specs=pl.BlockSpec((NUM_ROWS_OUT, block), lambda i, *_: (0, i)),
         scratch_shapes=[
             # Slots 0/1: in-block double buffer; 2/3: cross-block
             # first-window pipeline (by block parity).
-            pltpu.VMEM((4, 16, WINDOW), jnp.float32),
+            pltpu.VMEM((4, 2, WINDOW), jnp.float32),
+            pltpu.VMEM((4, 48, WINDOW), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -375,7 +430,7 @@ def emit_pairs(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS_OUT, capacity), jnp.uint32),
         interpret=interpret,
-    )(starts, full)
+    )(starts, prefix, limbs)
 
 
 # ---------------------------------------------------------------------------
