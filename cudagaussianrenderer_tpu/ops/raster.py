@@ -62,6 +62,10 @@ LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
 # logmm is the production default: measured 15.3 -> 11.7 ms at the bench
 # workload on v5e, pixel-identical to roll on the golden scenes.
 SCAN_MODE = "logmm"
+# bf16 limbs in the logmm split: 3 = exact-to-f32, 2 = 16 mantissa bits
+# (T relative error ~2^-16 — measured max ONE output level vs the exact
+# split at the bench workload, for one less matmul pass: 10.2 -> 9.5 ms).
+SCAN_LIMBS = 2
 
 CENTER_INV_SCALE = 2.0 / 65535.0
 
@@ -226,8 +230,6 @@ def _raster_kernel(
                 mask = jnp.uint32(0xFFFF0000)
                 hi = pltpu.bitcast(pltpu.bitcast(l1a, jnp.uint32) & mask, jnp.float32)
                 r1 = l1a - hi
-                mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
-                lo = r1 - mid
 
                 def csum(part):
                     return jax.lax.dot_general(
@@ -235,7 +237,16 @@ def _raster_kernel(
                         preferred_element_type=jnp.float32,
                     )
 
-                s_excl = (csum(hi) + csum(mid)) + csum(lo)
+                if SCAN_LIMBS == 2:
+                    # 16 mantissa bits: T relative error ~2^-16 — far
+                    # below an output LSB; one fewer matmul pass.
+                    s_excl = csum(hi) + csum(r1)
+                else:
+                    mid = pltpu.bitcast(
+                        pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32
+                    )
+                    lo = r1 - mid
+                    s_excl = (csum(hi) + csum(mid)) + csum(lo)
                 excl = jnp.exp(s_excl)
                 t_out = t_in * jnp.exp(s_excl[:, chunk - 1 : chunk] + l1a[:, chunk - 1 : chunk])
             else:  # "chunk": order-independent within a chunk (ablation)
