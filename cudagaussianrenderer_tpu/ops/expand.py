@@ -13,11 +13,13 @@ TPU-native approach — one fused kernel:
     its first owning splat (scalar-prefetched).
   * Each block DMAs lane-aligned windows of splat rows, builds the match
     matrix M[j, w] = (excl_w <= j) & (j < incl_w) with iota compares, and
-    selects out[:, j] = rows_window @ M^T on the MXU.
-  * Selection is EXACT: each payload is split into three bf16-exact
-    truncation parts (8 mantissa bits each); 1.0 * part is exact and the
-    telescoping re-sum in f32 is exact, so f32 payloads pass through
-    bit-identically and integers < 2^24 exactly.
+    selects the owning rows with ONE [48, W] x [W, block] matmul on the
+    MXU: every row is pre-split (in XLA) into its three bf16-exact
+    truncation limbs (8 mantissa bits each), so M stays 48 sublanes wide
+    — 3x the utilization of per-part M=16 matmuls.
+  * Selection is EXACT: each match row is one-hot, so every output
+    element IS one limb value, and the telescoping limb re-sum in f32
+    reconstructs f32 payloads bit-identically (integers < 2^24 exactly).
   * The per-slot emission math — tile-rect unpack, per-row exact-run
     local tile coords (binning.splat_row_packs; there is no per-candidate
     overlap test to run), sort-key and attribute packing —

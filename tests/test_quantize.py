@@ -37,3 +37,62 @@ def test_rotation_matrix_is_rotation_for_unit_quats():
 def test_identity_quat():
     r = quat_xyzw_to_rotation_matrix(np.array([0.0, 0.0, 0.0, 1.0]))
     np.testing.assert_allclose(r, np.eye(3), atol=1e-12)
+
+
+def test_pair_buffers_are_integer_typed():
+    """Packed attribute words are arbitrary bit patterns; carrying them in
+    f32-typed arrays corrupts them on TPU (subnormal patterns flush to
+    +/-0, NaN patterns canonicalize in vector-unit copies — see
+    raster.pack_pair_data).  Guard the integer-typed contract end to end:
+    the emit kernel output, the sort operands, and the raster streaming
+    buffer must stay uint32, and pack_pair_data must pass hazardous
+    patterns through bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cudagaussianrenderer_tpu.ops.raster import pack_pair_data
+
+    hazard = np.array(
+        [
+            0x00000001,  # smallest subnormal pattern
+            0x8037EC7A,  # negative subnormal (the original field failure)
+            0x7F800001,  # signaling NaN pattern
+            0x7FD844EC,  # quiet NaN payload pattern
+            0xFF800000,  # -inf pattern
+            0x7F7FFFFF,  # largest finite
+            0x00000000,
+            0xFFFFFFFF,
+        ],
+        dtype=np.uint32,
+    )
+    attrs = tuple(jnp.asarray(np.roll(hazard, k)) for k in range(3))
+    pd = jax.jit(lambda a, b, c: pack_pair_data((a, b, c), 128))(*attrs)
+    assert pd.dtype == jnp.uint32
+    got = np.asarray(pd)
+    for k in range(3):
+        np.testing.assert_array_equal(got[k, : hazard.size], np.roll(hazard, k))
+
+
+def test_emit_output_is_integer_typed():
+    import jax
+    import jax.numpy as jnp
+
+    from cudagaussianrenderer_tpu.config import RenderConfig
+    from cudagaussianrenderer_tpu.models.camera import Camera
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+    from cudagaussianrenderer_tpu.ops.binning import build_tile_pairs
+    from cudagaussianrenderer_tpu.ops.projection import project_splats
+
+    scene = random_scene(256, seed=0)
+    config = RenderConfig(screen_size=128)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+
+    @jax.jit
+    def fn(s, c):
+        clip = project_splats(s.means, s.scales, s.quats, c, config)
+        return build_tile_pairs(clip, s.colors, s.opacities, config, 4096)
+
+    pairs = fn(scene, cam.camera_data())
+    for op in (*pairs.keys, *pairs.attrs):
+        assert op.dtype == jnp.uint32, op.dtype
