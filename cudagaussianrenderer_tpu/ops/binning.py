@@ -47,7 +47,6 @@ import numpy as np
 
 from ..config import RenderConfig
 from .geometry import (  # noqa: F401  (re-exported: tests + golden parity)
-    ALPHA_SCALE,
     CENTER_SCALE,
     _segment_hits_unit_circle,
     _to_ellipse_coords,
@@ -138,7 +137,7 @@ def splat_tile_rects(
 # The ranges round OUTWARD by STRIP_EPS before the tile floor/ceil so
 # float rounding can only ADD a boundary-grazing tile (whose density is
 # below the ellipse cutoff — invisible), never drop one the exact test
-# would keep (validated против the f64 exact test in tests).
+# would keep (validated against the f64 exact test in tests).
 
 STRIP_EPS = 1e-5
 # Per-row (dx, width) pairs pack as 6-bit fields, 2 rows per exact-f32
@@ -202,7 +201,14 @@ def splat_row_packs(
         s_lo = p_inv_ry * jnp.sqrt(jnp.maximum(1.0 - klo * klo * inv_ry2, 0.0))
         xhi = d.cx + khi * slope + s_hi
         xlo = d.cx + klo * slope - s_lo
-        live = (da <= ry) & (db >= -ry) & (float(r) < hf) & packable
+        # Outward epsilon like the x-ranges: f32 rounding in ry/cy must
+        # only ever ADD a grazing row, never drop one the exact test keeps.
+        live = (
+            (da <= ry + STRIP_EPS)
+            & (db >= -(ry + STRIP_EPS))
+            & (float(r) < hf)
+            & packable
+        )
         xl_t = jnp.clip(jnp.floor((xlo - STRIP_EPS + 1.0) * sx), x0f, x1f)
         xh_t = jnp.clip(jnp.ceil((xhi + STRIP_EPS + 1.0) * sx), x0f, x1f)
         w_r = jnp.where(live, jnp.maximum(xh_t - xl_t, 0.0), 0.0)
@@ -247,8 +253,8 @@ class TilePairs(NamedTuple):
 
     keys: Tuple[jnp.ndarray, ...]  # 1 operand (packed) or 2 (lex: tile, depth)
     values: jnp.ndarray            # [C] int32 splat indices (-1 = invalid)
-    attrs: Tuple[jnp.ndarray, ...]  # 4 operands: cxcy u32, con_ab u32
-                                    # (bf16 pair), con_c|alpha16 u32, rgb f32
+    attrs: Tuple[jnp.ndarray, ...]  # 3 u32 operands: cxcy, conic
+                                    # (a12|c12|rho8), rgba (rgb888|alpha8)
     num_candidates: jnp.ndarray    # scalar int32: total exact-range candidates
     num_pairs: jnp.ndarray         # scalar int32: emitted pairs (candidates
                                    # within capacity)
@@ -538,7 +544,11 @@ def build_tile_pairs_grouped(
     f_lo = _rect_prefix_f32(r_lo_s, c_lo_s, x0s, y0s, ws, hs)
     o_full = f_lo + (q - filled[15])
     w_f = jnp.maximum(ws, 1.0)
+    # One-step quotient correction: TPU's f32 divide (reciprocal
+    # multiply) misrounds floor((k*w)/w) to k-1 for many widths.
     ly_f = jnp.floor(o_full / w_f)
+    rem = o_full - ly_f * w_f
+    ly_f = ly_f + (rem >= w_f).astype(jnp.float32) - (rem < 0.0).astype(jnp.float32)
     lx_f = o_full - ly_f * w_f
     gx_f = x0s + lx_f
     gy_f = y0s + ly_f

@@ -276,10 +276,21 @@ def _emit_kernel(
                 sel_ly = sel_ly + m * float(r)
                 cum = nxt
         in_packed = o < cum  # cum = packed total
-        # Full-rect fallthrough rows (exact small-int float division).
+        # Full-rect fallthrough rows.  TPU's f32 divide is a reciprocal
+        # multiply, NOT correctly rounded: floor((k*w)/w) lands on k-1
+        # for most multiples of many widths (measured: 93% of k at w=61),
+        # so correct the quotient by one step against the exact
+        # remainder (inputs are exact small ints; the divide is within
+        # 1 ulp, so one step suffices).
         extra = o - cum
         w_f = jnp.maximum(w_raw, 1.0)
         ly_rel = jnp.floor(extra / w_f)
+        rem = extra - ly_rel * w_f
+        ly_rel = (
+            ly_rel
+            + (rem >= w_f).astype(jnp.float32)
+            - (rem < 0.0).astype(jnp.float32)
+        )
         lx_o = extra - ly_rel * w_f
         base_row = jnp.where(w_raw > 63.0, 0.0, 8.0)
         gy = y0 + jnp.where(in_packed, sel_ly, base_row + ly_rel)

@@ -72,7 +72,6 @@ def ellipse_rect_overlap(cx, cy, cos_t, sin_t, e0, e1,
 # density exponent).
 
 CENTER_SCALE = 65535.0
-ALPHA_SCALE = 65535.0
 
 # 12-bit positive minifloat = bf16 with the exponent re-biased to cover
 # [2^-5, 2^27): value bits (exp5|mant7) = (f32_bits >> 16) - MF12_K.
@@ -150,22 +149,3 @@ def pack_center_u32(cx: jnp.ndarray, cy: jnp.ndarray) -> jnp.ndarray:
     return (qx << 16) | qy
 
 
-def _rnd_bf16_bits(x: jnp.ndarray) -> jnp.ndarray:
-    """f32 -> round-to-nearest-even bf16 bit pattern in the high half."""
-    bits = x.view(jnp.uint32)
-    return (bits + 0x7FFF + ((bits >> 16) & 1)) & jnp.uint32(0xFFFF0000)
-
-
-def pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Two f32 -> one u32 of round-to-nearest bf16 halves (a high, b low).
-
-    Used for the conic terms: the density quadratic tolerates ~0.4%
-    relative error on these (sub-LSB at the framebuffer), and dropping a
-    sort operand is worth more than the bits.
-    """
-    return _rnd_bf16_bits(a) | (_rnd_bf16_bits(b) >> 16)
-
-
-def pack_bf16_u16(a: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """f32 (as round-to-nearest bf16 high half) | 16-bit integer low half."""
-    return _rnd_bf16_bits(a) | (q & jnp.uint32(0xFFFF))

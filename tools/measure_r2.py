@@ -105,7 +105,8 @@ def main():
 
     # ---- sort variants ----
     key0 = pairs.keys[0]
-    a_cxcy, a_ab, a_cal, a_rgb = pairs.attrs
+    a_cxcy, a_conic, a_rgba = pairs.attrs  # 3-operand layout
+    a_ab, a_cal, a_rgb = a_conic, a_rgba, a_rgba  # legacy aliases for the variant bodies
     vals_u32 = jax.lax.bitcast_convert_type(pairs.values, jnp.uint32)
 
     def sort_body(s, *ops_in):

@@ -122,7 +122,9 @@ def int8_select_experiment():
         )
 
     def kern_int8(rows_ref, out_ref):
-        """3 int8 limb passes (8 bits each, exact i32 accumulation)."""
+        """3 int8 limb passes — TIMING ONLY: limbs cast to SIGNED int8,
+        so bytes >= 128 go negative and the reconstruction is wrong;
+        a production version would need a +128 bias correction."""
         def body(wi, acc):
             win = rows_ref[:, pl.ds(wi * W, W)]  # f32 carrying ints < 2^24
             excl = win[0:1, :]

@@ -50,15 +50,29 @@ def main():
         ("epanechnikov 128px", dict(n=500, seed=2, cfg=dict(screen_size=128, falloff="epanechnikov"))),
         ("sh-degree-3 128px", dict(n=300, seed=8, sh=3, cfg=dict(screen_size=128))),
         ("rect 192x128", dict(n=400, seed=6, cfg=dict(screen_size=192, screen_height=128))),
+        # Tall/wide splats (rect h > 8 rows or w > 63 tiles at 1024px):
+        # exercises the emit kernel's full-rect fallthrough division,
+        # where TPU's reciprocal-multiply f32 divide needs the one-step
+        # quotient correction (wrong-tile emission without it).
+        ("huge splats 1024px", dict(
+            n=192, seed=9,
+            scene_kw=dict(min_scale=0.3, max_scale=1.6, extent=3.0),
+            cfg=dict(screen_size=1024), capacity=524288,
+        )),
     ]
     for name, c in cases:
         config = RenderConfig(**c["cfg"])
-        scene = random_scene(c["n"], seed=c["seed"], sh_degree=c.get("sh", 0)).pad_to_multiple(256)
+        scene = random_scene(
+            c["n"], seed=c["seed"], sh_degree=c.get("sh", 0), **c.get("scene_kw", {})
+        ).pad_to_multiple(256)
         cam = Camera(aspect=config.aspect).framed(scene.bounds_min, scene.bounds_max)
-        got, _ = jax.jit(
-            lambda s, cd, cfg=config: render_frame(s, cd, cfg, 16384)
+        capacity = c.get("capacity", 16384)
+        got, aux = jax.jit(
+            lambda s, cd, cfg=config, cap=capacity: render_frame(s, cd, cfg, cap)
         )(scene, cam.camera_data())
         got = np.asarray(got)
+        assert int(aux["num_candidates"]) <= capacity, (
+            name, int(aux["num_candidates"]), "saturated — raise case capacity")
         want = golden_render(scene_to_numpy(scene), cam.camera_data(), config)
         check(name, got, want)
 
