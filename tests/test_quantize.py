@@ -96,3 +96,43 @@ def test_emit_output_is_integer_typed():
     pairs = fn(scene, cam.camera_data())
     for op in (*pairs.keys, *pairs.attrs):
         assert op.dtype == jnp.uint32, op.dtype
+
+
+def test_conic_pack_roundtrip_precision():
+    """pack_conic_u32/unpack_conic_u32: a and c keep bf16-level relative
+    precision across the supported range, and the reconstructed b keeps
+    the density error bounded: |dpow_err| <= dpow / 127 for any (dx, dy)
+    (the PSD correlation argument in the docstring)."""
+    import numpy as np
+    import jax
+    from cudagaussianrenderer_tpu.ops.geometry import (
+        pack_conic_u32,
+        unpack_conic_u32,
+    )
+
+    rng = np.random.default_rng(0)
+    # Conics of random ellipses: eigenvalues lambda in [1e-4, 1e6],
+    # random rotation; conic = R diag(1/l0, 1/l1) R^T.
+    n = 4096
+    l0 = 10.0 ** rng.uniform(-1, 6, n)
+    l1 = l0 * 10.0 ** rng.uniform(-3, 0, n)
+    th = rng.uniform(0, np.pi, n)
+    ct, st = np.cos(th), np.sin(th)
+    a = (ct * ct * l0 + st * st * l1).astype(np.float32)
+    c = (st * st * l0 + ct * ct * l1).astype(np.float32)
+    b = (ct * st * (l0 - l1)).astype(np.float32)
+
+    q = jax.jit(pack_conic_u32)(a, b, c)
+    a2, b2, c2 = jax.jit(unpack_conic_u32)(q)
+    a2, b2, c2 = np.asarray(a2), np.asarray(b2), np.asarray(c2)
+
+    in_range = (a > 2**-5) & (a < 2**26) & (c > 2**-5) & (c < 2**26)
+    rel_a = np.abs(a2[in_range] - a[in_range]) / a[in_range]
+    rel_c = np.abs(c2[in_range] - c[in_range]) / c[in_range]
+    assert rel_a.max() < 4.0e-3  # bf16: 2^-8 max relative rounding
+    assert rel_c.max() < 4.0e-3
+
+    # Density-exponent bound: for any (dx, dy),
+    # |db*2*dx*dy| <= drho * (a dx^2 + c dy^2) + bf16 slack.
+    drho = np.abs(b2 - b) / np.maximum(np.sqrt(a2 * c2), 1e-30)
+    assert drho[in_range].max() <= 1.0 / 127.5 + 5e-3

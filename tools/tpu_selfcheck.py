@@ -59,6 +59,12 @@ def main():
             scene_kw=dict(min_scale=0.3, max_scale=1.6, extent=3.0),
             cfg=dict(screen_size=1024), capacity=524288,
         )),
+        # Two-operand lexicographic (tile, depth24<<8) sort keys — the
+        # path big screens (> 8191 tiles) auto-select; the small screen
+        # keeps the golden render cheap.
+        ("lex keys (depth_bits=32)", dict(
+            n=400, seed=2, cfg=dict(screen_size=128, depth_bits=32),
+        )),
     ]
     for name, c in cases:
         config = RenderConfig(**c["cfg"])
