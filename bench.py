@@ -63,9 +63,9 @@ def _timed_ms(fn, args, reps=8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("n_splats", nargs="?", type=int, default=1_000_000)
-    # 16 frames amortize the ~31 ms tunnel dispatch to ~2 ms/frame —
+    # 32 frames amortize the ~31 ms tunnel dispatch to ~1 ms/frame —
     # closer to the reference's dispatch-free CUDA-kernel-only timing.
-    ap.add_argument("frames", nargs="?", type=int, default=16)
+    ap.add_argument("frames", nargs="?", type=int, default=32)
     ap.add_argument("--devices", type=int, default=1)
     # The reference also publishes an Epanechnikov-falloff figure
     # (README.md:133-136: 10.30 ms gaussian vs 8.84 ms epanechnikov).
