@@ -9,8 +9,8 @@ per splat; see vs_baseline below), giving >= 3.9M pairs/frame at 1M splats
 versus ~3.3M for the count-scaled reference.
 
 Method: frames-per-second of the fused device pipeline (project -> bin ->
-sort -> ranges -> raster), amortized over a device-side scan of 8 orbit
-cameras so host/tunnel dispatch latency is excluded — mirroring how the
+sort -> ranges -> raster), amortized over a device-side scan of the
+orbit cameras so host/tunnel dispatch latency is excluded — mirroring how the
 reference reports CUDA-kernel-only times (README.md:142).  Inputs are
 salted per repetition (the remote runtime memoizes identical executions).
 
