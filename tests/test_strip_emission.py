@@ -1,0 +1,125 @@
+"""Property test for the per-row exact-range emission math.
+
+splat_row_packs + the emit kernel's slot decode replace the reference's
+per-candidate ellipse/rect test (GaussianRender.cu:350-436) with
+closed-form ellipse/strip x-runs.  Sweep adversarial ellipses (extreme
+eccentricity, arbitrary rotation, tall h>8 and wide w>63 rects) and
+assert, against the f64 exact test, the superset/tightness contract:
+every exact-test tile is emitted, nothing outside the AABB is, and the
+packable region (rows < 8, w <= 63) adds at most rare boundary grazers.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cudagaussianrenderer_tpu.config import RenderConfig
+from cudagaussianrenderer_tpu.golden import golden_ellipse_rect_overlap
+from cudagaussianrenderer_tpu.ops.binning import (
+    MAX_PACK_ROWS,
+    MAX_PACK_W,
+    splat_row_packs,
+    splat_tile_rects,
+)
+from cudagaussianrenderer_tpu.ops.projection import SplatClipData
+
+
+def _clip_data(cx, cy, theta, e0, e1):
+    n = cx.shape[0]
+    z = np.zeros(n, np.float32)
+    return SplatClipData(
+        cx=cx.astype(np.float32), cy=cy.astype(np.float32),
+        z=z, cos_t=np.cos(theta).astype(np.float32),
+        sin_t=np.sin(theta).astype(np.float32),
+        e0=e0.astype(np.float32), e1=e1.astype(np.float32),
+        con_a=z + 1, con_b=z, con_c=z + 1,
+    )
+
+
+def _decode_rows(x0, w_rect, h_rect, packs, count):
+    """Replicate the emit kernel's ordinal -> (row, col) decode in numpy."""
+    dxs, ws = [], []
+    for p in range(4):
+        t = int(packs[p])
+        hi, lo = divmod(t, 4096)
+        for half in (hi, lo):
+            dx, w = divmod(half, 64)
+            dxs.append(dx)
+            ws.append(w)
+    tiles = []
+    cum = np.concatenate([[0], np.cumsum(ws)])
+    for o in range(count):
+        if o < cum[-1]:
+            r = int(np.searchsorted(cum, o, side="right")) - 1
+            tiles.append((r, x0 + dxs[r] + (o - cum[r])))
+        else:
+            extra = o - cum[-1]
+            base_row = 0 if w_rect > MAX_PACK_W else MAX_PACK_ROWS
+            w_f = max(w_rect, 1)
+            tiles.append((base_row + extra // w_f, x0 + extra % w_f))
+    return tiles
+
+
+@pytest.mark.parametrize("case", ["generic", "eccentric", "tall_wide"])
+def test_strip_emission_matches_exact_test(case):
+    rng = np.random.default_rng(hash(case) % 2**31)
+    n = 300
+    if case == "generic":
+        e0 = rng.uniform(0.01, 0.3, n)
+        ecc = rng.uniform(0.05, 1.0, n)
+    elif case == "eccentric":
+        e0 = rng.uniform(0.05, 0.8, n)
+        ecc = rng.uniform(0.002, 0.05, n)  # needle-thin ellipses
+    else:  # tall_wide: rects past the packable limits
+        e0 = rng.uniform(0.5, 2.5, n)
+        ecc = rng.uniform(0.2, 1.0, n)
+    cx = rng.uniform(-1, 1, n)
+    cy = rng.uniform(-1, 1, n)
+    theta = rng.uniform(0, 2 * np.pi, n)
+    e1 = e0 * ecc
+
+    config = RenderConfig(screen_size=1024)
+    clip = _clip_data(cx, cy, theta, e0, e1)
+    rects = jax.jit(lambda c: splat_tile_rects(c, config))(clip)
+    rp = jax.jit(lambda c, r: splat_row_packs(c, r, config))(clip, rects)
+
+    x0 = np.asarray(rects.x0)
+    y0 = np.asarray(rects.y0)
+    w = np.asarray(rects.w)
+    h = np.asarray(rects.h)
+    counts = np.asarray(rp.counts)
+    packs = np.stack([np.asarray(p) for p in rp.packs])
+
+    ts_clip = 2.0 / config.tiles_x
+    n_exact = n_emitted = n_extra_packable = 0
+    for i in range(n):
+        emitted = set()
+        for r, c in _decode_rows(int(x0[i]), int(w[i]), int(h[i]),
+                                 packs[:, i], int(counts[i])):
+            gy, gx = int(y0[i]) + r, int(c)
+            assert y0[i] <= gy < y0[i] + h[i], (case, i, "row outside rect")
+            assert x0[i] <= gx < x0[i] + w[i], (case, i, "col outside rect")
+            assert (gy, gx) not in emitted, (case, i, "duplicate pair")
+            emitted.add((gy, gx))
+        n_emitted += len(emitted)
+        packable = w[i] <= MAX_PACK_W
+        for gy in range(int(y0[i]), int(y0[i] + h[i])):
+            for gx in range(int(x0[i]), int(x0[i] + w[i])):
+                rmin = (gx * ts_clip - 1, gy * ts_clip - 1)
+                rmax = (rmin[0] + ts_clip, rmin[1] + ts_clip)
+                hit = golden_ellipse_rect_overlap(
+                    (cx[i], cy[i]),
+                    (np.cos(theta[i]), np.sin(theta[i])),
+                    (e0[i], e1[i]), rmin, rmax,
+                )
+                if hit:
+                    n_exact += 1
+                    assert (gy, gx) in emitted, (
+                        case, i, gy, gx, "exact-test tile missing")
+                elif (gy, gx) in emitted and packable and gy - y0[i] < MAX_PACK_ROWS:
+                    n_extra_packable += 1
+    # Exact rows may only over-emit rare float-boundary grazers.
+    assert n_extra_packable <= max(4, n_exact // 100), (
+        case, n_extra_packable, n_exact)
+    assert n_emitted >= n_exact
