@@ -53,6 +53,10 @@ WINDOW = 256
 # (prefix sums clamped to capacity, packed tile rects, packed rgb, splat
 # ids) must stay under this.
 MAX_EXACT_I32 = 1 << 24
+# The largest pair-list capacity the exact-f32 selection supports, with
+# block-rounding headroom — the single source of truth for every host
+# capacity clamp (render.Renderer, parallel.DistributedRenderer).
+MAX_CAPACITY = MAX_EXACT_I32 - (1 << 18)
 
 # Input row layout fed to the kernels ([14, N] planar f32; the kernels
 # prepend the excl/incl prefix rows -> 16 rows, one sublane tile).

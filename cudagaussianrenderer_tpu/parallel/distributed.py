@@ -43,6 +43,7 @@ from ..models.scene import GaussianScene
 from ..ops.binning import build_tile_pairs
 from ..ops.projection import SplatClipData, project_splats
 from ..ops.ranges import tile_ranges
+from ..ops.expand import MAX_CAPACITY as _KERNEL_MAX_CAPACITY
 from ..ops.raster import pack_pair_data, rasterize_tiles, tiles_to_image
 from ..ops.sorting import sort_pairs
 from ..render import _splat_colors
@@ -152,7 +153,7 @@ def _validate(config: RenderConfig, mesh: Mesh, axis: str, scene: GaussianScene)
     n_dev = mesh.shape[axis]
     if config.tiles_y % n_dev != 0:
         raise ValueError(
-            f"tiles_per_screen ({config.tiles_y}) must be divisible "
+            f"tiles_y ({config.tiles_y}) must be divisible "
             f"by the device count ({n_dev}) for tile-row sharding"
         )
     band_tiles = (config.tiles_y // n_dev) * config.tiles_x
@@ -262,7 +263,7 @@ class DistributedRenderer:
     (an overflowing frame renders truncated; the next frame grows).
     """
 
-    MAX_CAPACITY = (1 << 24) - (1 << 18)
+    MAX_CAPACITY = _KERNEL_MAX_CAPACITY
 
     def __init__(
         self,
@@ -288,13 +289,20 @@ class DistributedRenderer:
             1 << 14,
             config.tile_capacity(self.scene.count) // self.n_tile_devices,
         )
-        self.capacity = -(-self.capacity // 1024) * 1024
+        # Clamp to the emit kernel's exact-f32 limit (a big scene's
+        # factor estimate can exceed it on a small mesh).
+        self.capacity = min(
+            -(-self.capacity // 1024) * 1024, self.MAX_CAPACITY
+        )
         self.saturated = False
         self.adaptive = config.capacity is None
         self._fns: Dict[tuple, object] = {}
         self.frame_count = 0
 
     def _bucket(self, candidates: int) -> int:
+        """Per-device bucket: 20% headroom, 32Ki grain (the per-device
+        counts are smaller and vary more across bands than the global
+        Renderer bucket's 10% / 128Ki)."""
         want = max(1 << 14, int(candidates * 1.2))
         grain = 1 << 15
         return min(-(-want // grain) * grain, self.MAX_CAPACITY)
@@ -305,7 +313,10 @@ class DistributedRenderer:
             cfg, cap, mesh = self.config, self.capacity, self.mesh
             if batched:
                 fn = jax.jit(
-                    lambda s, c: render_frames_sharded(s, c, cfg, cap, mesh)
+                    lambda s, c: render_frames_sharded(
+                        s, c, cfg, cap, mesh,
+                        frame_axis=self.axes[0], tile_axis=self.tile_axis,
+                    )
                 )
             else:
                 fn = jax.jit(

@@ -27,6 +27,7 @@ from .config import RenderConfig
 from .models.camera import Camera
 from .models.scene import GaussianScene
 from .ops.binning import build_tile_pairs, build_tile_pairs_grouped
+from .ops.expand import MAX_CAPACITY as _KERNEL_MAX_CAPACITY
 from .ops.projection import project_splats
 from .ops.ranges import tile_ranges, tile_ranges_grouped
 from .ops.raster import pack_pair_data, rasterize_tiles, tiles_to_image
@@ -123,7 +124,14 @@ class Renderer:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
-        self.capacity = config.tile_capacity(self.scene.count)
+        # Clamp + block-round the INITIAL capacity too: a >=2.1M-splat
+        # scene's capacity_factor estimate exceeds the emit kernel's
+        # exact-f32 limit, and an explicit config.capacity may not be a
+        # block multiple — both crashed the first render() before.
+        self.capacity = min(
+            -(-config.tile_capacity(self.scene.count) // 128) * 128,
+            self.MAX_CAPACITY,
+        )
         self.saturated = False
         self._fns: dict = {}
         self.stats = {name: 0.0 for name in STAGE_NAMES}
@@ -157,12 +165,12 @@ class Renderer:
     # requires capacity + 1 < 2^24.  Beyond it the pipeline renders with a
     # truncated list forever (the reference's saturation semantics,
     # cu:700-703) instead of raising mid-run.
-    MAX_CAPACITY = (1 << 24) - (1 << 18)
+    MAX_CAPACITY = _KERNEL_MAX_CAPACITY
     MIN_GROUP_CAPACITY = 8192
 
     @classmethod
     def _bucket(cls, candidates: int) -> int:
-        """Capacity bucket: 20% headroom, 256Ki granularity (bounds the
+        """Capacity bucket: 10% headroom, 128Ki granularity (bounds the
         number of distinct compiled pipelines while staying tight —
         every post-binning stage costs O(capacity))."""
         want = max(1 << 17, int(candidates * 1.1))
@@ -180,7 +188,10 @@ class Renderer:
         return (self.n_groups, self.group_capacity) if self.use_groups else None
 
     def _get_fn(self):
-        key = (self.capacity, self._groups())
+        # Grouped mode ignores the flat capacity entirely; keying the jit
+        # cache on it would recompile an identical program whenever the
+        # (unused) flat bucket moves.
+        key = self._groups() if self.use_groups else (self.capacity, None)
         if key not in self._fns:
             cfg, cap, interp = self.config, self.capacity, self.interpret
             groups = self._groups()
@@ -213,13 +224,14 @@ class Renderer:
         if check_saturation:
             candidates = int(aux["num_candidates"])
             if self.use_groups:
+                # use_groups requires config.capacity is None, which
+                # implies adaptive capacity — resize from the pmax'd
+                # per-group count (an overflowing frame rendered with its
+                # tail truncated, like the reference).
                 max_group = int(aux["max_group_candidates"])
-                if self.adaptive_capacity:
-                    self.group_capacity = self._group_bucket(int(max_group * 1.2))
-                    self.capacity = self._bucket(candidates)
-                    self.saturated = False
-                else:
-                    self.saturated = max_group >= self.group_capacity
+                self.group_capacity = self._group_bucket(int(max_group * 1.2))
+                self.capacity = self._bucket(candidates)
+                self.saturated = False
             elif self.adaptive_capacity:
                 self.capacity = self._bucket(candidates)
                 self.saturated = False
@@ -231,31 +243,16 @@ class Renderer:
     # Profiling mode: stage-sliced timing with reference-matching names.
     # ------------------------------------------------------------------
 
-    def profile_frame(self, camera: Camera, *, warmup: bool = False) -> Dict[str, float]:
-        """Time each pipeline stage (ms) via stage-sliced jits.
-
-        This is the analog of the reference's CudaTimer bracketing of every
-        launch (Utilities.h:155-187, Demo.cpp:432-476); like the reference
-        it serializes stage boundaries, so the total exceeds the fused
-        whole-frame time.
-        """
+    def _stage_fns(self):
+        """Per-stage jit wrappers, cached like _get_fn: rebuilding them
+        each call would leave every profile_frame() measuring trace +
+        compile instead of kernels (jit caches are per-wrapper)."""
+        key = ("stages",) + (
+            self._groups() if self.use_groups else (self.capacity, None)
+        )
+        if key in self._fns:
+            return self._fns[key]
         cfg, cap, interp = self.config, self.capacity, self.interpret
-        scene, cam = self.scene, camera.camera_data()
-
-        has_sh = scene.sh is not None and scene.sh_degree > 0
-
-        stages = {}
-
-        def timed(name, fn, *args):
-            t0 = time.perf_counter()
-            out = fn(*args)
-            # Materialize one leaf: block_until_ready alone is unreliable
-            # through remote runtimes.
-            np.asarray(jax.tree_util.tree_leaves(out)[0])
-            dt = (time.perf_counter() - t0) * 1e3
-            stages[name] = stages.get(name, 0.0) + dt
-            return out
-
         groups = self._groups()
         sh_fn = jax.jit(lambda s, c: _splat_colors(s, c))
         proj_fn = jax.jit(
@@ -268,7 +265,9 @@ class Renderer:
                     clip, colors, s.opacities, cfg, ng, gcap, interpret=interp
                 )
             )
-            sort_fn = jax.jit(lambda p: sort_pairs_grouped(p, ng, gcap, stable=cfg.stable_sort))
+            sort_fn = jax.jit(
+                lambda p: sort_pairs_grouped(p, ng, gcap, stable=cfg.stable_sort)
+            )
             rng_fn = jax.jit(
                 lambda keys, bounds: tile_ranges_grouped(keys, bounds, gcap, cfg)
             )
@@ -290,6 +289,35 @@ class Renderer:
                 starts, counts, cfg, interpret=interp,
             )
         )
+        fns = (sh_fn, proj_fn, bin_fn, sort_fn, rng_fn, rast_fn)
+        self._fns[key] = fns
+        return fns
+
+    def profile_frame(self, camera: Camera, *, warmup: bool = False) -> Dict[str, float]:
+        """Time each pipeline stage (ms) via stage-sliced jits.
+
+        This is the analog of the reference's CudaTimer bracketing of every
+        launch (Utilities.h:155-187, Demo.cpp:432-476); like the reference
+        it serializes stage boundaries, so the total exceeds the fused
+        whole-frame time.
+        """
+        scene, cam = self.scene, camera.camera_data()
+
+        has_sh = scene.sh is not None and scene.sh_degree > 0
+
+        stages = {}
+
+        def timed(name, fn, *args):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            # Materialize one leaf: block_until_ready alone is unreliable
+            # through remote runtimes.
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            dt = (time.perf_counter() - t0) * 1e3
+            stages[name] = stages.get(name, 0.0) + dt
+            return out
+
+        sh_fn, proj_fn, bin_fn, sort_fn, rng_fn, rast_fn = self._stage_fns()
 
         if warmup:
             colors = sh_fn(scene, cam)

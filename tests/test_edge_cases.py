@@ -111,3 +111,36 @@ def test_zero_opacity_scene_renders_black():
     img = Renderer(scene, config).render(cam)
     # Pairs exist (coverage alpha = 255 on touched tiles) but colors are 0.
     assert img[..., :3].max() == 0
+
+
+def test_initial_capacity_clamped_and_rounded():
+    """A scene big enough that capacity_factor * count exceeds the emit
+    kernel's exact-f32 limit must construct (and the clamp must round to
+    a block multiple); an explicit non-multiple capacity must round up
+    instead of crashing the first render."""
+    import jax.numpy as jnp
+
+    from cudagaussianrenderer_tpu.config import RenderConfig
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+    from cudagaussianrenderer_tpu.ops.expand import MAX_CAPACITY
+    from cudagaussianrenderer_tpu.parallel.distributed import (
+        DistributedRenderer,
+        make_mesh,
+    )
+    from cudagaussianrenderer_tpu.render import Renderer
+
+    scene = random_scene(300, seed=0)
+    # capacity_factor estimate blows past the kernel limit.
+    r = Renderer(scene, RenderConfig(screen_size=128, capacity_factor=10**6))
+    assert r.capacity <= MAX_CAPACITY
+    assert r.capacity % 128 == 0
+
+    dr = DistributedRenderer(
+        scene, RenderConfig(screen_size=128, capacity_factor=10**6),
+        mesh=make_mesh(1),
+    )
+    assert dr.capacity <= MAX_CAPACITY
+
+    # Explicit capacity that is not a block multiple: rounds up, renders.
+    r2 = Renderer(scene, RenderConfig(screen_size=128, capacity=1000))
+    assert r2.capacity % 128 == 0 and r2.capacity >= 1000
