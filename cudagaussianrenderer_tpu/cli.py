@@ -59,9 +59,9 @@ def _build(args):
         capacity_factor=args.capacity_factor,
         gamma=args.gamma,
     )
-    if args.raster_chunk:
+    if args.raster_chunk is not None:
         kwargs["raster_chunk"] = args.raster_chunk
-    if args.tiles_per_cell:
+    if args.tiles_per_cell is not None:
         kwargs["tiles_per_cell"] = args.tiles_per_cell
     config = RenderConfig(**kwargs)
 
@@ -98,10 +98,12 @@ def cmd_orbit(args):
     from .models.camera import orbit_cameras
     from .utils.png import write_png
 
-    renderer, _, scene, _ = _build(args)
+    renderer, _, scene, config = _build(args)
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
-    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, args.frames)
+    cams = orbit_cameras(
+        scene.bounds_min, scene.bounds_max, args.frames, aspect=config.aspect
+    )
     for i, cam in enumerate(cams):
         image = renderer.render(cam)
         write_png(out / f"frame_{i:04d}.png", image)
@@ -111,11 +113,21 @@ def cmd_orbit(args):
 def cmd_bench(args):
     from .models.camera import orbit_cameras
 
+    if args.frames < 1:
+        raise SystemExit("--frames must be >= 1")
     renderer, camera, scene, config = _build(args)
-    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, args.frames)
+    cams = orbit_cameras(
+        scene.bounds_min, scene.bounds_max, args.frames, aspect=config.aspect
+    )
 
-    # Warmup / compile.
-    renderer.render(cams[0])
+    # Warmup / compile.  The first render adapts the pair-list capacity,
+    # which changes the jit cache key — warm again until it settles so
+    # the timed loop never pays a recompile.
+    for _ in range(3):
+        cap = renderer.capacity
+        renderer.render(cams[0])
+        if renderer.capacity == cap:
+            break
 
     import jax
 

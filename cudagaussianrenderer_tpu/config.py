@@ -118,8 +118,14 @@ class RenderConfig:
             object.__setattr__(self, "depth_bits", 32)
         if self.total_tiles % self.tiles_per_cell != 0:
             raise ValueError("tiles_per_cell must divide the tile count")
-        if self.raster_chunk % 128 != 0 or self.raster_chunk & (self.raster_chunk - 1):
+        if (
+            self.raster_chunk < 128
+            or self.raster_chunk % 128 != 0
+            or self.raster_chunk & (self.raster_chunk - 1)
+        ):
             raise ValueError("raster_chunk must be a power-of-two multiple of 128")
+        if self.tiles_per_cell < 1:
+            raise ValueError("tiles_per_cell must be >= 1")
 
     # --- derived quantities ---
     @property

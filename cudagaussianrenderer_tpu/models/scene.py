@@ -84,9 +84,11 @@ class GaussianScene:
     def pad_to(self, n: int) -> "GaussianScene":
         """Pad arrays to ``n`` splats with inert entries.
 
-        Padding splats have opacity 0, zero scale and sit at the scene
-        center; the projection stage culls zero-extent splats so they never
-        emit tile pairs.
+        Padding splats have opacity 0 and zero scale, parked at the
+        bounds-min corner.  They are NOT culled — the projection's
+        anti-shrink trace bump gives zero-scale splats ~texel extents,
+        so each may emit a few tile pairs — but they blend nothing
+        (alpha 0) and cost at most a handful of list slots.
         """
         cur = self.padded_count
         if n < cur:
@@ -94,7 +96,7 @@ class GaussianScene:
         if n == cur:
             return self
         pad = n - cur
-        center = np.asarray(self.bounds_min, np.float32)
+        park = np.asarray(self.bounds_min, np.float32)
 
         def pad_last(a, fill):
             fills = jnp.broadcast_to(
@@ -104,7 +106,7 @@ class GaussianScene:
 
         return dataclasses.replace(
             self,
-            means=pad_last(self.means, center),
+            means=pad_last(self.means, park),
             scales=pad_last(self.scales, np.zeros(3, np.float32)),
             quats=pad_last(
                 self.quats, np.uint32(encode_quat_xyzw(np.array([0.0, 0, 0, 1.0])))

@@ -31,55 +31,17 @@ def sh_basis(dirs, degree: int, xp=jnp):
     module (jnp on device, numpy for the golden oracle).
     Returns [..., (degree+1)^2].
     """
-    if not 0 <= degree <= 4:
-        raise ValueError("SH degree must be in [0, 4]")
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
-    one = xp.ones_like(x)
-    out = [0.28209479177387814 * one]
-    if degree >= 1:
-        c1 = 0.4886025119029199
-        out += [c1 * y, c1 * z, c1 * x]
-    if degree >= 2:
-        xx, yy, zz = x * x, y * y, z * z
-        xy, yz, xz = x * y, y * z, x * z
-        out += [
-            1.0925484305920792 * xy,
-            1.0925484305920792 * yz,
-            0.31539156525252005 * (3.0 * zz - 1.0),
-            1.0925484305920792 * xz,
-            0.5462742152960396 * (xx - yy),
-        ]
-    if degree >= 3:
-        out += [
-            0.5900435899266435 * y * (3.0 * xx - yy),
-            2.890611442640554 * xy * z,
-            0.4570457994644658 * y * (5.0 * zz - 1.0),
-            0.3731763325901154 * z * (5.0 * zz - 3.0),
-            0.4570457994644658 * x * (5.0 * zz - 1.0),
-            1.445305721320277 * z * (xx - yy),
-            0.5900435899266435 * x * (xx - 3.0 * yy),
-        ]
-    if degree >= 4:
-        out += [
-            2.5033429417967046 * xy * (xx - yy),
-            1.7701307697799304 * yz * (3.0 * xx - yy),
-            0.9461746957575601 * xy * (7.0 * zz - 1.0),
-            0.6690465435572892 * yz * (7.0 * zz - 3.0),
-            0.10578554691520431 * (35.0 * zz * zz - 30.0 * zz + 3.0),
-            0.6690465435572892 * xz * (7.0 * zz - 3.0),
-            0.47308734787878004 * (xx - yy) * (7.0 * zz - 1.0),
-            1.7701307697799304 * xz * (xx - 3.0 * yy),
-            0.6258357354491761 * (xx * xx - 6.0 * xx * yy + yy * yy),
-        ]
-    return xp.stack(out, axis=-1)
+    return xp.stack(sh_basis_components(x, y, z, degree, xp=xp), axis=-1)
 
 
-def sh_basis_components(x, y, z, degree: int):
+def sh_basis_components(x, y, z, degree: int, xp=jnp):
     """Planar-SoA basis: x, y, z are [N] rows; returns a LIST of [N]
-    arrays (no stacking — keeps everything lane-friendly on TPU)."""
+    arrays (no stacking — keeps everything lane-friendly on TPU).  The
+    single home of the SH coefficient table; sh_basis stacks it."""
     if not 0 <= degree <= 4:
         raise ValueError("SH degree must be in [0, 4]")
-    one = jnp.ones_like(x)
+    one = xp.ones_like(x)
     out = [0.28209479177387814 * one]
     if degree >= 1:
         c1 = 0.4886025119029199

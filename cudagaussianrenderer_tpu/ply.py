@@ -72,7 +72,10 @@ def parse_header(stream) -> Tuple[List[str], int]:
                 raise PlyError("Unexpected element type.")
             if len(words) < 3:
                 raise PlyError("Unexpected element count.")
-            vertex_count = int(words[2])
+            try:
+                vertex_count = int(words[2])
+            except ValueError:
+                raise PlyError("Unexpected element count.") from None
         elif word == "property":
             if len(words) < 2 or words[1] != "float":
                 raise PlyError("Unexpected property format, expected float.")
