@@ -133,3 +133,28 @@ def test_graft_entry_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_distributed_renderer_custom_axis_names():
+    """Mesh axis names are user-chosen; the renderer must forward them to
+    both the per-frame and the batched sharded paths (the batched path
+    once hardcoded 'frames'/'tiles' and KeyError'd on custom names)."""
+    import numpy as np
+
+    from cudagaussianrenderer_tpu.config import RenderConfig
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+    from cudagaussianrenderer_tpu.parallel.distributed import (
+        DistributedRenderer,
+        make_mesh_2d,
+    )
+
+    scene = random_scene(400, seed=7)
+    config = RenderConfig(screen_size=128)
+    r = DistributedRenderer(
+        scene, config, mesh=make_mesh_2d(2, 2, axes=("f", "t"))
+    )
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 2)
+    imgs = r.render_batch(cams)
+    assert imgs.shape == (2, 128, 128, 4)
+    assert np.asarray(imgs)[..., 3].max() == 255
