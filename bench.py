@@ -109,17 +109,22 @@ def main():
     else:
         frame = lambda scene, cam, capacity: render_frame(scene, cam, config, capacity)  # noqa: E731
 
-    # Size capacity like the adaptive Renderer would: probe one frame.
-    # The orbit's per-frame candidate count varies a few percent; use the
-    # max-ish headroom the Renderer's bucket would give.
+    # Size capacity like the adaptive Renderer would: probe the orbit's
+    # candidate count at several cameras and take the max, so the static
+    # headroom can stay tight (every post-binning stage costs
+    # O(capacity); 1.1 -> 1.04 over the probed max bought ~0.5 ms of
+    # sort at the bench workload).
     probe = jax.jit(
         lambda s, c: frame(s, c, config.tile_capacity(s.count) // args.devices)[1][
             "num_candidates"
         ]
     )
-    candidates = int(np.asarray(probe(scene, cam0)))
-    grain = 1 << 17
-    capacity = max(grain, -(-int(candidates * 1.1) // grain) * grain)
+    candidates = max(
+        int(np.asarray(probe(scene, jax.tree.map(lambda x: x[i], cam_stack))))
+        for i in range(0, args.frames, max(1, args.frames // 4))
+    )
+    grain = 1 << 16
+    capacity = max(grain, -(-int(candidates * 1.04) // grain) * grain)
 
     # ---- headline: fused whole-frame throughput over the orbit ----
     def frames_body(salt, scene, cam_stack):

@@ -147,6 +147,72 @@ def cmd_bench(args):
         print(f"Total average time ms: {sum(stages.values()):2.6f}")
 
 
+def cmd_interactive(args):
+    """Input-driven frame loop — the headless analog of the reference's
+    GLFW event loop with its 60 FPS spin-wait cap (Demo.cpp:352-528,
+    521-525).  Input events come from a script (JSON lines) instead of a
+    window; each line holds an InputState for `frames` frames:
+
+        {"frames": 30, "buttons": "left", "pointer": [x, y],
+         "move": [x, y, z]}
+
+    The loop is deterministic (fixed dt = 1/fps-cap) so replays produce
+    identical frames; --realtime additionally sleeps each frame to the
+    cap like the reference.
+    """
+    import json
+
+    from .models.camera import CameraController, InputState
+    from .utils.png import write_png
+
+    renderer, _, scene, config = _build(args)
+    controller = CameraController((config.screen_w, config.screen_h))
+    controller.set_bounds(scene.bounds_min, scene.bounds_max)
+
+    if args.script:
+        events = [json.loads(line) for line in Path(args.script).read_text().splitlines() if line.strip()]
+    else:
+        # Built-in demo: drag-rotate right, fly forward, orbit down.
+        events = [
+            dict(frames=1, buttons="none", pointer=[512, 512]),
+            *[
+                dict(frames=1, buttons="left", pointer=[512 + 12 * f, 512])
+                for f in range(20)
+            ],
+            *[
+                dict(frames=1, buttons="none", pointer=[752, 512], move=[0, 0, -1])
+                for _ in range(20)
+            ],
+            *[
+                dict(frames=1, buttons="middle", pointer=[752, 512 + 6 * f])
+                for f in range(20)
+            ],
+        ]
+
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    dt = 1.0 / args.fps_cap
+    frame = 0
+    for ev in events:
+        state = InputState(
+            pointer=tuple(ev.get("pointer", (0.0, 0.0))),
+            buttons=ev.get("buttons", "none"),
+            move=tuple(ev.get("move", (0.0, 0.0, 0.0))),
+        )
+        for _ in range(int(ev.get("frames", 1))):
+            t0 = time.perf_counter()
+            cam = controller.update(state, dt)
+            image = renderer.render(cam)
+            if frame % args.save_every == 0:
+                write_png(out / f"frame_{frame:04d}.png", image)
+            frame += 1
+            if args.realtime:
+                # Spin-wait to the frame cap (Demo.cpp:521-525).
+                while time.perf_counter() - t0 < dt:
+                    pass
+    print(f"ran {frame} interactive frames -> {out}", file=sys.stderr)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="cudagaussianrenderer_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -170,6 +236,19 @@ def main(argv=None):
     p.add_argument("--profile", action="store_true", help="per-stage timing report")
     _add_common(p)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser(
+        "interactive",
+        help="input-script-driven frame loop (headless GLFW-loop analog)",
+    )
+    p.add_argument("scene", nargs="?", default=None)
+    p.add_argument("-o", "--output", default="frames")
+    p.add_argument("--script", default=None, help="JSON-lines input script")
+    p.add_argument("--fps-cap", type=float, default=60.0)
+    p.add_argument("--save-every", type=int, default=1, metavar="N")
+    p.add_argument("--realtime", action="store_true", help="sleep to the frame cap")
+    _add_common(p)
+    p.set_defaults(fn=cmd_interactive)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -44,18 +44,6 @@ class RenderConfig:
     # rounded up to a multiple of 1024.
     capacity: Optional[int] = None
 
-    # --- keyspace-grouped sort (experimental) ---
-    # Emit the pair list into equal-candidate-count contiguous key ranges
-    # and sort each group independently: jax.lax.sort batched over groups
-    # is several times cheaper than one flat sort (measured 16.6 -> 6.8 ms
-    # at 4.19M pairs / 128 groups on v5e).  OFF by default: with spatially
-    # unordered splats each expansion block's owning splats scatter across
-    # the splat array, inflating the expand window walk ~35-45x (measured;
-    # Morton-ordering the scene only improves it to ~35x), which costs
-    # more than the batched sort saves.  Viable once splats arrive
-    # spatially ordered per frame.
-    use_grouped_sort: bool = False
-
     # --- sort semantics ---
     # Stable sorting preserves emission (= splat index) order among
     # equal-key pairs, making tie blending bit-reproducible across list

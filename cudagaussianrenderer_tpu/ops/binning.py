@@ -344,251 +344,3 @@ def build_tile_pairs(
         num_candidates=total.astype(jnp.int32),
         num_pairs=jnp.sum(values >= 0).astype(jnp.int32),
     )
-
-
-# ---------------------------------------------------------------------------
-# Keyspace-grouped emission (TPU batched-sort optimization)
-#
-# XLA's multi-operand sort costs ~2.2 ms per payload operand at 4M pairs,
-# but batched sorts of [G, C/G] segments are far cheaper (measured 16.6 ms
-# flat -> 6.8 ms at [128, 32768]).  To exploit that, the pair list is
-# emitted into G independent, statically-sized segments, group g covering
-# a contiguous tile range chosen at equal-candidate-count quantiles of the
-# per-tile histogram.  Concatenated group segments are then sorted
-# per-group (jax.lax.sort over the batch dimension) and the result is
-# globally tile-ordered by construction: group sentinels take the key of
-# the next group's first tile, keeping the flattened array sorted so the
-# tile-range stage still works with ONE searchsorted pass plus per-group
-# row clamps.  This has no reference analog — cub's device radix sort
-# (GaussianRender.cu:804-855) has no equivalent cost structure.
-# ---------------------------------------------------------------------------
-
-
-def tile_histogram(rects: TileRects, config: RenderConfig) -> jnp.ndarray:
-    """Per-tile AABB-candidate counts [T], scatter-free.
-
-    Corner-difference trick: each rect contributes +1/-1 at its four tile
-    corners; the per-corner histograms collapse into ONE +/-1 one-hot
-    matmul (MXU, f32 accumulation — exact below 2^24), and a 2D inclusive
-    prefix over the [ty+1, tx+1] grid yields the counts.
-    """
-    tx, ty = config.tiles_x, config.tiles_y
-    y0 = rects.y0
-    y1 = y0 + rects.h
-    x0 = rects.x0
-    x1 = x0 + rects.w
-    rows = jnp.arange(ty + 1, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(tx + 1, dtype=jnp.int32)[None, :]
-    # f32 operands with values in {-1, 0, 1}: exact under any matmul
-    # precision (TPU lowers to bf16 passes whose products are exact here,
-    # accumulating in f32 below 2^24).
-    a = (y0[None, :] == rows).astype(jnp.float32) - (y1[None, :] == rows).astype(
-        jnp.float32
-    )  # [ty+1, N]
-    bm = (x0[:, None] == cols).astype(jnp.float32) - (x1[:, None] == cols).astype(
-        jnp.float32
-    )  # [N, tx+1]
-    h = jax.lax.dot_general(
-        a, bm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [ty+1, tx+1] corner deltas
-    grid = jnp.cumsum(jnp.cumsum(h, axis=0), axis=1)[:ty, :tx]
-    return grid.reshape(ty * tx)
-
-
-def group_boundaries(cum_hist: jnp.ndarray, n_groups: int, total_tiles: int):
-    """Equal-candidate-count contiguous tile ranges.
-
-    cum_hist: [T+1] inclusive tile-count prefix (cum_hist[0] = 0).
-    Returns (boundaries [G+1] i32 tile ids, group_counts [G] i32).
-    """
-    total = cum_hist[-1]
-    target = (total.astype(jnp.int32) + n_groups - 1) // n_groups
-    probes = jnp.arange(1, n_groups, dtype=jnp.int32) * target
-    mid = jnp.clip(
-        jnp.searchsorted(cum_hist, probes.astype(cum_hist.dtype), side="left"),
-        0,
-        total_tiles,
-    ).astype(jnp.int32)
-    boundaries = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), mid, jnp.full(1, total_tiles, jnp.int32)]
-    )
-    gcount = (
-        jnp.take(cum_hist, boundaries[1:]) - jnp.take(cum_hist, boundaries[:-1])
-    ).astype(jnp.int32)
-    return boundaries, gcount
-
-
-def _rect_prefix_f32(r, c, x0, y0, w, h):
-    """#tiles of a rect with flat tile id < (row r, col c); all f32 exact."""
-    full = w * jnp.clip(r - y0, 0.0, h)
-    part = jnp.where((y0 <= r) & (r < y0 + h), jnp.clip(c - x0, 0.0, w), 0.0)
-    return full + part
-
-
-# Grouped-expand row layout ([16, G*C_g]; GROUPED_EXCL_ROW = 15 appended
-# by the kernel).
-_G_GEOMA, _G_GEOMB, _G_DEPTH, _G_IDX = 0, 1, 2, 3
-_G_COS, _G_SIN, _G_E0, _G_E1 = 4, 5, 6, 7
-_G_CX, _G_CY = 8, 9
-_G_CA, _G_CB, _G_CC, _G_RGB, _G_ALPHA = 10, 11, 12, 13, 14
-
-
-def build_tile_pairs_grouped(
-    clip_data: SplatClipData,
-    colors: jnp.ndarray,
-    opacities: jnp.ndarray,
-    config: RenderConfig,
-    n_groups: int,
-    group_capacity: int,
-    *,
-    row_band=None,
-    interpret=None,
-) -> Tuple[TilePairs, jnp.ndarray, jnp.ndarray]:
-    """Grouped phase 2: emission into G equal-count keyspace segments.
-
-    Returns (pairs, boundaries [G+1], group_counts [G]).  pairs.keys/attrs
-    are flat [G * group_capacity]; sort with sorting.sort_pairs_grouped and
-    range with ranges.tile_ranges_grouped.  Requires the packed
-    19-bit-depth key.
-
-    Saturation: a group whose candidate count exceeds group_capacity
-    renders that frame with its tail splats' pairs dropped (the reference
-    truncates its tail too on overflow, cu:700-703); the host grows
-    group_capacity for the next frame from aux max_group_candidates.
-    """
-    if config.depth_bits != DEPTH_BITS_PACKED:
-        raise ValueError("grouped emission requires depth_bits=19 (packed keys)")
-    from .expand import GROUPED_WINDOW as WINDOW, grouped_expand
-
-    rects = splat_tile_rects(clip_data, config, row_band=row_band)
-    tiles_x = config.tiles_x
-
-    hist = tile_histogram(rects, config)
-    cum_hist = jnp.concatenate([jnp.zeros(1, hist.dtype), jnp.cumsum(hist)])
-    boundaries, gcount = group_boundaries(cum_hist, n_groups, config.total_tiles)
-    total = cum_hist[-1].astype(jnp.int32)
-
-    qdepth = quantize_depth(clip_data.clip_z, DEPTH_BITS_PACKED)
-    rgb_u32 = pack_rgb_u32(colors)
-    n = rects.counts.shape[0]
-    x0f = rects.x0.astype(jnp.float32)
-    y0f = rects.y0.astype(jnp.float32)
-    wf = rects.w.astype(jnp.float32)
-    hf = rects.h.astype(jnp.float32)
-    rows = jnp.stack(
-        [
-            x0f * 256.0 + y0f,
-            wf * 256.0 + hf,
-            qdepth.astype(jnp.float32),
-            jnp.arange(n, dtype=jnp.float32),
-            clip_data.cos_t,
-            clip_data.sin_t,
-            clip_data.e0,
-            clip_data.e1,
-            clip_data.cx,
-            clip_data.cy,
-            clip_data.con_a,
-            clip_data.con_b,
-            clip_data.con_c,
-            rgb_u32.astype(jnp.float32),
-            opacities,
-        ]
-    )  # [15, N]
-    npad = -(-n // WINDOW) * WINDOW
-    rows = jnp.pad(rows, ((0, 0), (0, npad - n)))
-    x0p = jnp.pad(x0f, (0, npad - n))
-    y0p = jnp.pad(y0f, (0, npad - n))
-    wp = jnp.pad(wf, (0, npad - n))
-    hp = jnp.pad(hf, (0, npad - n))
-
-    # Window-granular inclusive candidate prefixes per group; the kernel
-    # reconstructs exact per-splat bounds on the fly from these.
-    blo = boundaries[:-1]
-    bhi = boundaries[1:]
-    r_lo = (blo // tiles_x).astype(jnp.float32)[:, None]
-    c_lo = (blo % tiles_x).astype(jnp.float32)[:, None]
-    r_hi = (bhi // tiles_x).astype(jnp.float32)[:, None]
-    c_hi = (bhi % tiles_x).astype(jnp.float32)[:, None]
-    cnt_gi = _rect_prefix_f32(r_hi, c_hi, x0p, y0p, wp, hp) - _rect_prefix_f32(
-        r_lo, c_lo, x0p, y0p, wp, hp
-    )  # [G, npad]
-    nwin = npad // WINDOW
-    ckpt_incl = jnp.cumsum(
-        cnt_gi.reshape(n_groups, nwin, WINDOW).sum(axis=-1), axis=1
-    ).astype(jnp.int32)
-
-    filled = grouped_expand(
-        rows, ckpt_incl, boundaries, gcount, n_groups, group_capacity,
-        tiles_x, interpret=interpret,
-    )  # [16, G*C_g]
-
-    cg = group_capacity
-    q = jnp.broadcast_to(
-        jnp.arange(cg, dtype=jnp.float32)[None, :], (n_groups, cg)
-    ).reshape(-1)
-    in_range = q < jnp.broadcast_to(
-        gcount.astype(jnp.float32)[:, None], (n_groups, cg)
-    ).reshape(-1)
-
-    ga = filled[_G_GEOMA]
-    gb = filled[_G_GEOMB]
-    x0s = jnp.floor(ga * (1.0 / 256.0))
-    y0s = ga - x0s * 256.0
-    ws = jnp.floor(gb * (1.0 / 256.0))
-    hs = gb - ws * 256.0
-    splat_idx = filled[_G_IDX].astype(jnp.int32)
-
-    # In-group ordinal -> full-rect ordinal -> tile coordinates.
-    r_lo_s = jnp.broadcast_to(r_lo, (n_groups, cg)).reshape(-1)
-    c_lo_s = jnp.broadcast_to(c_lo, (n_groups, cg)).reshape(-1)
-    f_lo = _rect_prefix_f32(r_lo_s, c_lo_s, x0s, y0s, ws, hs)
-    o_full = f_lo + (q - filled[15])
-    w_f = jnp.maximum(ws, 1.0)
-    # One-step quotient correction: TPU's f32 divide (reciprocal
-    # multiply) misrounds floor((k*w)/w) to k-1 for many widths.
-    ly_f = jnp.floor(o_full / w_f)
-    rem = o_full - ly_f * w_f
-    ly_f = ly_f + (rem >= w_f).astype(jnp.float32) - (rem < 0.0).astype(jnp.float32)
-    lx_f = o_full - ly_f * w_f
-    gx_f = x0s + lx_f
-    gy_f = y0s + ly_f
-
-    tile_clip_w = 2.0 * config.tile_size / config.screen_w
-    tile_clip_h = 2.0 * config.tile_size / config.screen_h
-    tcx = gx_f * tile_clip_w - 1.0
-    tcy = gy_f * tile_clip_h - 1.0
-    hit = ellipse_rect_overlap(
-        filled[_G_CX], filled[_G_CY],
-        filled[_G_COS], filled[_G_SIN], filled[_G_E0], filled[_G_E1],
-        tcx, tcy, tcx + tile_clip_w, tcy + tile_clip_h,
-    )
-    valid = in_range & hit
-
-    tile_id = (gy_f * tiles_x + gx_f).astype(jnp.uint32)
-    q_s = filled[_G_DEPTH].astype(jnp.uint32)
-    values = jnp.where(valid, splat_idx, -1)
-    cxcy = pack_center_u32(filled[_G_CX], filled[_G_CY])
-    conic = pack_conic_u32(filled[_G_CA], filled[_G_CB], filled[_G_CC])
-    rgba = pack_rgba_u32(
-        filled[_G_RGB].astype(jnp.uint32), filled[_G_ALPHA]
-    )
-    attrs = (cxcy, conic, rgba)
-
-    key = (tile_id << DEPTH_BITS_PACKED) | q_s
-    # Group-local sentinel: the next group's first possible key.  Keeps
-    # the flattened per-group-sorted array GLOBALLY sorted, so tile_ranges
-    # still works with one searchsorted pass (plus per-row clamps).
-    sentinel = jnp.broadcast_to(
-        (bhi.astype(jnp.uint32) << jnp.uint32(DEPTH_BITS_PACKED))[:, None],
-        (n_groups, cg),
-    ).reshape(-1)
-    keys = (jnp.where(valid, key, sentinel),)
-
-    pairs = TilePairs(
-        keys=keys,
-        values=values,
-        attrs=attrs,
-        num_candidates=total,
-        num_pairs=jnp.sum(valid).astype(jnp.int32),
-    )
-    return pairs, boundaries, gcount

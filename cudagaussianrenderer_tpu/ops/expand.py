@@ -151,20 +151,32 @@ def _emit_kernel(
         for c in make_dma(slot, base, wi):
             c.wait()
 
-    # Cross-block software pipeline: window 0 of block b lives in slot
-    # 2 + (b % 2), issued by block b-1 (block 0 issues its own), so the
-    # first-window HBM latency overlaps the previous block's compute.
-    # Slots 0/1 double-buffer the remaining windows.
+    # Cross-block software pipeline: windows 0 AND 1 of block b live in
+    # slots 2+(b%2) / 4+(b%2), issued by block b-1 (block 0 issues its
+    # own), so the typical block — whose walk is exactly two windows —
+    # waits on no cold DMA at all.  Slots 0/1 double-buffer windows >= 2.
     my_w0 = 2 + jax.lax.rem(b, 2)
+    my_w1 = 4 + jax.lax.rem(b, 2)
 
     @pl.when(b == 0)
     def _():
         start(my_w0, a0, 0)
 
+        @pl.when(live & (num_windows > 1))
+        def _():
+            start(my_w1, a0, 1)
+
     @pl.when(b + 1 < pl.num_programs(0))
     def _():
         next_a0 = (starts_ref[b + 1] // 128) * 128
         start(2 + jax.lax.rem(b + 1, 2), next_a0, 0)
+        # Window 1 only for LIVE successors (dead blocks skip the body
+        # and would leak the semaphore).
+        next_nw = (starts_ref[b + 2] - next_a0) // WINDOW + 1
+
+        @pl.when(((b + 1) * block < total) & (next_nw > 1))
+        def _():
+            start(4 + jax.lax.rem(b + 1, 2), next_a0, 1)
 
     # Every block's w0 was issued (by its predecessor or itself); always
     # consume it so the semaphore stays balanced even for dead blocks.
@@ -202,12 +214,12 @@ def _emit_kernel(
             b * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
         ).astype(jnp.float32)
 
-        @pl.when(num_windows > 1)
-        def _():
-            start(1, a0, 1)
-
         def body(wi, acc):
-            slot = jnp.where(wi == 0, my_w0, jax.lax.rem(wi, 2))
+            slot = jnp.where(
+                wi == 0,
+                my_w0,
+                jnp.where(wi == 1, my_w1, jax.lax.rem(wi, 2)),
+            )
 
             @pl.when((wi + 1 < num_windows) & (wi > 0))
             def _():
@@ -215,7 +227,7 @@ def _emit_kernel(
 
             @pl.when(wi > 0)
             def _():
-                wait(jax.lax.rem(wi, 2), a0, wi)
+                wait(slot, a0, wi)
 
             pre = pre_buf[slot]
             excl = pre[0:1, :]  # [1, WINDOW] f32
@@ -434,12 +446,12 @@ def emit_pairs(
         ],
         out_specs=pl.BlockSpec((NUM_ROWS_OUT, block), lambda i, *_: (0, i)),
         scratch_shapes=[
-            # Slots 0/1: in-block double buffer; 2/3: cross-block
-            # first-window pipeline (by block parity).
-            pltpu.VMEM((4, 2, WINDOW), jnp.float32),
-            pltpu.VMEM((4, 48, WINDOW), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((4,)),
+            # Slots 0/1: in-block double buffer; 2/3 and 4/5: cross-block
+            # window-0 / window-1 pipeline (by block parity).
+            pltpu.VMEM((6, 2, WINDOW), jnp.float32),
+            pltpu.VMEM((6, 48, WINDOW), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
     )
     return pl.pallas_call(
@@ -448,196 +460,3 @@ def emit_pairs(
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS_OUT, capacity), jnp.uint32),
         interpret=interpret,
     )(starts, prefix, limbs)
-
-
-# ---------------------------------------------------------------------------
-# Keyspace-grouped expansion (experimental; see binning.py)
-# ---------------------------------------------------------------------------
-
-GROUPED_WINDOW = 512
-
-
-def _grouped_expand_kernel(
-    ws_ref,        # SMEM [G*nb] i32: first window index per block
-    nw_ref,        # SMEM [G*nb] i32: windows to walk per block (0 = dead)
-    base_ref,      # SMEM [G*nb] i32: candidate prefix before the first window
-    blo_ref,       # SMEM [G+1] i32: group tile-range boundaries
-    rows_hbm,      # HBM [16, Npad] f32 (15 attr rows + zero pad row)
-    out_ref,       # VMEM [16, block]: rows 0..14 attrs, row 15 = excl
-    win_buf,       # VMEM scratch [2, 16, W]
-    sems,
-    *,
-    block,
-    nb,
-    tiles_x,
-):
-    pid = pl.program_id(0)
-    g = pid // nb
-    b = pid - g * nb
-    ws = ws_ref[pid]
-    nw = nw_ref[pid]
-    blo = blo_ref[g]
-    bhi = blo_ref[g + 1]
-    # Boundary tiles as (row, col); G+1 scalars, serial div is fine.
-    r_lo = (blo // tiles_x).astype(jnp.float32)
-    c_lo = (blo % tiles_x).astype(jnp.float32)
-    r_hi = (bhi // tiles_x).astype(jnp.float32)
-    c_hi = (bhi % tiles_x).astype(jnp.float32)
-    W = GROUPED_WINDOW
-
-    def make_dma(slot, wi):
-        return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds((ws + wi) * W, W)],
-            win_buf.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(nw == 0)
-    def _():
-        out_ref[:, :] = jnp.zeros((16, block), jnp.float32)
-
-    @pl.when(nw > 0)
-    def _():
-        q = (
-            b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-        ).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-
-        make_dma(0, 0).start()
-
-        def rect_prefix(r, c, x0, y0, w, h):
-            """#tiles of the rect with flat id < row r, col c (exact f32)."""
-            full = w * jnp.clip(r - y0, 0.0, h)
-            part = jnp.where(
-                (y0 <= r) & (r < y0 + h), jnp.clip(c - x0, 0.0, w), 0.0
-            )
-            return full + part
-
-        def body(wi, carry):
-            base, acc = carry
-            slot = jax.lax.rem(wi, 2)
-
-            @pl.when(wi + 1 < nw)
-            def _():
-                make_dma(1 - slot, wi + 1).start()
-
-            make_dma(slot, wi).wait()
-            win = win_buf[slot]
-            geom_a = win[0:1, :]  # x0*256 + y0
-            geom_b = win[1:2, :]  # w*256 + h
-            x0 = jnp.floor(geom_a * (1.0 / 256.0))
-            y0 = geom_a - x0 * 256.0
-            w = jnp.floor(geom_b * (1.0 / 256.0))
-            h = geom_b - w * 256.0
-            counts = rect_prefix(r_hi, c_hi, x0, y0, w, h) - rect_prefix(
-                r_lo, c_lo, x0, y0, w, h
-            )  # [1, W]
-
-            # Inclusive cumsum along lanes (exact f32, values < 2^24).
-            cum = counts
-            shift = 1
-            while shift < W:
-                rolled = pltpu.roll(cum, shift, axis=1)
-                cum = cum + jnp.where(lane >= shift, rolled, 0.0)
-                shift *= 2
-            incl = base + cum
-            excl = incl - counts
-            match = ((excl <= q) & (q < incl)).astype(jnp.bfloat16)  # [block, W]
-
-            # Row 15 is the zero pad row; overwrite with the prefix so the
-            # one selection pass carries it to the output.
-            win_buf[slot, 15:16, :] = excl
-            win = win_buf[slot]
-            acc = acc + _bf16_triple_select(win, match)
-            return incl[0, W - 1], acc
-
-        base0 = base_ref[pid].astype(jnp.float32)
-        _, acc = jax.lax.fori_loop(
-            0, nw, body, (base0, jnp.zeros((16, block), jnp.float32))
-        )
-        out_ref[:, :] = acc
-
-
-# Output row holding each slot's owning-splat candidate prefix (within its
-# group) — appended by the grouped kernel after the 15 attribute rows.
-GROUPED_EXCL_ROW = 15
-
-
-def grouped_expand(
-    rows: jnp.ndarray,
-    ckpt_incl: jnp.ndarray,
-    boundaries: jnp.ndarray,
-    group_counts: jnp.ndarray,
-    n_groups: int,
-    group_capacity: int,
-    tiles_x: int,
-    *,
-    interpret=None,
-) -> jnp.ndarray:
-    """Keyspace-grouped expansion (see binning.build_tile_pairs_grouped).
-
-    The pair list is emitted as ``n_groups`` independent segments, group g
-    covering the contiguous tile range [boundaries[g], boundaries[g+1]).
-    Group boundaries are data-dependent (equal candidate-count quantiles),
-    so per-splat segment bounds cannot be precomputed; each block
-    reconstructs them on the fly: window rect rows -> per-splat in-group
-    candidate counts (closed form) -> lane cumsum -> running prefix
-    carried across windows, seeded from window-granular checkpoints.
-
-    rows: [15, Npad] f32 attr rows, geomA=(x0*256+y0), geomB=(w*256+h)
-          first; Npad a multiple of GROUPED_WINDOW.
-    ckpt_incl: [G, nwin] i32 inclusive per-window candidate prefixes.
-    boundaries: [G+1] i32 tile ids.  group_counts: [G] i32.
-    Returns [16, G * group_capacity]: rows 0..14 = selected attr rows,
-    row 15 = owning splat's in-group exclusive prefix.  Slots past a
-    group's count are zero.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    block = MAX_BLOCK
-    while block > 128 and group_capacity % block:
-        block //= 2
-    if group_capacity % block != 0:
-        raise ValueError(f"group_capacity must be a multiple of {block}")
-    if n_groups * group_capacity + 1 >= MAX_EXACT_I32:
-        raise ValueError("grouped capacity too large for exact f32 selection")
-    a, npad = rows.shape
-    assert a == 15 and npad % GROUPED_WINDOW == 0, (a, npad)
-    nwin = npad // GROUPED_WINDOW
-    nb = group_capacity // block
-
-    rows16 = jnp.concatenate([rows, jnp.zeros((1, npad), rows.dtype)])
-
-    # Per-block window ranges + prefix bases, from the checkpoints.
-    q0 = jnp.arange(nb, dtype=jnp.int32) * block  # [nb]
-    ck = ckpt_incl.astype(jnp.int32)  # [G, nwin]
-    ws = jax.vmap(lambda row: jnp.searchsorted(row, q0, side="right"))(ck)
-    ws = jnp.minimum(ws, nwin - 1).astype(jnp.int32)  # [G, nb]
-    qend = jnp.minimum(q0[None, :] + block, group_counts[:, None]).astype(jnp.int32)
-    we = jax.vmap(lambda row, p: jnp.searchsorted(row, p, side="left"))(ck, qend)
-    we = jnp.minimum(we, nwin - 1).astype(jnp.int32)
-    live = q0[None, :] < group_counts[:, None]
-    nw = jnp.where(live, we - ws + 1, 0).astype(jnp.int32)
-    base = jnp.where(
-        ws > 0, jnp.take_along_axis(ck, jnp.maximum(ws - 1, 0), axis=1), 0
-    ).astype(jnp.int32)
-
-    kernel = functools.partial(
-        _grouped_expand_kernel, block=block, nb=nb, tiles_x=tiles_x
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_groups * nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((16, block), lambda i, *_: (0, i)),
-        scratch_shapes=[
-            pltpu.VMEM((2, 16, GROUPED_WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((16, n_groups * group_capacity), jnp.float32),
-        interpret=interpret,
-    )(ws.reshape(-1), nw.reshape(-1), base.reshape(-1), boundaries, rows16)

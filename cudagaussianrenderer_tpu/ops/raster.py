@@ -57,15 +57,24 @@ LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
 # Transmittance-scan implementation, read at trace time:
 #   "roll"  — Hillis-Steele lane-roll cumprod (exact product order)
 #   "logmm" — exclusive log-cumsum via a strictly-lower-triangular MXU
-#             matmul (bf16x3 passes; ~1e-6 relative on T)
+#             matmul (2 bf16 limbs; ~2^-16 relative on T)
 #   "chunk" — order-independent within a chunk (ablation/benchmark only)
 # logmm is the production default: measured 15.3 -> 11.7 ms at the bench
 # workload on v5e, pixel-identical to roll on the golden scenes.
 SCAN_MODE = "logmm"
-# bf16 limbs in the logmm split: 3 = exact-to-f32, 2 = 16 mantissa bits
-# (T relative error ~2^-16 — measured max ONE output level vs the exact
-# split at the bench workload, for one less matmul pass: 10.2 -> 9.5 ms).
-SCAN_LIMBS = 2
+# Width of each triangular scan matmul: the chunk is scanned in SCAN_WIDTH
+# column sub-blocks chained by a per-pixel carry, so the MXU work is
+# pixels * chunk * SCAN_WIDTH MACs per limb instead of pixels * chunk^2 —
+# half the scan FLOPs at chunk 128, three quarters off at 256.
+SCAN_WIDTH = 64
+# Density quadratic form on the MXU: dpow expands around the tile center
+# into a per-pixel feature row [x2, y2, xy, x, y, 1] (constant across
+# tiles AND chunks) times a per-splat coefficient column, evaluated as one
+# [pixels, 24] x [24, chunk] bf16 matmul carrying 2x2 truncation limbs
+# (hi*hi + hi*lo + lo*hi; ~2^-16 relative, cancellation-safe because the
+# recentring bounds |x_local| by the tile radius).  Replaces the
+# dx/dy/quadratic [pixels, chunk] VPU chain.
+DENSITY_MXU = True
 
 CENTER_INV_SCALE = 2.0 / 65535.0
 
@@ -124,6 +133,34 @@ def _raster_kernel(
     px_in_tile = (pix % tile_size).astype(jnp.float32)
     py_in_tile = (pix // tile_size).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    mask16 = jnp.uint32(0xFFFF0000)
+
+    if DENSITY_MXU:
+        # Tile-center-relative pixel offsets are tile-independent, so the
+        # quadratic-form feature block is built ONCE per kernel: rows
+        # [x2, y2, xy, x, y, 1, 0, 0] split into truncation limbs and
+        # concatenated [hi, hi, lo] to pair with coefficient limbs
+        # [hi, lo, hi] in a single matmul.
+        xl = (px_in_tile - 0.5 * tile_size) * pix_to_clip_x  # [pixels, 1]
+        yl = (py_in_tile - 0.5 * tile_size) * pix_to_clip_y
+        ones = jnp.ones_like(xl)
+        zero = jnp.zeros_like(xl)
+        feat = jnp.concatenate(
+            [xl * xl, yl * yl, xl * yl, xl, yl, ones, zero, zero], axis=1
+        )  # [pixels, 8]
+        fhi = pltpu.bitcast(pltpu.bitcast(feat, jnp.uint32) & mask16, jnp.float32)
+        flo = feat - fhi
+        feat_cat = jnp.concatenate([fhi, fhi, flo], axis=1).astype(
+            jnp.bfloat16
+        )  # [pixels, 24]
+
+    if SCAN_MODE == "logmm":
+        sw = min(SCAN_WIDTH, chunk)
+        ik = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 0)
+        jk = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 1)
+        slt1 = (ik < jk).astype(jnp.bfloat16)
+        # Both limbs contract in one matmul: [pixels, 2*sw] x [2*sw, sw].
+        slt2 = jnp.concatenate([slt1, slt1], axis=0)
 
     def make_dma(slot, astart, c):
         return pltpu.make_async_copy(
@@ -144,6 +181,10 @@ def _raster_kernel(
 
         tile_x = (tile % tiles_x).astype(jnp.float32)
         tile_y = (tile // tiles_x + rowoff_ref[0]).astype(jnp.float32)
+        # Tile-center clip coordinates (scalars); pixel centers expand as
+        # pc = tc + local offset, matching cu:933-939 exactly.
+        tcx = (tile_x * tile_size + 0.5 * tile_size) * pix_to_clip_x - 1.0
+        tcy = (tile_y * tile_size + 0.5 * tile_size) * pix_to_clip_y - 1.0
         pcx = (tile_x * tile_size + px_in_tile) * pix_to_clip_x - 1.0  # [pixels,1]
         pcy = (tile_y * tile_size + py_in_tile) * pix_to_clip_y - 1.0
 
@@ -193,9 +234,44 @@ def _raster_kernel(
                 1.0 / 255.0
             )
 
-            dx = pcx - cx  # [pixels, chunk]
-            dy = pcy - cy
-            dpow = con_a * dx * dx + con_c * dy * dy + 2.0 * con_b * dx * dy
+            if DENSITY_MXU:
+                # dpow = A dx^2 + C dy^2 + 2B dxdy expanded around the
+                # tile center: per-splat coefficient columns against the
+                # kernel-constant pixel feature rows, one bf16 matmul with
+                # 2x2 truncation limbs (hi*hi + lo*hi + hi*lo).
+                cxl = cx - tcx  # [1, chunk]
+                cyl = cy - tcy
+                c3 = -2.0 * (con_a * cxl + con_b * cyl)
+                c4 = -2.0 * (con_b * cxl + con_c * cyl)
+                c5 = (
+                    con_a * cxl * cxl
+                    + con_c * cyl * cyl
+                    + 2.0 * con_b * cxl * cyl
+                )
+                zrow = jnp.zeros_like(c5)
+                coef = jnp.concatenate(
+                    [con_a, con_c, 2.0 * con_b, c3, c4, c5, zrow, zrow],
+                    axis=0,
+                )  # [8, chunk]
+                chi = pltpu.bitcast(
+                    pltpu.bitcast(coef, jnp.uint32) & mask16, jnp.float32
+                )
+                clo = coef - chi
+                coef_cat = jnp.concatenate([chi, clo, chi], axis=0).astype(
+                    jnp.bfloat16
+                )  # [24, chunk]
+                dpow = jax.lax.dot_general(
+                    feat_cat,
+                    coef_cat,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [pixels, chunk]
+            else:
+                dx = pcx - cx  # [pixels, chunk]
+                dy = pcy - cy
+                dpow = (
+                    con_a * dx * dx + con_c * dy * dy + 2.0 * con_b * dx * dy
+                )
             if config.falloff == "gaussian":
                 density = jnp.exp(-0.5 * dpow)
             else:
@@ -218,37 +294,37 @@ def _raster_kernel(
                 t_out = t_in * acc[:, chunk - 1 : chunk]
             elif SCAN_MODE == "logmm":
                 # Log-space: the exclusive cumprod becomes an exclusive
-                # cumsum of log(1 - alpha), i.e. a [pixels, chunk] x
-                # [chunk, chunk] strictly-lower-triangular matmul on the
-                # MXU instead of log2(chunk) VPU roll passes.  Mosaic has
-                # no HIGH-precision dot; split l1a into three bf16 terms
-                # (8 mantissa bits each) for ~f32-accurate sums.
+                # cumsum of log(1 - alpha) on the MXU instead of
+                # log2(chunk) VPU roll passes — SCAN_WIDTH-column
+                # strictly-lower-triangular matmuls chained by a per-pixel
+                # carry.  Mosaic has no HIGH-precision dot; l1a splits
+                # into two bf16 truncation limbs (16 mantissa bits,
+                # ~2^-16 relative on T) contracted in one matmul per
+                # sub-block.
                 l1a = jnp.log(jnp.maximum(1.0 - alpha, 1e-30))
-                ik = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-                jk = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-                slt = ((ik < jk)).astype(jnp.bfloat16)
-                mask = jnp.uint32(0xFFFF0000)
-                hi = pltpu.bitcast(pltpu.bitcast(l1a, jnp.uint32) & mask, jnp.float32)
-                r1 = l1a - hi
-
-                def csum(part):
-                    return jax.lax.dot_general(
-                        part.astype(jnp.bfloat16), slt, (((1,), (0,)), ((), ())),
+                parts = []
+                carry = jnp.zeros((pixels, 1), jnp.float32)
+                for sb in range(chunk // sw):
+                    sl = l1a[:, sb * sw : (sb + 1) * sw]
+                    hi = pltpu.bitcast(
+                        pltpu.bitcast(sl, jnp.uint32) & mask16, jnp.float32
+                    )
+                    r1 = sl - hi
+                    limbs = jnp.concatenate([hi, r1], axis=1).astype(
+                        jnp.bfloat16
+                    )  # [pixels, 2*sw]
+                    se = jax.lax.dot_general(
+                        limbs, slt2, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )
-
-                if SCAN_LIMBS == 2:
-                    # 16 mantissa bits: T relative error ~2^-16 — far
-                    # below an output LSB; one fewer matmul pass.
-                    s_excl = csum(hi) + csum(r1)
-                else:
-                    mid = pltpu.bitcast(
-                        pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32
-                    )
-                    lo = r1 - mid
-                    s_excl = (csum(hi) + csum(mid)) + csum(lo)
+                    )  # [pixels, sw] exclusive within the sub-block
+                    parts.append(se + carry)
+                    carry = carry + se[:, sw - 1 : sw] + sl[:, sw - 1 : sw]
+                s_excl = (
+                    jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+                )
                 excl = jnp.exp(s_excl)
-                t_out = t_in * jnp.exp(s_excl[:, chunk - 1 : chunk] + l1a[:, chunk - 1 : chunk])
+                # carry now holds the full-chunk log-transmittance sum.
+                t_out = t_in * jnp.exp(carry)
             else:  # "chunk": order-independent within a chunk (ablation)
                 excl = 1.0
                 l1a = jnp.log(jnp.maximum(1.0 - alpha, 1e-30))

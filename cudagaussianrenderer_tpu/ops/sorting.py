@@ -53,35 +53,3 @@ def sort_pairs(
         off += 1
     attrs = sorted_ops[off:]
     return keys, values, attrs
-
-
-def sort_pairs_grouped(
-    pairs: TilePairs,
-    n_groups: int,
-    group_capacity: int,
-    *,
-    with_values: bool = False,
-    stable: bool = False,
-) -> Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.ndarray], Tuple[jnp.ndarray, ...]]:
-    """Batched per-group sort of a keyspace-grouped pair list.
-
-    Groups are contiguous key ranges and group sentinels carry the next
-    group's first key (binning.build_tile_pairs_grouped), so sorting each
-    [group_capacity] row independently leaves the FLATTENED array globally
-    sorted — at a fraction of a flat lax.sort's cost (measured 16.6 ms ->
-    6.8 ms at 4.19M pairs, 5 operands, 128 groups on v5e).
-    """
-    extra = (pairs.values,) if with_values else ()
-    ops = (*pairs.keys, *extra, *pairs.attrs)
-    ops2 = tuple(o.reshape(n_groups, group_capacity) for o in ops)
-    sorted_ops = jax.lax.sort(
-        ops2, num_keys=1, is_stable=stable or with_values, dimension=1
-    )
-    flat = tuple(o.reshape(-1) for o in sorted_ops)
-    keys = flat[:1]
-    off = 1
-    values = None
-    if with_values:
-        values = flat[off]
-        off += 1
-    return keys, values, flat[off:]

@@ -26,13 +26,13 @@ import numpy as np
 from .config import RenderConfig
 from .models.camera import Camera
 from .models.scene import GaussianScene
-from .ops.binning import build_tile_pairs, build_tile_pairs_grouped
+from .ops.binning import build_tile_pairs
 from .ops.expand import MAX_CAPACITY as _KERNEL_MAX_CAPACITY
 from .ops.projection import project_splats
-from .ops.ranges import tile_ranges, tile_ranges_grouped
+from .ops.ranges import tile_ranges
 from .ops.raster import pack_pair_data, rasterize_tiles, tiles_to_image
 from .ops.sh import evaluate_sh_colors
-from .ops.sorting import sort_pairs, sort_pairs_grouped
+from .ops.sorting import sort_pairs
 
 
 def _splat_colors(scene: GaussianScene, camera_data: dict) -> jnp.ndarray:
@@ -51,47 +51,25 @@ def render_frame(
     config: RenderConfig,
     capacity: int,
     *,
-    groups: Optional[Tuple[int, int]] = None,
     interpret=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Render one frame.  Jittable end-to-end (config/capacity static).
-
-    ``groups = (n_groups, group_capacity)`` selects the keyspace-grouped
-    emission + batched per-group sort (the fast path on TPU; requires the
-    packed 19-bit-depth key).  ``capacity`` is then ignored — the list
-    area is n_groups * group_capacity.
 
     Returns (image uint8 [H, W, 4], aux dict with pair statistics).
     """
     colors = _splat_colors(scene, camera_data)
     clip = project_splats(scene.means, scene.scales, scene.quats, camera_data, config)
-    if groups is not None:
-        n_groups, group_capacity = groups
-        pairs, boundaries, gcount = build_tile_pairs_grouped(
-            clip, colors, scene.opacities, config, n_groups, group_capacity,
-            interpret=interpret,
-        )
-        sorted_keys, _, sorted_attrs = sort_pairs_grouped(
-            pairs, n_groups, group_capacity, stable=config.stable_sort
-        )
-        starts, counts = tile_ranges_grouped(
-            sorted_keys, boundaries, group_capacity, config
-        )
-        extra = dict(max_group_candidates=jnp.max(gcount))
-    else:
-        pairs = build_tile_pairs(
-            clip, colors, scene.opacities, config, capacity, interpret=interpret
-        )
-        sorted_keys, _, sorted_attrs = sort_pairs(pairs, stable=config.stable_sort)
-        starts, counts = tile_ranges(sorted_keys, config)
-        extra = {}
+    pairs = build_tile_pairs(
+        clip, colors, scene.opacities, config, capacity, interpret=interpret
+    )
+    sorted_keys, _, sorted_attrs = sort_pairs(pairs, stable=config.stable_sort)
+    starts, counts = tile_ranges(sorted_keys, config, interpret=interpret)
     pair_data = pack_pair_data(sorted_attrs, config.raster_chunk)
     tiles = rasterize_tiles(pair_data, starts, counts, config, interpret=interpret)
     image = tiles_to_image(tiles, config)
     aux = dict(
         num_candidates=pairs.num_candidates,
         num_pairs=pairs.num_pairs,
-        **extra,
     )
     return image, aux
 
@@ -144,63 +122,30 @@ class Renderer:
         # An explicit config.capacity opts into the reference's fixed
         # grow-only behavior instead.
         self.adaptive_capacity = config.capacity is None
-        # Keyspace-grouped emission + batched per-group sort (the TPU fast
-        # path; see ops/binning.py).  Needs the packed single-u32 key; an
-        # explicit fixed capacity opts into the reference's exact flat
-        # list semantics instead.
-        self.use_groups = (
-            config.use_grouped_sort
-            and config.depth_bits == 19
-            and config.capacity is None
-        )
-        self.n_groups = 1
-        while (
-            self.n_groups < 128
-            and self.capacity // (2 * self.n_groups) >= self.MIN_GROUP_CAPACITY
-        ):
-            self.n_groups *= 2
-        self.group_capacity = self._group_bucket(self.capacity // self.n_groups)
 
     # Hard capacity ceiling: the emit kernel's exact f32 one-hot selection
     # requires capacity + 1 < 2^24.  Beyond it the pipeline renders with a
     # truncated list forever (the reference's saturation semantics,
     # cu:700-703) instead of raising mid-run.
     MAX_CAPACITY = _KERNEL_MAX_CAPACITY
-    MIN_GROUP_CAPACITY = 8192
 
     @classmethod
     def _bucket(cls, candidates: int) -> int:
-        """Capacity bucket: 10% headroom, 128Ki granularity (bounds the
+        """Capacity bucket: 8% headroom, 64Ki granularity (bounds the
         number of distinct compiled pipelines while staying tight —
         every post-binning stage costs O(capacity))."""
-        want = max(1 << 17, int(candidates * 1.1))
-        grain = 1 << 17
+        want = max(1 << 17, int(candidates * 1.08))
+        grain = 1 << 16
         return min(-(-want // grain) * grain, cls.MAX_CAPACITY)
 
-    def _group_bucket(self, per_group: int) -> int:
-        """Per-group capacity bucket: 2Ki granularity, 20% headroom
-        applied by callers; total area stays under the exact-f32 limit."""
-        grain = 1 << 11
-        want = max(self.MIN_GROUP_CAPACITY, -(-per_group // grain) * grain)
-        return min(want, self.MAX_CAPACITY // self.n_groups)
-
-    def _groups(self) -> Optional[Tuple[int, int]]:
-        return (self.n_groups, self.group_capacity) if self.use_groups else None
-
     def _get_fn(self):
-        # Grouped mode ignores the flat capacity entirely; keying the jit
-        # cache on it would recompile an identical program whenever the
-        # (unused) flat bucket moves.
-        key = self._groups() if self.use_groups else (self.capacity, None)
+        key = (self.capacity, None)
         if key not in self._fns:
             cfg, cap, interp = self.config, self.capacity, self.interpret
-            groups = self._groups()
 
             @jax.jit
             def fn(scene, camera_data):
-                return render_frame(
-                    scene, camera_data, cfg, cap, groups=groups, interpret=interp
-                )
+                return render_frame(scene, camera_data, cfg, cap, interpret=interp)
 
             self._fns[key] = fn
         return self._fns[key]
@@ -217,22 +162,12 @@ class Renderer:
         if self.saturated:
             # Demo.cpp:356-366 grow-on-saturation behavior.
             self.capacity = min(self.capacity * 2, self.MAX_CAPACITY)
-            self.group_capacity = self._group_bucket(self.group_capacity * 2)
             self.saturated = False
         image, aux = self._get_fn()(self.scene, camera.camera_data())
         self.frame_count += 1
         if check_saturation:
             candidates = int(aux["num_candidates"])
-            if self.use_groups:
-                # use_groups requires config.capacity is None, which
-                # implies adaptive capacity — resize from the pmax'd
-                # per-group count (an overflowing frame rendered with its
-                # tail truncated, like the reference).
-                max_group = int(aux["max_group_candidates"])
-                self.group_capacity = self._group_bucket(int(max_group * 1.2))
-                self.capacity = self._bucket(candidates)
-                self.saturated = False
-            elif self.adaptive_capacity:
+            if self.adaptive_capacity:
                 self.capacity = self._bucket(candidates)
                 self.saturated = False
             else:
@@ -247,42 +182,27 @@ class Renderer:
         """Per-stage jit wrappers, cached like _get_fn: rebuilding them
         each call would leave every profile_frame() measuring trace +
         compile instead of kernels (jit caches are per-wrapper)."""
-        key = ("stages",) + (
-            self._groups() if self.use_groups else (self.capacity, None)
-        )
+        key = ("stages", self.capacity)
         if key in self._fns:
             return self._fns[key]
         cfg, cap, interp = self.config, self.capacity, self.interpret
-        groups = self._groups()
         sh_fn = jax.jit(lambda s, c: _splat_colors(s, c))
         proj_fn = jax.jit(
             lambda s, c: project_splats(s.means, s.scales, s.quats, c, cfg)
         )
-        if groups is not None:
-            ng, gcap = groups
-            bin_fn = jax.jit(
-                lambda clip, colors, s: build_tile_pairs_grouped(
-                    clip, colors, s.opacities, cfg, ng, gcap, interpret=interp
-                )
+        bin_fn = jax.jit(
+            lambda clip, colors, s: (
+                build_tile_pairs(
+                    clip, colors, s.opacities, cfg, cap, interpret=interp
+                ),
+                None,
+                None,
             )
-            sort_fn = jax.jit(
-                lambda p: sort_pairs_grouped(p, ng, gcap, stable=cfg.stable_sort)
-            )
-            rng_fn = jax.jit(
-                lambda keys, bounds: tile_ranges_grouped(keys, bounds, gcap, cfg)
-            )
-        else:
-            bin_fn = jax.jit(
-                lambda clip, colors, s: (
-                    build_tile_pairs(
-                        clip, colors, s.opacities, cfg, cap, interpret=interp
-                    ),
-                    None,
-                    None,
-                )
-            )
-            sort_fn = jax.jit(lambda p: sort_pairs(p, stable=cfg.stable_sort))
-            rng_fn = jax.jit(lambda keys, bounds: tile_ranges(keys, cfg))
+        )
+        sort_fn = jax.jit(lambda p: sort_pairs(p, stable=cfg.stable_sort))
+        rng_fn = jax.jit(
+            lambda keys, bounds: tile_ranges(keys, cfg, interpret=interp)
+        )
         rast_fn = jax.jit(
             lambda attrs, starts, counts: rasterize_tiles(
                 pack_pair_data(attrs, cfg.raster_chunk),

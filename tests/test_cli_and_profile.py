@@ -42,3 +42,36 @@ def test_profile_frame_and_report():
     for name in expected:
         assert name in report
     assert "Total average time ms" in report
+
+
+def test_cli_interactive_replay_is_deterministic(tmp_path):
+    """The interactive loop (headless GLFW-loop analog, Demo.cpp:352-528)
+    replays an input script deterministically: two runs produce identical
+    frames, and the drag/orbit events actually move the camera."""
+    script = tmp_path / "script.jsonl"
+    script.write_text(
+        "\n".join(
+            [
+                '{"frames": 1, "buttons": "none", "pointer": [32, 32]}',
+                '{"frames": 2, "buttons": "left", "pointer": [44, 32]}',
+                '{"frames": 2, "buttons": "middle", "pointer": [44, 40]}',
+                '{"frames": 1, "buttons": "none", "pointer": [44, 40], "move": [0, 0, -1]}',
+            ]
+        )
+    )
+    outs = []
+    for run in ("a", "b"):
+        out = tmp_path / run
+        main(
+            [
+                "interactive", "--procedural", "200", "--size", "64",
+                "--script", str(script), "-o", str(out),
+            ]
+        )
+        frames = sorted(out.glob("frame_*.png"))
+        assert len(frames) == 6
+        outs.append([np.asarray(PIL.open(f)) for f in frames])
+    for fa, fb in zip(*outs):
+        np.testing.assert_array_equal(fa, fb)
+    # The camera moved: first and last frames differ.
+    assert (outs[0][0] != outs[0][-1]).any()

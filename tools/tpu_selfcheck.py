@@ -9,8 +9,7 @@ the one command to run on a real chip to catch compiled-path drift
 
 Renders small procedural scenes with the COMPILED kernels on the default
 backend and asserts the same golden-oracle tolerances the CPU suite uses
-(tests/test_pipeline.py), plus flat-vs-grouped bit-identity.  Exits 0 on
-pass, 1 on drift.
+(tests/test_pipeline.py).  Exits 0 on pass, 1 on drift.
 """
 
 import sys
@@ -81,29 +80,6 @@ def main():
             name, int(aux["num_candidates"]), "saturated — raise case capacity")
         want = golden_render(scene_to_numpy(scene), cam.camera_data(), config)
         check(name, got, want)
-
-    # Grouped emission (AABB + per-candidate exact test) vs the flat
-    # path (per-row exact ranges): same pair set modulo boundary-grazing
-    # tiles the flat path's conservative rounding may add, whose density
-    # sits below the ellipse cutoff — so a few levels on a few pixels
-    # (see tests/test_grouped.py).
-    config = RenderConfig(screen_size=128, stable_sort=True)
-    scene = random_scene(500, seed=3).pad_to_multiple(256)
-    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
-    flat, _ = jax.jit(lambda s, cd: render_frame(s, cd, config, 16384))(
-        scene, cam.camera_data()
-    )
-    grouped, _ = jax.jit(
-        lambda s, cd: render_frame(s, cd, config, 0, groups=(4, 4096))
-    )(scene, cam.camera_data())
-    diff = np.abs(
-        np.asarray(flat).astype(np.int32) - np.asarray(grouped).astype(np.int32)
-    )
-    bad = float((diff > 4).any(axis=-1).mean())
-    same = bad <= 0.002
-    print(f"{'grouped vs flat':42s} bad_px={bad:.4f} {'ok' if same else 'DRIFT'}")
-    if not same:
-        FAILURES.append("grouped-vs-flat")
 
     if FAILURES:
         print(f"FAILED: {FAILURES}")
