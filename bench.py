@@ -113,18 +113,30 @@ def main():
     # candidate count at several cameras and take the max, so the static
     # headroom can stay tight (every post-binning stage costs
     # O(capacity); 1.1 -> 1.04 over the probed max bought ~0.5 ms of
-    # sort at the bench workload).
-    probe = jax.jit(
-        lambda s, c: frame(s, c, config.tile_capacity(s.count) // args.devices)[1][
-            "num_candidates"
-        ]
+    # sort at the bench workload).  The probe runs only binning phase 1
+    # (counts), not the full pipeline — a trivial compile.
+    from cudagaussianrenderer_tpu.ops.binning import (
+        splat_row_packs,
+        splat_tile_rects,
     )
+    from cudagaussianrenderer_tpu.ops.projection import project_splats
+
+    def count_candidates(s, c):
+        clip = project_splats(s.means, s.scales, s.quats, c, config)
+        rects = splat_tile_rects(clip, config)
+        return jnp.sum(splat_row_packs(clip, rects, config).counts)
+
+    probe = jax.jit(count_candidates)
     candidates = max(
         int(np.asarray(probe(scene, jax.tree.map(lambda x: x[i], cam_stack))))
-        for i in range(0, args.frames, max(1, args.frames // 4))
+        for i in range(0, args.frames, max(1, args.frames // 8))
     )
     grain = 1 << 16
     capacity = max(grain, -(-int(candidates * 1.04) // grain) * grain)
+    if args.devices > 1:
+        # Per-device capacity for tile-row bands: global/devices with 2x
+        # skew headroom (center bands carry more pairs than the mean).
+        capacity = max(grain, -(-capacity * 2 // args.devices // grain) * grain)
 
     # ---- headline: fused whole-frame throughput over the orbit ----
     def frames_body(salt, scene, cam_stack):

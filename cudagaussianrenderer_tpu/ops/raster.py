@@ -63,18 +63,18 @@ LANE = 128  # TPU lane width; chunk sizes and DMA offsets align to this
 # workload on v5e, pixel-identical to roll on the golden scenes.
 SCAN_MODE = "logmm"
 # Width of each triangular scan matmul: the chunk is scanned in SCAN_WIDTH
-# column sub-blocks chained by a per-pixel carry, so the MXU work is
-# pixels * chunk * SCAN_WIDTH MACs per limb instead of pixels * chunk^2 —
-# half the scan FLOPs at chunk 128, three quarters off at 256.
-SCAN_WIDTH = 64
-# Density quadratic form on the MXU: dpow expands around the tile center
-# into a per-pixel feature row [x2, y2, xy, x, y, 1] (constant across
-# tiles AND chunks) times a per-splat coefficient column, evaluated as one
-# [pixels, 24] x [24, chunk] bf16 matmul carrying 2x2 truncation limbs
-# (hi*hi + hi*lo + lo*hi; ~2^-16 relative, cancellation-safe because the
-# recentring bounds |x_local| by the tile radius).  Replaces the
-# dx/dy/quadratic [pixels, chunk] VPU chain.
-DENSITY_MXU = True
+# column sub-blocks chained by a per-pixel carry, keeping the per-pair
+# scan cost CONSTANT as raster_chunk grows (pixels * chunk * SCAN_WIDTH
+# MACs per limb).  128 measured best on v5e: narrower sub-blocks (64)
+# LOSE ~1.8 ms/frame — each extra small matmul pays issue latency that
+# outweighs the halved MAC count — so the sweet spot is one full-width
+# matmul per 128 columns.
+SCAN_WIDTH = 128
+# NOTE: a density-quadratic-on-the-MXU variant ([pixels, 24] x [24,
+# chunk] bf16 with truncation limbs, expanded around the tile center)
+# measured +1.8 ms/frame WORSE than this VPU chain on v5e — K=24 matmuls
+# are latency-bound and the chain was never the bottleneck.  See
+# docs/PERF_NOTES.md round 3; deleted rather than kept as a dead flag.
 
 CENTER_INV_SCALE = 2.0 / 65535.0
 
@@ -135,25 +135,6 @@ def _raster_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     mask16 = jnp.uint32(0xFFFF0000)
 
-    if DENSITY_MXU:
-        # Tile-center-relative pixel offsets are tile-independent, so the
-        # quadratic-form feature block is built ONCE per kernel: rows
-        # [x2, y2, xy, x, y, 1, 0, 0] split into truncation limbs and
-        # concatenated [hi, hi, lo] to pair with coefficient limbs
-        # [hi, lo, hi] in a single matmul.
-        xl = (px_in_tile - 0.5 * tile_size) * pix_to_clip_x  # [pixels, 1]
-        yl = (py_in_tile - 0.5 * tile_size) * pix_to_clip_y
-        ones = jnp.ones_like(xl)
-        zero = jnp.zeros_like(xl)
-        feat = jnp.concatenate(
-            [xl * xl, yl * yl, xl * yl, xl, yl, ones, zero, zero], axis=1
-        )  # [pixels, 8]
-        fhi = pltpu.bitcast(pltpu.bitcast(feat, jnp.uint32) & mask16, jnp.float32)
-        flo = feat - fhi
-        feat_cat = jnp.concatenate([fhi, fhi, flo], axis=1).astype(
-            jnp.bfloat16
-        )  # [pixels, 24]
-
     if SCAN_MODE == "logmm":
         sw = min(SCAN_WIDTH, chunk)
         ik = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 0)
@@ -181,10 +162,6 @@ def _raster_kernel(
 
         tile_x = (tile % tiles_x).astype(jnp.float32)
         tile_y = (tile // tiles_x + rowoff_ref[0]).astype(jnp.float32)
-        # Tile-center clip coordinates (scalars); pixel centers expand as
-        # pc = tc + local offset, matching cu:933-939 exactly.
-        tcx = (tile_x * tile_size + 0.5 * tile_size) * pix_to_clip_x - 1.0
-        tcy = (tile_y * tile_size + 0.5 * tile_size) * pix_to_clip_y - 1.0
         pcx = (tile_x * tile_size + px_in_tile) * pix_to_clip_x - 1.0  # [pixels,1]
         pcy = (tile_y * tile_size + py_in_tile) * pix_to_clip_y - 1.0
 
@@ -234,44 +211,9 @@ def _raster_kernel(
                 1.0 / 255.0
             )
 
-            if DENSITY_MXU:
-                # dpow = A dx^2 + C dy^2 + 2B dxdy expanded around the
-                # tile center: per-splat coefficient columns against the
-                # kernel-constant pixel feature rows, one bf16 matmul with
-                # 2x2 truncation limbs (hi*hi + lo*hi + hi*lo).
-                cxl = cx - tcx  # [1, chunk]
-                cyl = cy - tcy
-                c3 = -2.0 * (con_a * cxl + con_b * cyl)
-                c4 = -2.0 * (con_b * cxl + con_c * cyl)
-                c5 = (
-                    con_a * cxl * cxl
-                    + con_c * cyl * cyl
-                    + 2.0 * con_b * cxl * cyl
-                )
-                zrow = jnp.zeros_like(c5)
-                coef = jnp.concatenate(
-                    [con_a, con_c, 2.0 * con_b, c3, c4, c5, zrow, zrow],
-                    axis=0,
-                )  # [8, chunk]
-                chi = pltpu.bitcast(
-                    pltpu.bitcast(coef, jnp.uint32) & mask16, jnp.float32
-                )
-                clo = coef - chi
-                coef_cat = jnp.concatenate([chi, clo, chi], axis=0).astype(
-                    jnp.bfloat16
-                )  # [24, chunk]
-                dpow = jax.lax.dot_general(
-                    feat_cat,
-                    coef_cat,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [pixels, chunk]
-            else:
-                dx = pcx - cx  # [pixels, chunk]
-                dy = pcy - cy
-                dpow = (
-                    con_a * dx * dx + con_c * dy * dy + 2.0 * con_b * dx * dy
-                )
+            dx = pcx - cx  # [pixels, chunk]
+            dy = pcy - cy
+            dpow = con_a * dx * dx + con_c * dy * dy + 2.0 * con_b * dx * dy
             if config.falloff == "gaussian":
                 density = jnp.exp(-0.5 * dpow)
             else:

@@ -248,6 +248,41 @@ def render_frames_sharded(
     return fn(scene, camera_batch)
 
 
+def render_frames_tilesharded(
+    scene: GaussianScene,
+    camera_batch: dict,
+    config: RenderConfig,
+    capacity_per_device: int,
+    mesh: Mesh,
+    axis: str = "tiles",
+):
+    """Sequential-frame render of a camera batch on a 1-axis (tile-row)
+    mesh: one dispatch, a device-side ``lax.map`` over frames — no
+    per-frame host round-trip (the throughput path for orbit/fly-through
+    batches when every device participates in each frame).
+    """
+    _validate(config, mesh, axis, scene)
+
+    def body(scene_shard, cams):
+        render = functools.partial(
+            _render_shard,
+            scene_shard,
+            config=config,
+            capacity_per_device=capacity_per_device,
+            axis=axis,
+        )
+        return jax.lax.map(render, cams)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(_scene_spec(scene, axis), P()),
+        out_specs=(P(None, axis), P()),
+        check_vma=False,
+    )
+    return fn(scene, camera_batch)
+
+
 def stack_cameras(cameras: List[Camera]) -> dict:
     """[Camera] -> camera_data pytree with a leading frame axis."""
     return jax.tree.map(
@@ -311,11 +346,17 @@ class DistributedRenderer:
         key = (self.capacity, batched)
         if key not in self._fns:
             cfg, cap, mesh = self.config, self.capacity, self.mesh
-            if batched:
+            if batched and len(self.axes) == 2:
                 fn = jax.jit(
                     lambda s, c: render_frames_sharded(
                         s, c, cfg, cap, mesh,
                         frame_axis=self.axes[0], tile_axis=self.tile_axis,
+                    )
+                )
+            elif batched:
+                fn = jax.jit(
+                    lambda s, c: render_frames_tilesharded(
+                        s, c, cfg, cap, mesh, axis=self.tile_axis
                     )
                 )
             else:
@@ -347,15 +388,12 @@ class DistributedRenderer:
     def render_batch(
         self, cameras: List[Camera], *, check_saturation: bool = True
     ) -> np.ndarray:
-        """Frame-parallel render of a camera batch (needs a 2D mesh from
-        make_mesh_2d unless the mesh has one axis, which renders the
-        batch sequentially)."""
+        """Batch render: frame-parallel on a 2D mesh (make_mesh_2d), or a
+        single-dispatch device-side frame loop on a 1-axis mesh — either
+        way ONE host round-trip for the whole batch."""
         if self.saturated:
             self.capacity = min(self.capacity * 2, self.MAX_CAPACITY)
             self.saturated = False
-        if len(self.axes) == 1:
-            return np.stack([self.render(c, check_saturation=check_saturation)
-                             for c in cameras])
         cams = stack_cameras(cameras)
         images, aux = self._get_fn(True)(self.scene, cams)
         self.frame_count += len(cameras)

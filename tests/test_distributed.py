@@ -158,3 +158,17 @@ def test_distributed_renderer_custom_axis_names():
     imgs = r.render_batch(cams)
     assert imgs.shape == (2, 128, 128, 4)
     assert np.asarray(imgs)[..., 3].max() == 255
+
+
+def test_render_batch_1d_mesh_single_dispatch():
+    """A 1-axis mesh batch renders via the device-side lax.map path and
+    matches per-frame renders exactly."""
+    n_dev = min(8, len(jax.devices()))
+    config = RenderConfig(screen_size=128)
+    scene = random_scene(400, seed=13)
+    r = DistributedRenderer(scene, config, mesh=make_mesh(n_dev))
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 3)
+    imgs = r.render_batch(cams, check_saturation=False)
+    assert imgs.shape == (3, 128, 128, 4)
+    for i, cam in enumerate(cams):
+        np.testing.assert_array_equal(imgs[i], r.render(cam, check_saturation=False))

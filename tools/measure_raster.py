@@ -1,5 +1,17 @@
 #!/usr/bin/env python
-"""Raster variant measurements at the bench workload (run on TPU)."""
+"""Round-3 raster-stage variant measurements (run on the real TPU).
+
+Variants over the bench workload's sorted pair list:
+  * raster_chunk 128 vs 256 (DMA count halves; scan cost per pair is
+    constant once the scan runs in SCAN_WIDTH sub-blocks)
+  * SCAN_WIDTH 64 vs chunk-wide
+  * gaussian vs epanechnikov falloff (the reference's published fast
+    mode, README.md:133-136)
+
+Method per docs/PERF_NOTES.md: device-side scan of 8 salted reps,
+best-of-3, dispatch baseline subtracted.
+"""
+
 import sys
 import time
 from pathlib import Path
@@ -10,10 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import cudagaussianrenderer_tpu.ops.raster as raster_mod
 from cudagaussianrenderer_tpu.config import RenderConfig
 from cudagaussianrenderer_tpu.models.camera import orbit_cameras
 from cudagaussianrenderer_tpu.models.scene import random_scene
-from cudagaussianrenderer_tpu.ops import raster as raster_mod
 from cudagaussianrenderer_tpu.ops.binning import build_tile_pairs
 from cudagaussianrenderer_tpu.ops.projection import project_splats
 from cudagaussianrenderer_tpu.ops.ranges import tile_ranges
@@ -23,19 +35,23 @@ REPS = 8
 
 
 def timed(name, make_fn, *args):
-    fn = jax.jit(make_fn)
-    t0 = time.perf_counter()
-    np.asarray(fn(jnp.float32(0.0), *args))
-    compile_s = time.perf_counter() - t0
-    best = float("inf")
-    for it in range(1, 4):
+    try:
+        fn = jax.jit(make_fn)
         t0 = time.perf_counter()
-        out = fn(jnp.float32(it), *args)
-        np.asarray(out)
-        best = min(best, time.perf_counter() - t0)
-    ms = best * 1e3 / REPS
-    print(f"{name:36s} {ms:9.3f} ms/rep  (compile {compile_s:5.1f}s)", flush=True)
-    return ms
+        np.asarray(fn(jnp.float32(0.0), *args))
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for it in range(1, 4):
+            t0 = time.perf_counter()
+            out = fn(jnp.float32(it), *args)
+            np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        ms = best * 1e3 / REPS
+        print(f"{name:44s} {ms:9.3f} ms/rep  (compile {compile_s:5.1f}s)", flush=True)
+        return ms
+    except Exception as e:  # noqa
+        print(f"{name:44s} FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+        return None
 
 
 def scanned(body):
@@ -56,65 +72,69 @@ def main():
     scene = random_scene(
         1_000_000, seed=0, min_scale=0.002, max_scale=0.053, extent=4.0
     ).pad_to_multiple(256)
-    config = RenderConfig(screen_size=1024)
     cam = orbit_cameras(scene.bounds_min, scene.bounds_max, 8)[0].camera_data()
     cam = jax.tree.map(jnp.asarray, cam)
-    capacity = 4_587_520
+    capacity = 4_325_376  # 1.04x bucketed bench capacity
 
+    cfg = RenderConfig(screen_size=1024)
     clip = jax.jit(
-        lambda s, c: project_splats(s.means, s.scales, s.quats, c, config)
+        lambda s, c: project_splats(s.means, s.scales, s.quats, c, cfg)
     )(scene, cam)
     pairs = jax.jit(
-        lambda cl, s: build_tile_pairs(cl, s.colors, s.opacities, config, capacity)
+        lambda cl, s: build_tile_pairs(cl, s.colors, s.opacities, cfg, capacity)
     )(clip, scene)
     skeys, _, sattrs = jax.jit(lambda p: sort_pairs(p))(pairs)
-    starts, counts = jax.jit(lambda k: tile_ranges(k, config))(skeys)
-    jax.block_until_ready(sattrs)
+    starts, counts = jax.jit(lambda k: tile_ranges(k, cfg))(skeys)
+    jax.block_until_ready((sattrs, starts, counts))
 
     base = timed("dispatch baseline", scanned(lambda s, x: jnp.sum(x) + s),
                  jnp.ones((8, 128), jnp.float32))
 
     ref_img = None
-    for rows, limbs in ((4, 3), (4, 2)):
-        raster_mod.PAIR_ROWS = rows
-        raster_mod.SCAN_LIMBS = limbs
+    cases = [
+        ("chunk128 sw128 gaussian", 128, 128, "gaussian"),
+        ("chunk256 sw128 gaussian", 256, 128, "gaussian"),
+        ("chunk512 sw128 gaussian", 512, 128, "gaussian"),
+        ("chunk256 sw128 epanechnikov", 256, 128, "epanechnikov"),
+    ]
+    for name, chunk, sw, falloff in cases:
+        raster_mod.SCAN_WIDTH = sw
+        c = RenderConfig(screen_size=1024, raster_chunk=chunk, falloff=falloff)
 
-        def body(s, a0, a1, a2, st, ct):
+        def body(s, a0, a1, a2, st, ct, _c=c, _ck=chunk):
             return jnp.sum(
                 raster_mod.tiles_to_image(
                     raster_mod.rasterize_tiles(
                         raster_mod.pack_pair_data(
-                            (a0, a1, a2 ^ s.astype(jnp.uint32)),
-                            config.raster_chunk,
+                            (a0, a1, a2 ^ s.astype(jnp.uint32)), _ck
                         ),
-                        st, ct, config,
+                        st, ct, _c,
                     ),
-                    config,
+                    _c,
                 )[::64, ::64, 0].astype(jnp.float32)
             )
 
-        ms = timed(f"rows={rows} scan_limbs={limbs}", scanned(body),
-                   *sattrs, starts, counts)
-        print(f"{'':36s} net {ms - base:9.3f} ms", flush=True)
+        ms = timed(name, scanned(body), *sattrs, starts, counts)
+        if ms is not None and base is not None:
+            print(f"{'':44s} net {ms - base:9.3f} ms", flush=True)
 
-        img = np.asarray(jax.jit(
-            lambda a0, a1, a2, st, ct: raster_mod.tiles_to_image(
-                raster_mod.rasterize_tiles(
-                    raster_mod.pack_pair_data((a0, a1, a2), config.raster_chunk),
-                    st, ct, config,
-                ),
-                config,
-            )
-        )(*sattrs, starts, counts))
-        if ref_img is None:
-            ref_img = img.astype(np.int32)
-        else:
-            d = np.abs(img.astype(np.int32) - ref_img)
-            print(f"{'':36s} vs exact: bad_px {(d > 2).any(-1).mean():.5f} "
-                  f"max {d.max()}", flush=True)
+        if falloff == "gaussian" and ms is not None:
+            img = np.asarray(jax.jit(
+                lambda a0, a1, a2, st, ct, _c=c, _ck=chunk: raster_mod.tiles_to_image(
+                    raster_mod.rasterize_tiles(
+                        raster_mod.pack_pair_data((a0, a1, a2), _ck), st, ct, _c
+                    ),
+                    _c,
+                )
+            )(*sattrs, starts, counts))
+            if ref_img is None:
+                ref_img = img.astype(np.int32)
+            else:
+                d = np.abs(img.astype(np.int32) - ref_img)
+                print(f"{'':44s} vs case0: bad_px {(d > 2).any(-1).mean():.5f} "
+                      f"max {d.max()}", flush=True)
 
-    raster_mod.PAIR_ROWS = 4
-    raster_mod.SCAN_LIMBS = 3
+    raster_mod.SCAN_WIDTH = 128
 
 
 if __name__ == "__main__":
