@@ -77,6 +77,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the fused-frame program costs ~10+
+    # minutes to compile through the tunnel; cache hits make re-runs
+    # start in seconds.  Harmless if unsupported.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:
+        pass
+
     from cudagaussianrenderer_tpu.config import RenderConfig
     from cudagaussianrenderer_tpu.models.camera import orbit_cameras
     from cudagaussianrenderer_tpu.models.scene import random_scene

@@ -11,12 +11,12 @@ execute serially on TPU (measured ~100+ ms at 1M splats on v5e).
 TPU-native approach — one fused kernel:
   * The slot axis is blocked; a host-side searchsorted gives each block
     its first owning splat (scalar-prefetched).
-  * Each block DMAs lane-aligned windows of splat rows, builds the match
-    matrix M[j, w] = (excl_w <= j) & (j < incl_w) with iota compares, and
+  * Each block DMAs lane-aligned [16, W] windows of splat rows (one DMA
+    per window), builds the match matrix M[j, w] = (excl_w <= j) &
+    (j < incl_w) with iota compares, splits every row into its three
+    bf16-exact truncation limbs (8 mantissa bits each) in-VREG, and
     selects the owning rows with ONE [48, W] x [W, block] matmul on the
-    MXU: every row is pre-split (in XLA) into its three bf16-exact
-    truncation limbs (8 mantissa bits each), so M stays 48 sublanes wide
-    — 3x the utilization of per-part M=16 matmuls.
+    MXU — 3x the utilization of per-part M=16 matmuls.
   * Selection is EXACT: each match row is one-hot, so every output
     element IS one limb value, and the telescoping limb re-sum in f32
     reconstructs f32 payloads bit-identically (integers < 2^24 exactly).
@@ -80,25 +80,6 @@ DEPTH_SHIFT = 19
 SENTINEL_KEY = 0xFFFFFFFF
 
 
-def _bf16_triple_select(win, match):
-    """Exact one-hot row selection: three single-pass bf16 matmuls."""
-    mask = jnp.uint32(0xFFFF0000)
-    hi = pltpu.bitcast(pltpu.bitcast(win, jnp.uint32) & mask, jnp.float32)
-    r1 = win - hi
-    mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
-    lo = r1 - mid
-
-    def sel(part):
-        return jax.lax.dot_general(
-            part.astype(jnp.bfloat16),
-            match,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    return (sel(hi) + sel(mid)) + sel(lo)
-
-
 def _rnd_bf16_bits_u32(x, shift=False):
     """Round-to-nearest-even bf16 bit pattern: high half, or the low half
     when ``shift`` (matching geometry._rnd_bf16_bits16)."""
@@ -109,13 +90,10 @@ def _rnd_bf16_bits_u32(x, shift=False):
 
 def _emit_kernel(
     starts_ref,
-    prefix_hbm,
-    limbs_hbm,
+    rows_hbm,
     out_ref,
-    pre_buf,
-    limb_buf,
-    sems_pre,
-    sems_limb,
+    win_buf,
+    sems,
     *,
     block,
     config: RenderConfig,
@@ -132,24 +110,20 @@ def _emit_kernel(
     tiles_x = config.tiles_x
 
     def make_dma(slot, base, wi):
-        """One window = prefix rows (f32, match build) + bf16 limb rows."""
+        """One window = the full [16, W] f32 row block (2 prefix rows +
+        14 attr rows) in a single DMA; the bf16 selection limbs are split
+        in-VREG, which halves the DMA issue count and drops the 48-row
+        bf16 limb array (and its HBM write) from the XLA pre-pass."""
         sl = pl.ds(base + wi * WINDOW, WINDOW)
-        return (
-            pltpu.make_async_copy(
-                prefix_hbm.at[:, sl], pre_buf.at[slot], sems_pre.at[slot]
-            ),
-            pltpu.make_async_copy(
-                limbs_hbm.at[:, sl], limb_buf.at[slot], sems_limb.at[slot]
-            ),
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, sl], win_buf.at[slot], sems.at[slot]
         )
 
     def start(slot, base, wi):
-        for c in make_dma(slot, base, wi):
-            c.start()
+        make_dma(slot, base, wi).start()
 
     def wait(slot, base, wi):
-        for c in make_dma(slot, base, wi):
-            c.wait()
+        make_dma(slot, base, wi).wait()
 
     # Cross-block software pipeline: windows 0 AND 1 of block b live in
     # slots 2+(b%2) / 4+(b%2), issued by block b-1 (block 0 issues its
@@ -229,18 +203,25 @@ def _emit_kernel(
             def _():
                 wait(slot, a0, wi)
 
-            pre = pre_buf[slot]
-            excl = pre[0:1, :]  # [1, WINDOW] f32
-            incl = pre[1:2, :]
+            win = win_buf[slot]  # [16, WINDOW] f32
+            excl = win[0:1, :]
+            incl = win[1:2, :]
             match = ((excl <= j_sub) & (j_sub < incl)).astype(jnp.bfloat16)
-            # One M=48 selection matmul over the pre-split bf16 limbs
-            # (hi/mid/lo of every row, emit_pairs) — 3x the sublane
-            # utilization of three M=16 per-part matmuls, and no in-kernel
-            # splitting.  Exact: each match row is one-hot, so every
-            # output element IS one limb value; the telescoping limb re-sum
-            # in f32 reconstructs the original f32 bit-exactly.
+            # Split every row into its three bf16 truncation limbs (8
+            # mantissa bits each; f32 = hi + mid + lo exactly) in-VREG,
+            # then ONE M=48 selection matmul — 3x the sublane utilization
+            # of three per-part M=16 matmuls.  Exact: each match row is
+            # one-hot, so every output element IS one limb value; the
+            # telescoping limb re-sum in f32 reconstructs the original
+            # f32 bit-exactly.
+            mask = jnp.uint32(0xFFFF0000)
+            hi = pltpu.bitcast(pltpu.bitcast(win, jnp.uint32) & mask, jnp.float32)
+            r1 = win - hi
+            mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
+            lo = r1 - mid
+            limbs = jnp.concatenate([hi, mid, lo]).astype(jnp.bfloat16)
             sel = jax.lax.dot_general(
-                limb_buf[slot],
+                limbs,
                 match,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -411,21 +392,6 @@ def emit_pairs(
     )  # [16, N]
     # Columns padded so aligned windows can run past the last splat.
     full = jnp.pad(full, ((0, 0), (0, 2 * WINDOW + 128)))
-    # Pre-split every row into three bf16-exact truncation limbs (8
-    # mantissa bits each; f32 = hi + mid + lo exactly).  The kernel's
-    # one-hot selection then runs as ONE M=48 bf16 matmul per window.
-    bits = jax.lax.bitcast_convert_type(full, jnp.uint32)
-    hi = jax.lax.bitcast_convert_type(
-        bits & jnp.uint32(0xFFFF0000), jnp.float32
-    )
-    r1 = full - hi
-    mid = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(r1, jnp.uint32) & jnp.uint32(0xFFFF0000),
-        jnp.float32,
-    )
-    lo = r1 - mid
-    limbs = jnp.concatenate([hi, mid, lo]).astype(jnp.bfloat16)  # [48, Npad]
-    prefix = full[0:2]  # [2, Npad] f32 (exact match-compare operands)
 
     nblocks = capacity // block
     # First splat owning each block's first slot, a final bound, and the
@@ -440,17 +406,12 @@ def emit_pairs(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((NUM_ROWS_OUT, block), lambda i, *_: (0, i)),
         scratch_shapes=[
             # Slots 0/1: in-block double buffer; 2/3 and 4/5: cross-block
             # window-0 / window-1 pipeline (by block parity).
-            pltpu.VMEM((6, 2, WINDOW), jnp.float32),
-            pltpu.VMEM((6, 48, WINDOW), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM((6, 16, WINDOW), jnp.float32),
             pltpu.SemaphoreType.DMA((6,)),
         ],
     )
@@ -459,4 +420,4 @@ def emit_pairs(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NUM_ROWS_OUT, capacity), jnp.uint32),
         interpret=interpret,
-    )(starts, prefix, limbs)
+    )(starts, full)
