@@ -205,11 +205,14 @@ def main():
 
         stages["evaluateClipData"] = net(
             _timed_ms(
-                lambda s, sc, c: jnp.sum(
-                    project_splats(
+                # Consume EVERY output field — summing one field lets XLA
+                # DCE the eigen/conic math and times a partial stage.
+                lambda s, sc, c: sum(
+                    jnp.sum(f[:128])
+                    for f in project_splats(
                         sc.means, sc.scales, sc.quats,
                         dict(c, view=c["view"].at[0, 3].add(s * 1e-6)), config
-                    ).cx[:128]
+                    )
                 ),
                 (scene, cam0),
             )
