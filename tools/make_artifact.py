@@ -34,28 +34,39 @@ def main():
 
     from cudagaussianrenderer_tpu.config import RenderConfig
     from cudagaussianrenderer_tpu.models.camera import orbit_cameras
-    from cudagaussianrenderer_tpu.models.scene import SH_C0, random_scene
+    from cudagaussianrenderer_tpu.models.scene import SH_C0
     from cudagaussianrenderer_tpu.ply import load_gaussian_ply, write_gaussian_ply
     from cudagaussianrenderer_tpu.render import render_frame
     from cudagaussianrenderer_tpu.utils.png import write_png
-    from cudagaussianrenderer_tpu.utils.quantize import decode_quat_xyzw
 
     # ---- synthesize the raw .ply (pre-activation storage format) ----
+    # Pure numpy, mirroring models.scene.random_scene's distributions
+    # (Demo.cpp:119-143 semantics) WITHOUT a device round trip — pulling
+    # a 200 MB SH scene back through the tunnel is prohibitively slow.
     t0 = time.perf_counter()
-    src = random_scene(
-        args.n, seed=0, min_scale=0.002, max_scale=0.053, extent=4.0, sh_degree=3
-    )
-    sh = np.asarray(src.sh)  # [3, K, N]
-    opac = np.clip(np.asarray(src.opacities), 1e-6, 1 - 1e-6)
-    xyzw = decode_quat_xyzw(np.asarray(src.quats))
+    rng = np.random.default_rng(0)
+    n = args.n
+    means = rng.uniform(-4.0, 4.0, (n, 3)).astype(np.float32)
+    axis = rng.normal(size=(n, 3))
+    axis /= np.linalg.norm(axis, axis=1, keepdims=True)
+    angle = rng.uniform(0.0, np.pi, n)
+    s, c = np.sin(angle * 0.5), np.cos(angle * 0.5)
+    xyzw = np.concatenate([axis * s[:, None], c[:, None]], axis=1).astype(np.float32)
+    scales = rng.uniform(0.002, 0.053, (n, 3)).astype(np.float32)
+    rgba = rng.uniform(0.0, 1.0, (n, 4)).astype(np.float32)
+    k = 16  # (deg 3 + 1)^2 SH bands
+    sh = np.zeros((n, k, 3), np.float32)
+    sh[:, 0, :] = (rgba[:, :3] - 0.5) / SH_C0
+    sh[:, 1:, :] = rng.normal(scale=0.15, size=(n, k - 1, 3))
+    opac = np.clip(rgba[:, 3], 1e-6, 1 - 1e-6)
     write_gaussian_ply(
         args.ply,
-        np.asarray(src.means).T,
-        np.log(np.asarray(src.scales).T),
+        means,
+        np.log(scales),
         xyzw[:, [3, 0, 1, 2]],
         np.log(opac / (1.0 - opac)),
-        sh[:, 0, :].T,                      # f_dc
-        np.transpose(sh[:, 1:, :], (2, 0, 1)),  # f_rest [N, 3, K-1]
+        sh[:, 0, :],                            # f_dc
+        np.transpose(sh[:, 1:, :], (0, 2, 1)),  # f_rest [N, 3, K-1]
     )
     size_mb = Path(args.ply).stat().st_size / 1e6
     print(f"wrote {args.ply} ({size_mb:.0f} MB) in "
