@@ -45,9 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RenderConfig
 from .geometry import CENTER_SCALE, MF12_K
 
-# Slots per grid block and splats per DMA window.
+# Slots per grid block and splats per DMA window.  512 re-measured 0.4 ms
+# faster than 256 under the round-3 single-DMA window (same match-matrix
+# area, half the DMA issues); with the two-window cross-block prefetch
+# most blocks then walk exactly one window.
 MAX_BLOCK = 1024
-WINDOW = 256
+WINDOW = 512
 
 # f32 can represent integers exactly only below 2^24; all integer payloads
 # (prefix sums clamped to capacity, packed tile rects, packed rgb, splat
@@ -395,11 +398,19 @@ def emit_pairs(
 
     nblocks = capacity // block
     # First splat owning each block's first slot, a final bound, and the
-    # candidate total (for dead-block short-circuiting).
-    probes = jnp.arange(nblocks + 1, dtype=jnp.int32) * block
-    starts = jnp.clip(
-        jnp.searchsorted(incl_c, probes, side="right").astype(jnp.int32), 0, n - 1
-    )
+    # candidate total (for dead-block short-circuiting).  The block-start
+    # probes are arithmetic (b * block), so searchsorted(incl, probes,
+    # 'right') collapses to a cumulative histogram of ceil(incl / block)
+    # — the same one-hot-matmul edges kernel the tile-range stage uses
+    # (XLA's searchsorted gathers serially over the 1M-entry prefix:
+    # ~1 ms of the stage's XLA pre-pass).
+    #   #(incl <= b*block) = #(ceil(incl/block) < b + 1) = edges[b + 1]
+    from .ranges import _edges_pallas
+
+    shift = block.bit_length() - 1
+    k = ((incl_c + (block - 1)) >> shift).astype(jnp.uint32)
+    edges = _edges_pallas(k, nblocks + 2, 0, interpret)
+    starts = jnp.clip(edges[1:], 0, n - 1)
     starts = jnp.concatenate([starts, jnp.minimum(incl[-1:], capacity)])
 
     kernel = functools.partial(_emit_kernel, block=block, config=config)

@@ -21,6 +21,7 @@ def test_cli_render_writes_png(tmp_path):
     assert img[..., 3].max() == 255
 
 
+@pytest.mark.slow
 def test_cli_orbit_writes_frames(tmp_path):
     out = tmp_path / "frames"
     main(["orbit", "--procedural", "200", "--size", "64", "-o", str(out), "-n", "2"])
@@ -44,6 +45,7 @@ def test_profile_frame_and_report():
     assert "Total average time ms" in report
 
 
+@pytest.mark.slow
 def test_cli_interactive_replay_is_deterministic(tmp_path):
     """The interactive loop (headless GLFW-loop analog, Demo.cpp:352-528)
     replays an input script deterministically: two runs produce identical

@@ -23,6 +23,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     n_dev = min(8, len(jax.devices()))
     mesh = make_mesh(n_dev)
@@ -65,6 +66,7 @@ def test_sharded_saturation_truncates():
     assert int(np.asarray(aux["num_candidates"])) > 256  # saturated signal
 
 
+@pytest.mark.slow
 def test_distributed_renderer_padding_and_capacity():
     """DistributedRenderer pads non-divisible splat counts and adapts
     per-device capacity from the saturation signal."""
@@ -87,6 +89,7 @@ def test_distributed_renderer_padding_and_capacity():
     assert (diff > 1).mean() < 0.001
 
 
+@pytest.mark.slow
 def test_frame_parallel_2d_mesh():
     n_total = min(8, len(jax.devices()))
     if n_total < 4:
@@ -160,6 +163,7 @@ def test_distributed_renderer_custom_axis_names():
     assert np.asarray(imgs)[..., 3].max() == 255
 
 
+@pytest.mark.slow
 def test_render_batch_1d_mesh_single_dispatch():
     """A 1-axis mesh batch renders via the device-side lax.map path and
     matches per-frame renders exactly."""

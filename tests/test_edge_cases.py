@@ -72,6 +72,7 @@ def test_huge_splat_covers_screen():
     assert (img[..., 3] == 255).all()
 
 
+@pytest.mark.slow
 def test_all_splats_at_same_depth():
     """Massive depth-key ties must not break ordering invariants."""
     n = 128

@@ -76,6 +76,7 @@ def test_empty_view_renders_black():
     assert img.sum() == 0  # untouched framebuffer stays zeroed (alpha too)
 
 
+@pytest.mark.slow
 def test_saturation_doubles_capacity():
     scene = random_scene(400, seed=9)
     config = RenderConfig(screen_size=128, capacity=512)
@@ -101,6 +102,7 @@ def test_jit_render_frame_is_traceable():
     np.testing.assert_array_equal(img, img2)  # deterministic
 
 
+@pytest.mark.slow
 def test_ply_roundtrip_renders_identically(tmp_path):
     """End-to-end .ply path: export -> import -> render matches rendering
     the original in-memory scene (activation/quantization round-trips)."""
@@ -136,6 +138,7 @@ def test_ply_roundtrip_renders_identically(tmp_path):
     _image_close(img_ply, img_orig, pix_tol=4, frac=0.005, msg="ply roundtrip")
 
 
+@pytest.mark.slow
 def test_orbit_consistency():
     """Render from two nearby orbit cameras; images differ but both cover."""
     scene = random_scene(150, seed=3)
