@@ -327,15 +327,12 @@ def build_tile_pairs(
 
     out = emit_pairs(rows, incl, capacity, config, interpret=interpret)
 
-    def u32(r):
-        return out[r]
-
     values = jax.lax.bitcast_convert_type(out[OUT_VALUES], jnp.int32)
-    attrs = (u32(OUT_CXCY), u32(OUT_CONIC), u32(OUT_RGBA))
+    attrs = (out[OUT_CXCY], out[OUT_CONIC], out[OUT_RGBA])
     if config.depth_bits == DEPTH_BITS_PACKED:
-        keys = (u32(OUT_KEY0),)
+        keys = (out[OUT_KEY0],)
     else:
-        keys = (u32(OUT_KEY0), u32(OUT_KEY1))
+        keys = (out[OUT_KEY0], out[OUT_KEY1])
 
     return TilePairs(
         keys=keys,

@@ -69,15 +69,19 @@ R_CA, R_CB, R_CC, R_RGB, R_ALPHA = 5, 6, 7, 8, 9
 R_PACK0 = 10  # .. R_PACK0+3: per-row (dx, w) 6-bit fields, 2 rows each
 NUM_ROWS_IN = 14
 
-# Output row layout ([8, C] uint32; rows 6-7 pad the sublane tile).
-# Attributes pack to THREE sort operands (geometry.py packing: every
-# payload operand costs ~3 ms/sort at the bench workload).  The output is
-# INTEGER-typed: these are arbitrary packed bit patterns, and f32-typed
-# XLA data movement corrupts them on TPU (subnormals flush to +/-0, NaN
-# payloads canonicalize — see raster.pack_pair_data).
+# Output order (six FLAT [C] uint32 arrays).  Attributes pack to THREE
+# sort operands (geometry.py packing: every payload operand costs
+# ~3 ms/sort at the bench workload).  Outputs are INTEGER-typed: these
+# are arbitrary packed bit patterns, and f32-typed XLA data movement
+# corrupts them on TPU (subnormals flush to +/-0, NaN payloads
+# canonicalize — see raster.pack_pair_data).  Flat per-operand arrays
+# matter for speed: a single [8, C] output made every sort operand a
+# sublane row-slice, and extracting six such slices from (8, 128)-tiled
+# memory reads the whole array per slice — measured ~2 ms/frame of
+# in-frame overhead before the sort.
 OUT_KEY0, OUT_KEY1, OUT_VALUES = 0, 1, 2
 OUT_CXCY, OUT_CONIC, OUT_RGBA = 3, 4, 5
-NUM_ROWS_OUT = 8
+NUM_OUT = 6
 
 DEPTH_SHIFT = 19
 SENTINEL_KEY = 0xFFFFFFFF
@@ -94,7 +98,12 @@ def _rnd_bf16_bits_u32(x, shift=False):
 def _emit_kernel(
     starts_ref,
     rows_hbm,
-    out_ref,
+    key0_ref,
+    key1_ref,
+    values_ref,
+    cxcy_ref,
+    conic_ref,
+    rgba_ref,
     win_buf,
     sems,
     *,
@@ -159,26 +168,27 @@ def _emit_kernel(
     # consume it so the semaphore stays balanced even for dead blocks.
     wait(my_w0, a0, 0)
 
+    def st(ref, v):
+        ref[...] = v.reshape((block,))
+
     @pl.when(jnp.logical_not(live))
     def _():
         # All-sentinel block: keys sort to the dead suffix, values = -1.
         zero = jnp.zeros((1, block), jnp.uint32)
         sent = jnp.full((1, block), SENTINEL_KEY, jnp.uint32)
         if packed:
-            out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = sent
-            out_ref[OUT_KEY1 : OUT_KEY1 + 1, :] = zero
+            st(key0_ref, sent)
+            st(key1_ref, zero)
         else:
-            tile_sent = jnp.full(
-                (1, block), config.sentinel_tile, jnp.uint32
-            )
-            out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = tile_sent
-            out_ref[OUT_KEY1 : OUT_KEY1 + 1, :] = sent
-        out_ref[OUT_VALUES : OUT_VALUES + 1, :] = pltpu.bitcast(
-            jnp.full((1, block), -1, jnp.int32), jnp.uint32
+            st(key0_ref, jnp.full((1, block), config.sentinel_tile, jnp.uint32))
+            st(key1_ref, sent)
+        st(
+            values_ref,
+            pltpu.bitcast(jnp.full((1, block), -1, jnp.int32), jnp.uint32),
         )
-        out_ref[OUT_CXCY:NUM_ROWS_OUT, :] = jnp.zeros(
-            (NUM_ROWS_OUT - OUT_CXCY, block), jnp.uint32
-        )
+        st(cxcy_ref, zero)
+        st(conic_ref, zero)
+        st(rgba_ref, zero)
 
     @pl.when(live)
     def _():
@@ -345,15 +355,12 @@ def _emit_kernel(
             jnp.clip(row(R_ALPHA), 0.0, 1.0) * 255.0 + 0.5
         )
 
-        out_ref[OUT_KEY0 : OUT_KEY0 + 1, :] = key0
-        out_ref[OUT_KEY1 : OUT_KEY1 + 1, :] = key1
-        out_ref[OUT_VALUES : OUT_VALUES + 1, :] = pltpu.bitcast(values, jnp.uint32)
-        out_ref[OUT_CXCY : OUT_CXCY + 1, :] = cxcy
-        out_ref[OUT_CONIC : OUT_CONIC + 1, :] = conic
-        out_ref[OUT_RGBA : OUT_RGBA + 1, :] = rgba
-        out_ref[OUT_RGBA + 1 : NUM_ROWS_OUT, :] = jnp.zeros(
-            (NUM_ROWS_OUT - OUT_RGBA - 1, block), jnp.uint32
-        )
+        st(key0_ref, key0)
+        st(key1_ref, key1)
+        st(values_ref, pltpu.bitcast(values, jnp.uint32))
+        st(cxcy_ref, cxcy)
+        st(conic_ref, conic)
+        st(rgba_ref, rgba)
 
 
 def emit_pairs(
@@ -369,9 +376,10 @@ def emit_pairs(
     rows: [14, N] float32 per-splat attribute rows (layout R_*; integers
           pre-cast to f32, all < 2^24).
     incl: [N] int32 inclusive prefix sum of candidate counts.
-    Returns [8, capacity] uint32 rows (layout OUT_*): sort keys, splat
-    indices (-1 = invalid), and the packed raster attributes.  Slots
-    beyond the candidate total carry sentinel keys.
+    Returns a tuple of six FLAT [capacity] uint32 arrays (order OUT_*):
+    sort keys, splat indices (-1 = invalid), and the packed raster
+    attributes — ready to feed lax.sort without any row extraction.
+    Slots beyond the candidate total carry sentinel keys.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -414,11 +422,14 @@ def emit_pairs(
     starts = jnp.concatenate([starts, jnp.minimum(incl[-1:], capacity)])
 
     kernel = functools.partial(_emit_kernel, block=block, config=config)
+    flat = jax.ShapeDtypeStruct((capacity,), jnp.uint32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((NUM_ROWS_OUT, block), lambda i, *_: (0, i)),
+        out_specs=[
+            pl.BlockSpec((block,), lambda i, *_: (i,)) for _ in range(NUM_OUT)
+        ],
         scratch_shapes=[
             # Slots 0/1: in-block double buffer; 2/3 and 4/5: cross-block
             # window-0 / window-1 pipeline (by block parity).
@@ -429,6 +440,6 @@ def emit_pairs(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NUM_ROWS_OUT, capacity), jnp.uint32),
+        out_shape=[flat] * NUM_OUT,
         interpret=interpret,
     )(starts, full)

@@ -126,7 +126,7 @@ def main():
     def kernel_body(s, rows, incl):
         r = rows.at[3].add(s * 1e-9)  # salt cx row
         out = expand_mod.emit_pairs(r, incl, capacity, cfg)
-        return jnp.sum(out[0, :128].astype(jnp.float32)) * 1e-9
+        return jnp.sum(out[0][:128].astype(jnp.float32)) * 1e-9
 
     for window in (256, 512):
         expand_mod.WINDOW = window

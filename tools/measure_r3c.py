@@ -132,7 +132,7 @@ def main():
     def kernel_body(s, rows, incl):
         r = rows.at[3].add(s * 1e-9)
         out = expand_mod.emit_pairs(r, incl, CAPACITY, cfg)
-        return jnp.sum(out[0, :128].astype(jnp.float32)) * 1e-9
+        return jnp.sum(out[0][:128].astype(jnp.float32)) * 1e-9
 
     for window in (256, 512):
         expand_mod.WINDOW = window
@@ -156,7 +156,7 @@ def main():
         emitted = expand_mod.emit_pairs(r, incl, CAPACITY, cfg)
         k = ops[0] ^ s.astype(jnp.uint32)
         out = jax.lax.sort((k, *ops[1:]), num_keys=1, is_stable=False)
-        return consume(out) + jnp.sum(emitted[0, :128].astype(jnp.float32)) * 1e-9
+        return consume(out) + jnp.sum(emitted[0][:128].astype(jnp.float32)) * 1e-9
 
     m = timed("emit + INDEPENDENT sort", scanned(emit_plus_indep_sort),
               rows, incl, *settled)
