@@ -193,10 +193,8 @@ def _emit_kernel(
     @pl.when(live)
     def _():
         # Absolute slot index of each output column: on sublanes for the
-        # match-matrix build, on lanes for the emission math.
-        j_sub = (
-            b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-        ).astype(jnp.float32)
+        # match-matrix build (int32), on lanes for the emission math (f32).
+        j_sub = b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
         j_lane = (
             b * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
         ).astype(jnp.float32)
@@ -217,9 +215,18 @@ def _emit_kernel(
                 wait(slot, a0, wi)
 
             win = win_buf[slot]  # [16, WINDOW] f32
-            excl = win[0:1, :]
-            incl = win[1:2, :]
-            match = ((excl <= j_sub) & (j_sub < incl)).astype(jnp.bfloat16)
+            # Interval test as ONE unsigned compare: (j - excl) <u count
+            # wraps negative j - excl to huge values, so a single compare
+            # replaces (excl <= j) & (j < incl) — the [block, W] compare
+            # matrix is the kernel's dominant VPU cost.  The prefix rows
+            # are exact integers <= capacity + 1 < 2^24, so the f32->i32
+            # converts (on [1, W] rows, cheap) are exact.
+            excl_i = win[0:1, :].astype(jnp.int32)
+            cnt_u = pltpu.bitcast(
+                win[1:2, :].astype(jnp.int32) - excl_i, jnp.uint32
+            )
+            d_u = pltpu.bitcast(j_sub - excl_i, jnp.uint32)
+            match = (d_u < cnt_u).astype(jnp.bfloat16)
             # Split every row into its three bf16 truncation limbs (8
             # mantissa bits each; f32 = hi + mid + lo exactly) in-VREG,
             # then ONE M=48 selection matmul — 3x the sublane utilization
