@@ -301,7 +301,6 @@ def build_tile_pairs(
     qdepth = quantize_depth(clip_data.clip_z, depth_bits)
 
     rgb_u32 = pack_rgb_u32(colors)
-    n = row_packs.counts.shape[0]
     # Tile rect packed into one exact-f32 row: (x0*256 + y0)*256 + w,
     # all components <= 255 (config caps tiles per axis) so the packed
     # value <= 2^24 - 1, exact in f32.
@@ -309,23 +308,23 @@ def build_tile_pairs(
         (rects.x0.astype(jnp.float32) * 256.0 + rects.y0.astype(jnp.float32)) * 256.0
         + rects.w.astype(jnp.float32)
     )
-    rows = jnp.stack(
-        [
-            geom,
-            qdepth.astype(jnp.float32),        # < 2^24, exact in f32
-            jnp.arange(n, dtype=jnp.float32),  # splat id (provenance)
-            clip_data.cx,
-            clip_data.cy,
-            clip_data.con_a,
-            clip_data.con_b,
-            clip_data.con_c,
-            rgb_u32.astype(jnp.float32),       # < 2^24, exact in f32
-            opacities,
-            *row_packs.packs,                  # 4 rows of (dx, w) 6-bit fields
-        ]
-    )  # [14, N] — layout must match ops.expand.R_* indices
+    # Flat columns in ops.expand.R_* order, R_IDX (a plain iota) omitted;
+    # the kernel-side interleave pass stacks them (an XLA stack here cost
+    # ~1.6 ms of strided sublane writes at 1M splats).
+    cols = (
+        geom,
+        qdepth.astype(jnp.float32),        # < 2^24, exact in f32
+        clip_data.cx,
+        clip_data.cy,
+        clip_data.con_a,
+        clip_data.con_b,
+        clip_data.con_c,
+        rgb_u32.astype(jnp.float32),       # < 2^24, exact in f32
+        opacities,
+        *row_packs.packs,                  # 4 rows of (dx, w) 6-bit fields
+    )
 
-    out = emit_pairs(rows, incl, capacity, config, interpret=interpret)
+    out = emit_pairs(cols, incl, capacity, config, interpret=interpret)
 
     values = jax.lax.bitcast_convert_type(out[OUT_VALUES], jnp.int32)
     attrs = (out[OUT_CXCY], out[OUT_CONIC], out[OUT_RGBA])

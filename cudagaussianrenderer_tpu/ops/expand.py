@@ -61,8 +61,12 @@ MAX_EXACT_I32 = 1 << 24
 # capacity clamp (render.Renderer, parallel.DistributedRenderer).
 MAX_CAPACITY = MAX_EXACT_I32 - (1 << 18)
 
-# Input row layout fed to the kernels ([14, N] planar f32; the kernels
-# prepend the excl/incl prefix rows -> 16 rows, one sublane tile).
+# Input row layout of the windowed [16, NP] rows array (2 prefix rows +
+# 14 attribute rows = one sublane tile).  The array is built by the
+# _interleave_kernel below from flat 1D columns: an XLA jnp.stack of 14
+# [1M] rows costs ~1.6 ms of strided sublane writes into (8, 128)-tiled
+# memory, while a Pallas pass writing whole (16, blk) tiles is
+# bandwidth-bound (~0.15 ms).
 R_GEOM, R_DEPTH, R_IDX = 0, 1, 2
 R_CX, R_CY = 3, 4
 R_CA, R_CB, R_CC, R_RGB, R_ALPHA = 5, 6, 7, 8, 9
@@ -85,6 +89,49 @@ NUM_OUT = 6
 
 DEPTH_SHIFT = 19
 SENTINEL_KEY = 0xFFFFFFFF
+
+
+# Columns per grid step of the interleave prep kernel (1D input blocks
+# must be whole 8x128 tiles).
+PREP_BLK = 4096
+
+
+def _interleave_kernel(*refs):
+    """15 flat [PREP_BLK] column blocks -> one [16, PREP_BLK] row block.
+
+    Row 2 + R_IDX (the splat id, a plain iota) is generated in-kernel
+    instead of being passed as a column."""
+    cols, out_ref = refs[:-1], refs[-1]
+    i = pl.program_id(0)
+
+    def put(r, v):
+        out_ref[r : r + 1, :] = v.reshape(1, PREP_BLK)
+
+    k = 0
+    for r in range(2 + NUM_ROWS_IN):
+        if r == 2 + R_IDX:
+            idx = i * PREP_BLK + jax.lax.broadcasted_iota(
+                jnp.int32, (1, PREP_BLK), 1
+            )
+            put(r, idx.astype(jnp.float32))
+        else:
+            put(r, cols[k][...])
+            k += 1
+
+
+def _interleave_rows(prefix_and_cols, np_cols, interpret):
+    """Build the [16, NP] windowed rows array from 15 flat [NP] columns."""
+    return pl.pallas_call(
+        _interleave_kernel,
+        grid=(np_cols // PREP_BLK,),
+        in_specs=[
+            pl.BlockSpec((PREP_BLK,), lambda i: (i,))
+            for _ in prefix_and_cols
+        ],
+        out_specs=pl.BlockSpec((2 + NUM_ROWS_IN, PREP_BLK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((2 + NUM_ROWS_IN, np_cols), jnp.float32),
+        interpret=interpret,
+    )(*prefix_and_cols)
 
 
 def _rnd_bf16_bits_u32(x, shift=False):
@@ -371,7 +418,7 @@ def _emit_kernel(
 
 
 def emit_pairs(
-    rows: jnp.ndarray,
+    cols,
     incl: jnp.ndarray,
     capacity: int,
     config: RenderConfig,
@@ -380,8 +427,9 @@ def emit_pairs(
 ) -> jnp.ndarray:
     """Expand + test + pack the pair list in one fused kernel.
 
-    rows: [14, N] float32 per-splat attribute rows (layout R_*; integers
-          pre-cast to f32, all < 2^24).
+    cols: 13 flat [N] float32 per-splat attribute columns in R_* order
+          with the R_IDX row OMITTED (it is a plain iota, generated
+          in-kernel); integers pre-cast to f32, all < 2^24.
     incl: [N] int32 inclusive prefix sum of candidate counts.
     Returns a tuple of six FLAT [capacity] uint32 arrays (order OUT_*):
     sort keys, splat indices (-1 = invalid), and the packed raster
@@ -397,19 +445,24 @@ def emit_pairs(
         raise ValueError(f"capacity must be a multiple of {block}")
     if capacity + 1 >= MAX_EXACT_I32:
         raise ValueError("capacity too large for exact f32 selection")
-    a, n = rows.shape
-    assert a == NUM_ROWS_IN, a
+    cols = tuple(cols)
+    assert len(cols) == NUM_ROWS_IN - 1, len(cols)
+    n = incl.shape[0]
 
     clamp = capacity + 1
     incl_c = jnp.minimum(incl, clamp)
     # excl[i] = incl[i-1] (exclusive prefix), excl[0] = 0.
     excl_c = jnp.minimum(jnp.pad(incl[:-1], (1, 0)), clamp)
 
-    full = jnp.concatenate(
-        [excl_c[None].astype(jnp.float32), incl_c[None].astype(jnp.float32), rows]
-    )  # [16, N]
-    # Columns padded so aligned windows can run past the last splat.
-    full = jnp.pad(full, ((0, 0), (0, 2 * WINDOW + 128)))
+    # Columns padded so aligned windows can run past the last splat
+    # (zero prefix rows there -> zero counts -> no matches), then
+    # interleaved into the windowed [16, NP] rows array by a Pallas pass
+    # (an XLA stack of rows costs ~1.6 ms of strided sublane writes).
+    np_cols = -(-(n + 2 * WINDOW + 128) // PREP_BLK) * PREP_BLK
+    pad = lambda x: jnp.pad(x.astype(jnp.float32), (0, np_cols - n))  # noqa: E731
+    full = _interleave_rows(
+        [pad(excl_c), pad(incl_c)] + [pad(c) for c in cols], np_cols, interpret
+    )
 
     nblocks = capacity // block
     # First splat owning each block's first slot, a final bound, and the

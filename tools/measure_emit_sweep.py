@@ -107,18 +107,18 @@ def main():
             * 256.0
             + rects.w.astype(jnp.float32)
         )
-        rows = jnp.stack([
-            geom, qdepth.astype(jnp.float32), jnp.arange(n, dtype=jnp.float32),
+        rows = (
+            geom, qdepth.astype(jnp.float32),
             cl.cx, cl.cy, cl.con_a, cl.con_b, cl.con_c,
             rgb.astype(jnp.float32), sc.opacities, *packs.packs,
-        ])
+        )
         return rows, incl
 
     rows, incl = jax.jit(make_inputs)(clip, scene)
     jax.block_until_ready((rows, incl))
 
     def kernel_body(s, rows, incl):
-        r = rows.at[3].add(s * 1e-9)  # salt cx row
+        r = (*rows[:2], rows[2] + s * 1e-9, *rows[3:])  # salt cx col
         out = expand_mod.emit_pairs(r, incl, capacity, cfg)
         # Consume every output so nothing is DCE'd.
         return sum(jnp.sum(o[:128].astype(jnp.float32)) for o in out) * 1e-9

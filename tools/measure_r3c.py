@@ -105,11 +105,11 @@ def main():
             * 256.0
             + rects.w.astype(jnp.float32)
         )
-        rows = jnp.stack([
-            geom, qdepth.astype(jnp.float32), jnp.arange(n, dtype=jnp.float32),
+        rows = (
+            geom, qdepth.astype(jnp.float32),
             cl.cx, cl.cy, cl.con_a, cl.con_b, cl.con_c,
             rgb.astype(jnp.float32), sc.opacities, *packs.packs,
-        ])
+        )
         return rows, incl
 
     rows, incl = jax.jit(make_inputs)(clip, scene)
@@ -130,7 +130,7 @@ def main():
 
     # ---- 1. emit kernel alone, WINDOW sweep ----
     def kernel_body(s, rows, incl):
-        r = rows.at[3].add(s * 1e-9)
+        r = (*rows[:2], rows[2] + s * 1e-9, *rows[3:])
         out = expand_mod.emit_pairs(r, incl, CAPACITY, cfg)
         return jnp.sum(out[0][:128].astype(jnp.float32)) * 1e-9
 
@@ -152,7 +152,7 @@ def main():
         print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
 
     def emit_plus_indep_sort(s, rows, incl, *ops):
-        r = rows.at[3].add(s * 1e-9)
+        r = (*rows[:2], rows[2] + s * 1e-9, *rows[3:])
         emitted = expand_mod.emit_pairs(r, incl, CAPACITY, cfg)
         k = ops[0] ^ s.astype(jnp.uint32)
         out = jax.lax.sort((k, *ops[1:]), num_keys=1, is_stable=False)
@@ -164,7 +164,7 @@ def main():
         print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
 
     def emit_plus_own_sort(s, rows, incl):
-        r = rows.at[3].add(s * 1e-9)
+        r = (*rows[:2], rows[2] + s * 1e-9, *rows[3:])
         out8 = expand_mod.emit_pairs(r, incl, CAPACITY, cfg)
         ops = (out8[0], out8[3], out8[4], out8[5])
         out = jax.lax.sort(ops, num_keys=1, is_stable=False)
