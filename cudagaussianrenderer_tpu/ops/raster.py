@@ -40,6 +40,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -125,6 +126,14 @@ def _raster_kernel(
     pix_to_clip_x = 2.0 / float(config.screen_w)
     pix_to_clip_y = 2.0 / float(config.screen_h)
     eps = config.transmittance_eps
+    # Gaussian + logmm: carry transmittance in LOG domain and fuse the
+    # density exp, the alpha product, the density clip (a dpow >= 0
+    # clamp — exp(-dpow/2) <= 1 automatically) and the blend weight
+    # t_in * excl * alpha = exp(s_excl + lalpha + log t_in) into the
+    # existing log-space machinery: two fewer VPU ops per (pixel, pair)
+    # element and one fewer [pixels, chunk] temporary, same 3
+    # transcendentals.
+    logf = config.falloff == "gaussian" and SCAN_MODE == "logmm"
     cell = pl.program_id(0)
 
     # Pixel coordinates within a tile, flattened row-major like the
@@ -166,15 +175,19 @@ def _raster_kernel(
         pcy = (tile_y * tile_size + py_in_tile) * pix_to_clip_y - 1.0
 
         state[:, 0:3] = jnp.zeros((pixels, 3), jnp.float32)
-        state[:, 3:4] = jnp.ones((pixels, 1), jnp.float32)
+        # Transmittance column: log T = 0 in the fused log path, T = 1
+        # otherwise.
+        state[:, 3:4] = jnp.full((pixels, 1), 0.0 if logf else 1.0, jnp.float32)
 
         @pl.when(num_chunks > 0)
         def _():
             make_dma(0, astart, 0).start()
 
+        eps_t = float(np.log(eps)) if logf else eps
+
         def cond(carry):
             c, t_max = carry
-            return (c < num_chunks) & (t_max > eps)
+            return (c < num_chunks) & (t_max > eps_t)
 
         def body(carry):
             c, _ = carry
@@ -214,15 +227,26 @@ def _raster_kernel(
             dx = pcx - cx  # [pixels, chunk]
             dy = pcy - cy
             dpow = con_a * dx * dx + con_c * dy * dy + 2.0 * con_b * dx * dy
-            if config.falloff == "gaussian":
-                density = jnp.exp(-0.5 * dpow)
-            else:
-                density = 1.0 - dpow * (1.0 / 7.0)
             gidx = astart + c * chunk + lane  # [1, chunk] global pair index
             in_seg = (gidx >= start) & (gidx < start + count)
-            alpha = jnp.where(in_seg, a_s * jnp.clip(density, 0.0, 1.0), 0.0)
+            if logf:
+                # alpha = a_s * exp(-dpow/2) in one exp: log a_s folds
+                # into the exponent (row math), the clip becomes a
+                # dpow >= 0 clamp, and out-of-segment lanes get a -80
+                # log-alpha (alpha == 0 after the exp underflows).
+                la_row = jnp.where(
+                    in_seg, jnp.log(jnp.maximum(a_s, 1e-30)), -80.0
+                )  # [1, chunk]
+                lalpha = la_row - 0.5 * jnp.maximum(dpow, 0.0)
+                alpha = jnp.exp(lalpha)
+            else:
+                if config.falloff == "gaussian":
+                    density = jnp.exp(-0.5 * dpow)
+                else:
+                    density = 1.0 - dpow * (1.0 / 7.0)
+                alpha = jnp.where(in_seg, a_s * jnp.clip(density, 0.0, 1.0), 0.0)
 
-            t_in = state[:, 3:4]                        # [pixels, 1]
+            t_in = state[:, 3:4]           # [pixels, 1]: log T if logf
             if SCAN_MODE == "roll":
                 # Inclusive cumprod of (1 - alpha) along the splat (lane)
                 # axis: Hillis-Steele, log2(chunk) doubling steps.
@@ -234,6 +258,7 @@ def _raster_kernel(
                     shift *= 2
                 excl = jnp.where(lane >= 1, pltpu.roll(acc, 1, axis=1), 1.0)
                 t_out = t_in * acc[:, chunk - 1 : chunk]
+                weight = t_in * excl * alpha
             elif SCAN_MODE == "logmm":
                 # Log-space: the exclusive cumprod becomes an exclusive
                 # cumsum of log(1 - alpha) on the MXU instead of
@@ -264,14 +289,19 @@ def _raster_kernel(
                 s_excl = (
                     jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
                 )
-                excl = jnp.exp(s_excl)
-                # carry now holds the full-chunk log-transmittance sum.
-                t_out = t_in * jnp.exp(carry)
+                if logf:
+                    # One exp yields the full blend weight directly.
+                    weight = jnp.exp(s_excl + lalpha + t_in)
+                    t_out = t_in + carry  # log-domain transmittance
+                else:
+                    excl = jnp.exp(s_excl)
+                    # carry holds the full-chunk log-transmittance sum.
+                    t_out = t_in * jnp.exp(carry)
+                    weight = t_in * excl * alpha
             else:  # "chunk": order-independent within a chunk (ablation)
-                excl = 1.0
                 l1a = jnp.log(jnp.maximum(1.0 - alpha, 1e-30))
                 t_out = t_in * jnp.exp(jnp.sum(l1a, axis=1, keepdims=True))
-            weight = t_in * excl * alpha                # [pixels, chunk]
+                weight = t_in * alpha
             inv255 = jnp.float32(1.0 / 255.0)
 
             def chan(x):
@@ -296,7 +326,9 @@ def _raster_kernel(
             state[:, 3:4] = t_out
             return c + 1, jnp.max(t_out)
 
-        final_c, _ = jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
+        final_c, _ = jax.lax.while_loop(
+            cond, body, (0, jnp.float32(0.0 if logf else 1.0))
+        )
 
         # Saturation exit leaves the speculative next-chunk DMA in flight;
         # drain it so the semaphore slot is clean for the next tile.
