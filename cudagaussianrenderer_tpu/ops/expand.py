@@ -439,8 +439,11 @@ def emit_pairs(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     block = MAX_BLOCK
-    while block > 128 and capacity % block:
-        block //= 2
+    if interpret:
+        # Interpret mode tolerates odd small capacities (CPU tests); on
+        # TPU the flat 1D outputs require whole 8x128 tiles per block.
+        while block > 128 and capacity % block:
+            block //= 2
     if capacity % block != 0:
         raise ValueError(f"capacity must be a multiple of {block}")
     if capacity + 1 >= MAX_EXACT_I32:

@@ -105,9 +105,10 @@ class Renderer:
         # Clamp + block-round the INITIAL capacity too: a >=2.1M-splat
         # scene's capacity_factor estimate exceeds the emit kernel's
         # exact-f32 limit, and an explicit config.capacity may not be a
-        # block multiple — both crashed the first render() before.
+        # block multiple — both crashed the first render() before.  The
+        # emit kernel's flat 1D outputs need whole 1024-slot blocks.
         self.capacity = min(
-            -(-config.tile_capacity(self.scene.count) // 128) * 128,
+            -(-config.tile_capacity(self.scene.count) // 1024) * 1024,
             self.MAX_CAPACITY,
         )
         self.saturated = False
