@@ -71,6 +71,11 @@ SCAN_MODE = "logmm"
 # outweighs the halved MAC count — so the sweet spot is one full-width
 # matmul per 128 columns.
 SCAN_WIDTH = 128
+# bf16 truncation limbs carried through the scan matmul: 2 reconstructs
+# log(1 - alpha) to ~2^-16 relative; 1 rounds to nearest bf16 (~2^-9),
+# bounding the transmittance error by ~|log T_exit| * 2^-9 < 1% — below
+# the 8-bit output quantization once blended.
+SCAN_LIMBS = 2
 # NOTE: a density-quadratic-on-the-MXU variant ([pixels, 24] x [24,
 # chunk] bf16 with truncation limbs, expanded around the tile center)
 # measured +1.8 ms/frame WORSE than this VPU chain on v5e — K=24 matmuls
@@ -150,7 +155,9 @@ def _raster_kernel(
         jk = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 1)
         slt1 = (ik < jk).astype(jnp.bfloat16)
         # Both limbs contract in one matmul: [pixels, 2*sw] x [2*sw, sw].
-        slt2 = jnp.concatenate([slt1, slt1], axis=0)
+        slt2 = (
+            jnp.concatenate([slt1, slt1], axis=0) if SCAN_LIMBS == 2 else slt1
+        )
 
     def make_dma(slot, astart, c):
         return pltpu.make_async_copy(
@@ -273,13 +280,17 @@ def _raster_kernel(
                 carry = jnp.zeros((pixels, 1), jnp.float32)
                 for sb in range(chunk // sw):
                     sl = l1a[:, sb * sw : (sb + 1) * sw]
-                    hi = pltpu.bitcast(
-                        pltpu.bitcast(sl, jnp.uint32) & mask16, jnp.float32
-                    )
-                    r1 = sl - hi
-                    limbs = jnp.concatenate([hi, r1], axis=1).astype(
-                        jnp.bfloat16
-                    )  # [pixels, 2*sw]
+                    if SCAN_LIMBS == 2:
+                        hi = pltpu.bitcast(
+                            pltpu.bitcast(sl, jnp.uint32) & mask16, jnp.float32
+                        )
+                        r1 = sl - hi
+                        limbs = jnp.concatenate([hi, r1], axis=1).astype(
+                            jnp.bfloat16
+                        )  # [pixels, 2*sw]
+                    else:
+                        # Round-to-nearest single limb (~2^-9 relative).
+                        limbs = sl.astype(jnp.bfloat16)
                     se = jax.lax.dot_general(
                         limbs, slt2, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,

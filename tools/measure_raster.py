@@ -92,13 +92,13 @@ def main():
 
     ref_img = None
     cases = [
-        ("chunk128 sw128 gaussian", 128, 128, "gaussian"),
-        ("chunk256 sw128 gaussian", 256, 128, "gaussian"),
-        ("chunk512 sw128 gaussian", 512, 128, "gaussian"),
-        ("chunk256 sw128 epanechnikov", 256, 128, "epanechnikov"),
+        ("chunk128 sw128 limbs2 gaussian", 128, 128, "gaussian", 2),
+        ("chunk128 sw128 limbs1 gaussian", 128, 128, "gaussian", 1),
+        ("chunk128 sw128 limbs1 epanechnikov", 128, 128, "epanechnikov", 1),
     ]
-    for name, chunk, sw, falloff in cases:
+    for name, chunk, sw, falloff, limbs in cases:
         raster_mod.SCAN_WIDTH = sw
+        raster_mod.SCAN_LIMBS = limbs
         c = RenderConfig(screen_size=1024, raster_chunk=chunk, falloff=falloff)
 
         def body(s, a0, a1, a2, st, ct, _c=c, _ck=chunk):
@@ -135,6 +135,7 @@ def main():
                       f"max {d.max()}", flush=True)
 
     raster_mod.SCAN_WIDTH = 128
+    raster_mod.SCAN_LIMBS = 2
 
 
 if __name__ == "__main__":
