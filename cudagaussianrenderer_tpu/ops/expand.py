@@ -45,12 +45,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RenderConfig
 from .geometry import CENTER_SCALE, MF12_K
 
-# Slots per grid block and splats per DMA window.  512 re-measured 0.4 ms
-# faster than 256 under the round-3 single-DMA window (same match-matrix
-# area, half the DMA issues); with the two-window cross-block prefetch
-# most blocks then walk exactly one window.
+# Slots per grid block and splats per DMA window (must be a multiple of
+# 128 — lane-aligned DMA slices).  A block's splat span averages ~250
+# (1024 slots / ~4 pairs each) plus <=127 alignment waste, so 384 covers
+# the typical block in one window with 25% less match-matrix area than
+# 512: measured 3.92 vs 4.70 ms kernel-only.  256 forces two-window
+# walks (5.4 ms); 2048-slot blocks and split 512-slot walks both
+# measured worse (see PERF_NOTES).
 MAX_BLOCK = 1024
-WINDOW = 512
+WINDOW = 384
 
 # f32 can represent integers exactly only below 2^24; all integer payloads
 # (prefix sums clamped to capacity, packed tile rects, packed rgb, splat

@@ -123,7 +123,7 @@ def main():
         # Consume every output so nothing is DCE'd.
         return sum(jnp.sum(o[:128].astype(jnp.float32)) for o in out) * 1e-9
 
-    for block, window in ((1024, 512), (2048, 512), (2048, 768), (2048, 1024)):
+    for block, window in ((1024, 512), (1024, 384), (1024, 448)):
         expand_mod.MAX_BLOCK = block
         expand_mod.WINDOW = window
         m = timed(f"emit kernel B={block} W={window}", scanned(kernel_body),
