@@ -118,11 +118,12 @@ def main():
         frame = lambda scene, cam, capacity: render_frame(scene, cam, config, capacity)  # noqa: E731
 
     # Size capacity like the adaptive Renderer would: probe the orbit's
-    # candidate count at several cameras and take the max, so the static
+    # candidate count at EVERY camera and take the max, so the static
     # headroom can stay tight (every post-binning stage costs
-    # O(capacity); 1.1 -> 1.04 over the probed max bought ~0.5 ms of
-    # sort at the bench workload).  The probe runs only binning phase 1
-    # (counts), not the full pipeline — a trivial compile.
+    # O(capacity); the probe covers the exact frame set, so 2% headroom
+    # + 1024-slot rounding suffices — the salt perturbs views by 1e-6).
+    # The probe runs only binning phase 1 (counts), not the full
+    # pipeline — a trivial compile, one dispatch per camera.
     from cudagaussianrenderer_tpu.ops.binning import (
         splat_row_packs,
         splat_tile_rects,
@@ -137,10 +138,10 @@ def main():
     probe = jax.jit(count_candidates)
     candidates = max(
         int(np.asarray(probe(scene, jax.tree.map(lambda x: x[i], cam_stack))))
-        for i in range(0, args.frames, max(1, args.frames // 8))
+        for i in range(args.frames)
     )
-    grain = 1 << 16
-    capacity = max(grain, -(-int(candidates * 1.04) // grain) * grain)
+    grain = 1024  # emit-kernel block granularity
+    capacity = max(1 << 17, -(-int(candidates * 1.02) // grain) * grain)
     if args.devices > 1:
         # Per-device capacity for tile-row bands: global/devices with 2x
         # skew headroom (center bands carry more pairs than the mean).
@@ -172,7 +173,14 @@ def main():
         best = min(best, time.perf_counter() - t0)
     ms_per_frame = best * 1e3 / args.frames
     fps = 1e3 / ms_per_frame
-    pairs_per_frame = int(np.asarray(out[1]).mean())
+    pairs = np.asarray(out[1])
+    pairs_per_frame = int(pairs.mean())
+    if args.devices == 1 and int(pairs.max()) >= capacity:
+        print(
+            f"WARNING: pair list saturated (max {int(pairs.max())} == "
+            f"capacity {capacity}); a frame rendered truncated",
+            file=sys.stderr,
+        )
 
     # ---- per-stage breakdown (reference stage names) ----
     stages = {}
