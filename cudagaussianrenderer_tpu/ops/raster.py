@@ -74,8 +74,11 @@ SCAN_WIDTH = 128
 # bf16 truncation limbs carried through the scan matmul: 2 reconstructs
 # log(1 - alpha) to ~2^-16 relative; 1 rounds to nearest bf16 (~2^-9),
 # bounding the transmittance error by ~|log T_exit| * 2^-9 < 1% — below
-# the 8-bit output quantization once blended.
-SCAN_LIMBS = 2
+# the 8-bit output quantization once blended.  1 is the default since the
+# round-3 m-form op reduction: it halves the scan-matmul MACs and drops
+# the in-VREG limb split, measured 7.18 -> 6.92 ms net at the bench
+# workload with a worst-case 4-LSB pixel delta vs the 2-limb scan.
+SCAN_LIMBS = 1
 # NOTE: a density-quadratic-on-the-MXU variant ([pixels, 24] x [24,
 # chunk] bf16 with truncation limbs, expanded around the tile center)
 # measured +1.8 ms/frame WORSE than this VPU chain on v5e — K=24 matmuls
@@ -231,27 +234,37 @@ def _raster_kernel(
                 1.0 / 255.0
             )
 
+            # Work directly in m = -dpow/2: the -1/2 folds into the conic
+            # rows (free [1, chunk] math) and the quadratic form runs as
+            # 5 elementwise ops, m = dx*(na*dx + nb2*dy) + (nc*dy)*dy,
+            # instead of the 8-op literal a*dx^2 + c*dy^2 + 2b*dx*dy
+            # followed by a separate *-0.5.  The density clip
+            # saturate(exp(-dpow/2)) is exactly exp(min(m, 0)).
+            na = con_a * -0.5   # [1, chunk] rows
+            nc = con_c * -0.5
+            nb2 = -con_b
             dx = pcx - cx  # [pixels, chunk]
             dy = pcy - cy
-            dpow = con_a * dx * dx + con_c * dy * dy + 2.0 * con_b * dx * dy
+            m = (na * dx + nb2 * dy) * dx + (nc * dy) * dy
             gidx = astart + c * chunk + lane  # [1, chunk] global pair index
             in_seg = (gidx >= start) & (gidx < start + count)
             if logf:
-                # alpha = a_s * exp(-dpow/2) in one exp: log a_s folds
-                # into the exponent (row math), the clip becomes a
-                # dpow >= 0 clamp, and out-of-segment lanes get a -80
-                # log-alpha (alpha == 0 after the exp underflows).
+                # alpha = a_s * exp(min(m, 0)) in one exp: log a_s folds
+                # into the exponent (row math) and out-of-segment lanes
+                # get a -80 log-alpha (alpha == 0 after the exp
+                # underflows).
                 la_row = jnp.where(
                     in_seg, jnp.log(jnp.maximum(a_s, 1e-30)), -80.0
                 )  # [1, chunk]
-                lalpha = la_row - 0.5 * jnp.maximum(dpow, 0.0)
+                lalpha = la_row + jnp.minimum(m, 0.0)
                 alpha = jnp.exp(lalpha)
             else:
                 if config.falloff == "gaussian":
-                    density = jnp.exp(-0.5 * dpow)
+                    density = jnp.exp(jnp.minimum(m, 0.0))
                 else:
-                    density = 1.0 - dpow * (1.0 / 7.0)
-                alpha = jnp.where(in_seg, a_s * jnp.clip(density, 0.0, 1.0), 0.0)
+                    # Epanechnikov 1 - dpow/7 = 1 + m*(2/7), clipped.
+                    density = jnp.clip(1.0 + m * (2.0 / 7.0), 0.0, 1.0)
+                alpha = jnp.where(in_seg, a_s * density, 0.0)
 
             t_in = state[:, 3:4]           # [pixels, 1]: log T if logf
             if SCAN_MODE == "roll":
@@ -277,7 +290,10 @@ def _raster_kernel(
                 # sub-block.
                 l1a = jnp.log(jnp.maximum(1.0 - alpha, 1e-30))
                 parts = []
-                carry = jnp.zeros((pixels, 1), jnp.float32)
+                # In the fused log path the carry STARTS at log t_in, so
+                # s_excl already includes the running transmittance and
+                # the per-element + t_in add disappears from the weight.
+                carry = t_in if logf else jnp.zeros((pixels, 1), jnp.float32)
                 for sb in range(chunk // sw):
                     sl = l1a[:, sb * sw : (sb + 1) * sw]
                     if SCAN_LIMBS == 2:
@@ -302,8 +318,8 @@ def _raster_kernel(
                 )
                 if logf:
                     # One exp yields the full blend weight directly.
-                    weight = jnp.exp(s_excl + lalpha + t_in)
-                    t_out = t_in + carry  # log-domain transmittance
+                    weight = jnp.exp(s_excl + lalpha)
+                    t_out = carry  # log-domain transmittance (incl. t_in)
                 else:
                     excl = jnp.exp(s_excl)
                     # carry holds the full-chunk log-transmittance sum.
