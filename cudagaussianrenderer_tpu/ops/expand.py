@@ -47,13 +47,20 @@ from .geometry import CENTER_SCALE, MF12_K
 
 # Slots per grid block and splats per DMA window (must be a multiple of
 # 128 — lane-aligned DMA slices).  A block's splat span averages ~250
-# (1024 slots / ~4 pairs each) plus <=127 alignment waste, so 384 covers
-# the typical block in one window with 25% less match-matrix area than
-# 512: measured 3.92 vs 4.70 ms kernel-only.  256 forces two-window
-# walks (5.4 ms); 2048-slot blocks and split 512-slot walks both
-# measured worse (see PERF_NOTES).
+# (1024 slots / ~4 pairs each) plus <=127 alignment waste.  Under
+# BLOCKS_PER_STEP=4 the wider 512 window wins (kernel-only 4.06 vs 4.49
+# ms at W=384): spans past 384 are common enough that the occasional
+# second window costs more than 512's larger match area.  256 forces
+# two-window walks (5.4 ms); 2048-slot blocks and split 512-slot walks
+# both measured worse (see PERF_NOTES).
 MAX_BLOCK = 1024
-WINDOW = 384
+WINDOW = 512
+# Consecutive slot blocks emitted per Pallas grid step.  Each block's
+# window walk stays independent (match area does NOT grow, unlike
+# MAX_BLOCK=2048 which measured worse); batching only amortizes the
+# per-grid-step overhead (output-copy DMA issue, step bookkeeping)
+# across BPS blocks.
+BLOCKS_PER_STEP = 4
 
 # f32 can represent integers exactly only below 2^24; all integer payloads
 # (prefix sums clamped to capacity, packed tile rects, packed rgb, splat
@@ -92,6 +99,11 @@ NUM_OUT = 6
 
 DEPTH_SHIFT = 19
 SENTINEL_KEY = 0xFFFFFFFF
+
+# TIMING PROBE ONLY: number of bf16 truncation limbs fed to the selection
+# matmul (M = 16 * limbs).  3 is correct; 2/1 produce WRONG payloads and
+# exist only to measure how much of the kernel is MAC-bound.
+_SEL_LIMB_PROBE = 3
 
 
 # Columns per grid step of the interleave prep kernel (1D input blocks
@@ -158,16 +170,13 @@ def _emit_kernel(
     sems,
     *,
     block,
+    bps,
     config: RenderConfig,
 ):
-    b = pl.program_id(0)
-    s0 = starts_ref[b]
-    s1 = starts_ref[b + 1]
-    total = starts_ref[pl.num_programs(0) + 1]
-    a0 = (s0 // 128) * 128
-    num_windows = (s1 - a0) // WINDOW + 1
-
-    live = b * block < total
+    out_refs = (key0_ref, key1_ref, values_ref, cxcy_ref, conic_ref, rgba_ref)
+    step = pl.program_id(0)
+    nblocks = pl.num_programs(0) * bps
+    total = starts_ref[nblocks + 1]
     packed = config.depth_bits == 19
     tiles_x = config.tiles_x
 
@@ -187,6 +196,52 @@ def _emit_kernel(
     def wait(slot, base, wi):
         make_dma(slot, base, wi).wait()
 
+    # The grid step owns ``bps`` consecutive slot blocks; each keeps its
+    # own independent window walk (match area does not grow — batching
+    # only amortizes per-step overhead).  The python loop unrolls.
+    for k in range(bps):
+        _emit_block(
+            step * bps + k,
+            k,
+            nblocks,
+            total,
+            starts_ref,
+            out_refs,
+            win_buf,
+            sems,
+            start,
+            wait,
+            block=block,
+            packed=packed,
+            tiles_x=tiles_x,
+            config=config,
+        )
+
+
+def _emit_block(
+    b,
+    k,
+    nblocks,
+    total,
+    starts_ref,
+    out_refs,
+    win_buf,
+    sems,
+    start,
+    wait,
+    *,
+    block,
+    packed,
+    tiles_x,
+    config,
+):
+    key0_ref, key1_ref, values_ref, cxcy_ref, conic_ref, rgba_ref = out_refs
+    s0 = starts_ref[b]
+    s1 = starts_ref[b + 1]
+    a0 = (s0 // 128) * 128
+    num_windows = (s1 - a0) // WINDOW + 1
+    live = b * block < total
+
     # Cross-block software pipeline: windows 0 AND 1 of block b live in
     # slots 2+(b%2) / 4+(b%2), issued by block b-1 (block 0 issues its
     # own), so the typical block — whose walk is exactly two windows —
@@ -194,15 +249,16 @@ def _emit_kernel(
     my_w0 = 2 + jax.lax.rem(b, 2)
     my_w1 = 4 + jax.lax.rem(b, 2)
 
-    @pl.when(b == 0)
-    def _():
-        start(my_w0, a0, 0)
-
-        @pl.when(live & (num_windows > 1))
+    if k == 0:
+        @pl.when(b == 0)
         def _():
-            start(my_w1, a0, 1)
+            start(my_w0, a0, 0)
 
-    @pl.when(b + 1 < pl.num_programs(0))
+            @pl.when(live & (num_windows > 1))
+            def _():
+                start(my_w1, a0, 1)
+
+    @pl.when(b + 1 < nblocks)
     def _():
         next_a0 = (starts_ref[b + 1] // 128) * 128
         start(2 + jax.lax.rem(b + 1, 2), next_a0, 0)
@@ -219,7 +275,7 @@ def _emit_kernel(
     wait(my_w0, a0, 0)
 
     def st(ref, v):
-        ref[...] = v.reshape((block,))
+        ref[pl.ds(k * block, block)] = v.reshape((block,))
 
     @pl.when(jnp.logical_not(live))
     def _():
@@ -289,14 +345,18 @@ def _emit_kernel(
             r1 = win - hi
             mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
             lo = r1 - mid
-            limbs = jnp.concatenate([hi, mid, lo]).astype(jnp.bfloat16)
+            parts = [hi, mid, lo][: _SEL_LIMB_PROBE]
+            limbs = jnp.concatenate(parts).astype(jnp.bfloat16)
             sel = jax.lax.dot_general(
                 limbs,
                 match,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [48, block]
-            return acc + (sel[0:16] + sel[16:32]) + sel[32:48]
+            )  # [16 * limbs, block]
+            out = sel[0:16]
+            for p in range(1, _SEL_LIMB_PROBE):
+                out = out + sel[16 * p : 16 * (p + 1)]
+            return acc + out
 
         acc = jax.lax.fori_loop(
             0, num_windows, body, jnp.zeros((16, block), jnp.float32)
@@ -308,7 +368,7 @@ def _emit_kernel(
 
         excl = acc[0:1, :]
         in_range = j_lane < jnp.minimum(
-            total.astype(jnp.float32), float(block * pl.num_programs(0))
+            total.astype(jnp.float32), float(block * nblocks)
         )
 
         # Tile rect unpack; /256 is an exact power-of-two float division.
@@ -487,14 +547,25 @@ def emit_pairs(
     starts = jnp.clip(edges[1:], 0, n - 1)
     starts = jnp.concatenate([starts, jnp.minimum(incl[-1:], capacity)])
 
-    kernel = functools.partial(_emit_kernel, block=block, config=config)
+    # Blocks per grid step: the largest configured batch that divides the
+    # block count (capacities at 1024-slot grain may not divide evenly).
+    # Interpret mode keeps the same logic so CPU tests exercise the
+    # multi-block step path.
+    bps = BLOCKS_PER_STEP
+    while nblocks % bps:
+        bps //= 2
+
+    kernel = functools.partial(
+        _emit_kernel, block=block, bps=bps, config=config
+    )
     flat = jax.ShapeDtypeStruct((capacity,), jnp.uint32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nblocks,),
+        grid=(nblocks // bps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((block,), lambda i, *_: (i,)) for _ in range(NUM_OUT)
+            pl.BlockSpec((block * bps,), lambda i, *_: (i,))
+            for _ in range(NUM_OUT)
         ],
         scratch_shapes=[
             # Slots 0/1: in-block double buffer; 2/3 and 4/5: cross-block

@@ -87,6 +87,12 @@ SCAN_LIMBS = 1
 
 CENTER_INV_SCALE = 2.0 / 65535.0
 
+# Chunk-DMA pipeline depth.  A [PAIR_ROWS, 128] chunk is only 2 KB, so
+# the per-chunk HBM latency dwarfs its transfer (and, post-m-form, its
+# compute) time; double buffering (depth 2) leaves the loop
+# latency-bound.  Depth D keeps D-1 chunk fetches in flight.
+PREFETCH_DEPTH = 4
+
 
 def pack_pair_data(sorted_attrs, chunk: int) -> jnp.ndarray:
     """Sorted attribute operands -> [PAIR_ROWS, C + 2*chunk] uint32 buffer.
@@ -169,6 +175,37 @@ def _raster_kernel(
             sems.at[slot],
         )
 
+    num_tiles = pl.num_programs(0) * tpc
+
+    def tile_chunks(t):
+        """(astart, num_chunks) of tile t; exactly 0 chunks when empty."""
+        s = starts_ref[t]
+        cnt = counts_ref[t]
+        a = (s // chunk) * chunk
+        n = jnp.where(cnt > 0, pl.cdiv(s - a + cnt, chunk), 0)
+        return a, n
+
+    def head_slot(t):
+        # Two dedicated first-chunk slots by tile parity: tile t's chunk 0
+        # is DMA'd while tile t-1 is still blending (cross-tile pipeline,
+        # hiding the per-tile cold-start HBM latency), so it cannot share
+        # the in-tile ring slots.
+        return PREFETCH_DEPTH + jax.lax.rem(t, 2)
+
+    def start_head(t):
+        """Issue tile t's chunk-0 fetch into its head slot (t traced)."""
+        a, n = tile_chunks(t)
+
+        @pl.when(n > 0)
+        def _():
+            make_dma(head_slot(t), a, 0).start()
+
+    # The very first tile of the grid has no predecessor to issue its
+    # head fetch; every other tile's was issued one tile earlier.
+    @pl.when(cell == 0)
+    def _():
+        start_head(0)
+
     for ti in range(tpc):
         tile = cell * tpc + ti
         start = starts_ref[tile]
@@ -177,7 +214,7 @@ def _raster_kernel(
         # of the segment and mask the over-fetched prefix.
         astart = (start // chunk) * chunk
         span = start - astart + count
-        num_chunks = pl.cdiv(span, chunk)
+        num_chunks = jnp.where(count > 0, pl.cdiv(span, chunk), 0)
 
         tile_x = (tile % tiles_x).astype(jnp.float32)
         tile_y = (tile // tiles_x + rowoff_ref[0]).astype(jnp.float32)
@@ -189,9 +226,18 @@ def _raster_kernel(
         # otherwise.
         state[:, 3:4] = jnp.full((pixels, 1), 0.0 if logf else 1.0, jnp.float32)
 
-        @pl.when(num_chunks > 0)
+        # Prologue: chunk 0 is already in flight in this tile's head slot
+        # (issued by the previous tile); put chunks 1..D-2 in flight in
+        # the ring, then issue the NEXT tile's head fetch so it rides
+        # under this tile's blending.
+        for d in range(1, PREFETCH_DEPTH - 1):
+            @pl.when(d < num_chunks)
+            def _(d=d):
+                make_dma(d % PREFETCH_DEPTH, astart, d).start()
+
+        @pl.when(tile + 1 < num_tiles)
         def _():
-            make_dma(0, astart, 0).start()
+            start_head(tile + 1)
 
         eps_t = float(np.log(eps)) if logf else eps
 
@@ -201,11 +247,17 @@ def _raster_kernel(
 
         def body(carry):
             c, _ = carry
-            slot = jax.lax.rem(c, 2)
+            slot = jnp.where(
+                c == 0, head_slot(tile), jax.lax.rem(c, PREFETCH_DEPTH)
+            )
 
-            @pl.when(c + 1 < num_chunks)
+            @pl.when(c + PREFETCH_DEPTH - 1 < num_chunks)
             def _():
-                make_dma(1 - slot, astart, c + 1).start()
+                make_dma(
+                    jax.lax.rem(c + PREFETCH_DEPTH - 1, PREFETCH_DEPTH),
+                    astart,
+                    c + PREFETCH_DEPTH - 1,
+                ).start()
 
             make_dma(slot, astart, c).wait()
             data = chunk_buf[slot]  # [PAIR_ROWS, chunk] uint32
@@ -357,11 +409,19 @@ def _raster_kernel(
             cond, body, (0, jnp.float32(0.0 if logf else 1.0))
         )
 
-        # Saturation exit leaves the speculative next-chunk DMA in flight;
-        # drain it so the semaphore slot is clean for the next tile.
-        @pl.when(final_c < num_chunks)
-        def _():
-            make_dma(jax.lax.rem(final_c, 2), astart, final_c).wait()
+        # Saturation exit leaves up to D-1 speculative chunk DMAs in
+        # flight; drain them so the semaphore slots are clean for the
+        # next tile.  (The loop always consumes chunk 0 when it runs, so
+        # only ring slots can be left in flight; the next tile's head
+        # fetch is consumed by that tile, not drained here.)
+        for d in range(PREFETCH_DEPTH - 1):
+            @pl.when(final_c + d < num_chunks)
+            def _(d=d):
+                make_dma(
+                    jax.lax.rem(final_c + d, PREFETCH_DEPTH),
+                    astart,
+                    final_c + d,
+                ).wait()
 
         covered = (count > 0).astype(jnp.float32)
         out_ref[ti, :, 0:3] = state[:, 0:3]
@@ -405,8 +465,9 @@ def rasterize_tiles(
         out_specs=pl.BlockSpec((tpc, pixels, 4), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((pixels, 8), jnp.float32),
-            pltpu.VMEM((2, PAIR_ROWS, chunk), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
+            # D-slot in-tile ring + 2 cross-tile head slots (by parity).
+            pltpu.VMEM((PREFETCH_DEPTH + 2, PAIR_ROWS, chunk), jnp.uint32),
+            pltpu.SemaphoreType.DMA((PREFETCH_DEPTH + 2,)),
         ],
     )
     return pl.pallas_call(

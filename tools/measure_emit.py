@@ -71,7 +71,7 @@ def main():
     ).pad_to_multiple(256)
     cam = orbit_cameras(scene.bounds_min, scene.bounds_max, 8)[0].camera_data()
     cam = jax.tree.map(jnp.asarray, cam)
-    capacity = 4_325_376
+    capacity = 4_182_016
 
     cfg = RenderConfig(screen_size=1024)
     clip = jax.jit(
@@ -128,13 +128,56 @@ def main():
         out = expand_mod.emit_pairs(r, incl, capacity, cfg)
         return jnp.sum(out[0][:128].astype(jnp.float32)) * 1e-9
 
-    for window in (256, 512):
+    for window, bps, limbs in (
+        (512, 4, 3),
+        (640, 4, 3),
+        (512, 4, 2),   # TIMING PROBE: wrong payloads, measures MAC share
+        (512, 4, 1),   # TIMING PROBE
+    ):
         expand_mod.WINDOW = window
-        m = timed(f"emit_pairs kernel only W={window}", scanned(kernel_body),
-                  rows, incl)
+        expand_mod.BLOCKS_PER_STEP = bps
+        expand_mod._SEL_LIMB_PROBE = limbs
+        m = timed(f"emit_pairs kernel only W={window} bps={bps} limbs={limbs}",
+                  scanned(kernel_body), rows, incl)
         if m is not None:
             print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
-    expand_mod.WINDOW = 256
+    expand_mod.WINDOW = 512
+    expand_mod.BLOCKS_PER_STEP = 4
+    expand_mod._SEL_LIMB_PROBE = 3
+
+    # XLA pre-pass pieces: everything in build_tile_pairs BEFORE the
+    # kernel (row math, packing, cumsum, interleave, block starts).
+    import cudagaussianrenderer_tpu.ops.binning as binning_mod
+
+    real_emit = expand_mod.emit_pairs
+
+    def prepass_only(cols, incl, cap, cfg, interpret=None):
+        # Consume every column FULLY (a [0]-element read would let XLA
+        # rewrite slice-of-elementwise and DCE the column math).  The 13
+        # 1M-sums add ~0.1 ms of their own — small, noted.
+        salt = sum(jnp.sum(c) for c in cols) + jnp.sum(incl).astype(
+            jnp.float32
+        )
+        z = jnp.zeros((cap,), jnp.uint32) + salt.astype(jnp.uint32)
+        return (z,) * 6
+
+    def prepass_body(s, cl, sc):
+        binning_mod_emit = expand_mod.emit_pairs
+        try:
+            expand_mod.emit_pairs = prepass_only
+            p = build_tile_pairs(
+                cl._replace(cx=cl.cx + s * 1e-9), sc.colors, sc.opacities,
+                cfg, capacity,
+            )
+        finally:
+            expand_mod.emit_pairs = binning_mod_emit
+        return jnp.sum(p.keys[0][:128].astype(jnp.float32)) * 1e-9
+
+    m = timed("build_tile_pairs minus kernel (stub)", scanned(prepass_body),
+              clip, scene)
+    if m is not None:
+        print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+    expand_mod.emit_pairs = real_emit
 
 
 if __name__ == "__main__":

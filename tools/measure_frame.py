@@ -37,7 +37,7 @@ from cudagaussianrenderer_tpu.ops.raster import (
 from cudagaussianrenderer_tpu.ops.sorting import sort_pairs
 
 REPS = 8
-CAPACITY = 4_325_376
+CAPACITY = 4_182_016
 
 
 def timed(name, make_fn, *args):
@@ -143,6 +143,42 @@ def main():
         m = timed(name, scanned(body), scene, cam)
         if m is not None:
             print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    # ---- same-process FULL-FRAME A/Bs of the round-3 session-3 changes
+    # (between-process stage numbers swing +-1 ms; only these deltas are
+    # trustworthy).
+    import cudagaussianrenderer_tpu.ops.expand as expand_mod
+    import cudagaussianrenderer_tpu.ops.raster as raster_mod
+
+    variants = (
+        ("full: emit bps=1 W=384 (prior emit)", dict(bps=1, window=384)),
+        ("full: raster SCAN_LIMBS=2 (prior scan)", dict(limbs=2)),
+        ("full: raster chunk=256", dict(chunk=256)),
+    )
+    for name, v in variants:
+        expand_mod.BLOCKS_PER_STEP = v.get("bps", 4)
+        expand_mod.WINDOW = v.get("window", 512)
+        raster_mod.SCAN_LIMBS = v.get("limbs", 1)
+        vcfg = RenderConfig(screen_size=1024, raster_chunk=v.get("chunk", 128))
+
+        def vfull(s, sc, c, _cfg=vcfg):
+            clip = project_splats(
+                sc.means, sc.scales, sc.quats, salted_cam(s, c), _cfg
+            )
+            p = build_tile_pairs(clip, sc.colors, sc.opacities, _cfg, CAPACITY)
+            keys, _, attrs = sort_pairs(p, stable=_cfg.stable_sort)
+            starts, counts = tile_ranges(keys, _cfg)
+            pd = pack_pair_data(attrs, _cfg.raster_chunk)
+            tiles = rasterize_tiles(pd, starts, counts, _cfg)
+            img = tiles_to_image(tiles, _cfg)
+            return jnp.sum(img[::64, ::64, 0].astype(jnp.float32))
+
+        m = timed(name, scanned(vfull), scene, cam)
+        if m is not None:
+            print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+    expand_mod.BLOCKS_PER_STEP = 4
+    expand_mod.WINDOW = 512
+    raster_mod.SCAN_LIMBS = 1
 
 
 if __name__ == "__main__":
