@@ -42,16 +42,29 @@ def throughput(scene, config, frames, *, static_camera=False):
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
         *[c.camera_data() for c in cams],
     )
-    cam0 = jax.tree.map(lambda x: x[0], cam_stack)
 
-    probe = jax.jit(
-        lambda s, c: render_frame(s, c, config, config.tile_capacity(s.count))[1][
-            "num_candidates"
-        ]
+    # Capacity policy matches bench.py: probe the exact candidate count of
+    # EVERY rendered camera (binning phase 1 only — a trivial compile),
+    # 0.5% headroom for the 1e-6 view salt, 1024-slot grain.
+    from cudagaussianrenderer_tpu.ops.binning import (
+        splat_row_packs,
+        splat_tile_rects,
     )
-    candidates = int(np.asarray(probe(scene, cam0)))
-    grain = 1 << 14
-    capacity = max(grain, -(-int(candidates * 1.1) // grain) * grain)
+    from cudagaussianrenderer_tpu.ops.projection import project_splats
+
+    def count_candidates(s, c):
+        clip = project_splats(s.means, s.scales, s.quats, c, config)
+        rects = splat_tile_rects(clip, config)
+        return jnp.sum(splat_row_packs(clip, rects, config).counts)
+
+    probe = jax.jit(count_candidates)
+    probe_frames = [0] if static_camera else range(frames)
+    candidates = max(
+        int(np.asarray(probe(scene, jax.tree.map(lambda x: x[i], cam_stack))))
+        for i in probe_frames
+    )
+    grain = 1024
+    capacity = max(4096, -(-int(candidates * 1.005) // grain) * grain)
 
     def body(salt, scene, cam_stack):
         # Salt the view translation so every scan step really executes.
