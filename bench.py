@@ -131,7 +131,9 @@ def main():
     from cudagaussianrenderer_tpu.ops.projection import project_splats
 
     def count_candidates(s, c):
-        clip = project_splats(s.means, s.scales, s.quats, c, config)
+        clip = project_splats(
+            s.means, s.scales, s.quats, c, config, opacities=s.opacities
+        )
         rects = splat_tile_rects(clip, config)
         return jnp.sum(splat_row_packs(clip, rects, config).counts)
 
@@ -159,12 +161,14 @@ def main():
 
         def step(carry, cam):
             img, aux = frame(scene, cam, capacity)
-            return carry + jnp.sum(img[::64, ::64, 0].astype(jnp.float32)), aux[
-                "num_pairs"
-            ]
+            # num_candidates is the saturation signal on every path: the
+            # global exact count single-chip, the pmax'd per-device
+            # in-band count sharded (so a saturated band is visible).
+            stats = (aux["num_pairs"], aux["num_candidates"])
+            return carry + jnp.sum(img[::64, ::64, 0].astype(jnp.float32)), stats
 
-        c, pairs = jax.lax.scan(step, jnp.float32(0.0), cam_stack)
-        return c, pairs
+        c, stats = jax.lax.scan(step, jnp.float32(0.0), cam_stack)
+        return c, stats
 
     jfn = jax.jit(frames_body)
     out = jfn(jnp.float32(0.0), scene, cam_stack)
@@ -177,12 +181,15 @@ def main():
         best = min(best, time.perf_counter() - t0)
     ms_per_frame = best * 1e3 / args.frames
     fps = 1e3 / ms_per_frame
-    pairs = np.asarray(out[1])
+    pairs = np.asarray(out[1][0])
+    cands = np.asarray(out[1][1])
     pairs_per_frame = int(pairs.mean())
-    if args.devices == 1 and int(pairs.max()) >= capacity:
+    if int(cands.max()) > capacity:
+        per_dev = " per-device" if args.devices > 1 else ""
         print(
-            f"WARNING: pair list saturated (max {int(pairs.max())} == "
-            f"capacity {capacity}); a frame rendered truncated",
+            f"WARNING: pair list saturated (max{per_dev} candidates "
+            f"{int(cands.max())} > capacity {capacity}); a frame rendered "
+            "truncated",
             file=sys.stderr,
         )
 
@@ -202,7 +209,9 @@ def main():
         base = _timed_ms(lambda s, x: jnp.sum(x) + s, (jnp.ones((8, 128), jnp.float32),))
 
         clip = jax.jit(
-            lambda s, c: project_splats(s.means, s.scales, s.quats, c, config)
+            lambda s, c: project_splats(
+                s.means, s.scales, s.quats, c, config, opacities=s.opacities
+            )
         )(scene, cam0)
         pairs = jax.jit(
             lambda cl, s: build_tile_pairs(cl, s.colors, s.opacities, config, capacity)
@@ -223,7 +232,8 @@ def main():
                     jnp.sum(f[:128])
                     for f in project_splats(
                         sc.means, sc.scales, sc.quats,
-                        dict(c, view=c["view"].at[0, 3].add(s * 1e-6)), config
+                        dict(c, view=c["view"].at[0, 3].add(s * 1e-6)), config,
+                        opacities=sc.opacities,
                     )
                 ),
                 (scene, cam0),

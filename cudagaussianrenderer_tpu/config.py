@@ -37,6 +37,19 @@ class RenderConfig:
     # "epanechnikov": density = 1 - dx/7, ellipse extent = sqrt(7) * sqrt(lambda)
     falloff: str = "gaussian"
 
+    # --- splat extents ---
+    # Opacity-aware confidence-ellipse truncation.  The reference always
+    # uses the full 3-sigma ellipse (GaussianRender.cu:295-302), but a
+    # splat with opacity alpha contributes more than the 8-bit output
+    # floor (1/255) only where alpha * density > 1/255, i.e. within
+    # r(alpha) = sqrt(2 ln(255 alpha)) sigma <= 3 sigma (gaussian; the
+    # Epanechnikov analog is sqrt(1 - 1/(255 alpha)) of the sqrt(7)
+    # support).  Truncating low-opacity splats to that radius cuts the
+    # emitted pair count — every post-binning stage costs O(pairs) — with
+    # per-splat pixel error bounded below one output level.  False
+    # restores the reference's exact fixed-sigma extents.
+    opacity_aware_extents: bool = True
+
     # --- tile list ---
     # Initial capacity = capacity_factor * splat_count (reference: Demo.cpp:325).
     capacity_factor: int = 8

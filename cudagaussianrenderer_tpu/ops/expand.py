@@ -100,12 +100,6 @@ NUM_OUT = 6
 DEPTH_SHIFT = 19
 SENTINEL_KEY = 0xFFFFFFFF
 
-# TIMING PROBE ONLY: number of bf16 truncation limbs fed to the selection
-# matmul (M = 16 * limbs).  3 is correct; 2/1 produce WRONG payloads and
-# exist only to measure how much of the kernel is MAC-bound.
-_SEL_LIMB_PROBE = 3
-
-
 # Columns per grid step of the interleave prep kernel (1D input blocks
 # must be whole 8x128 tiles).
 PREP_BLK = 4096
@@ -172,6 +166,7 @@ def _emit_kernel(
     block,
     bps,
     config: RenderConfig,
+    sel_limbs: int = 3,
 ):
     out_refs = (key0_ref, key1_ref, values_ref, cxcy_ref, conic_ref, rgba_ref)
     step = pl.program_id(0)
@@ -215,6 +210,7 @@ def _emit_kernel(
             packed=packed,
             tiles_x=tiles_x,
             config=config,
+            sel_limbs=sel_limbs,
         )
 
 
@@ -234,6 +230,7 @@ def _emit_block(
     packed,
     tiles_x,
     config,
+    sel_limbs=3,
 ):
     key0_ref, key1_ref, values_ref, cxcy_ref, conic_ref, rgba_ref = out_refs
     s0 = starts_ref[b]
@@ -345,7 +342,7 @@ def _emit_block(
             r1 = win - hi
             mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
             lo = r1 - mid
-            parts = [hi, mid, lo][: _SEL_LIMB_PROBE]
+            parts = [hi, mid, lo][:sel_limbs]
             limbs = jnp.concatenate(parts).astype(jnp.bfloat16)
             sel = jax.lax.dot_general(
                 limbs,
@@ -354,7 +351,7 @@ def _emit_block(
                 preferred_element_type=jnp.float32,
             )  # [16 * limbs, block]
             out = sel[0:16]
-            for p in range(1, _SEL_LIMB_PROBE):
+            for p in range(1, sel_limbs):
                 out = out + sel[16 * p : 16 * (p + 1)]
             return acc + out
 
@@ -487,6 +484,7 @@ def emit_pairs(
     config: RenderConfig,
     *,
     interpret=None,
+    unsafe_sel_limbs: int = 3,
 ) -> jnp.ndarray:
     """Expand + test + pack the pair list in one fused kernel.
 
@@ -555,8 +553,16 @@ def emit_pairs(
     while nblocks % bps:
         bps //= 2
 
+    # unsafe_sel_limbs is a TIMING PROBE ONLY: the number of bf16
+    # truncation limbs fed to the selection matmul (M = 16 * limbs).
+    # 3 is correct; 2/1 produce WRONG payloads and exist only so
+    # tools/measure.py can measure how much of the kernel is MAC-bound.
     kernel = functools.partial(
-        _emit_kernel, block=block, bps=bps, config=config
+        _emit_kernel,
+        block=block,
+        bps=bps,
+        config=config,
+        sel_limbs=unsafe_sel_limbs,
     )
     flat = jax.ShapeDtypeStruct((capacity,), jnp.uint32)
     grid_spec = pltpu.PrefetchScalarGridSpec(

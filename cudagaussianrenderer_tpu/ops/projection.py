@@ -80,12 +80,19 @@ def project_splats(
     quats_packed: jnp.ndarray,
     camera: dict,
     config: RenderConfig,
+    opacities: jnp.ndarray = None,
 ) -> SplatClipData:
     """Project splats into clip space.
 
     means, scales: planar [3, N] rows.  quats_packed: [N] uint32.
     ``camera`` is the CameraData pytree: view [4,4], position [3],
     fov_cotangent [2], depth_scale_bias [2], aspect scalar.
+
+    ``opacities`` ([N], optional) enables opacity-aware extent
+    truncation when config.opacity_aware_extents is set: the ellipse is
+    shrunk to the radius where alpha * density falls below the 8-bit
+    output floor (see RenderConfig).  Omitting it keeps the reference's
+    exact fixed-sigma extents (GaussianRender.cu:295-302).
     """
     eps = config.epsilon
     view = camera["view"]
@@ -202,6 +209,25 @@ def project_splats(
     sf = config.sigma_factor
     ext0 = jnp.sqrt(lambda0) * sf
     ext1 = jnp.sqrt(lambda1) * sf
+
+    if opacities is not None and config.opacity_aware_extents:
+        # Truncate the support to where alpha * density crosses the
+        # 8-bit output floor 1/255 (only affects binning: the conic —
+        # and so the raster density — is untouched; dropped pixels lose
+        # a sub-LSB contribution).  Gaussian: density exp(-dx/2) with
+        # dx = 9 at the 3-sigma boundary; alpha e^{-dx/2} = 1/255 at
+        # dx_c = 2 ln(255 alpha) -> scale = sqrt(dx_c)/3 clamped to
+        # [0, 1] (opacity <= 1/255 culls the splat outright).
+        # Epanechnikov: density 1 - dx/7 hits the floor at
+        # dx_c = 7 (1 - 1/(255 alpha)) -> scale = sqrt(1 - 1/(255 a)).
+        a255 = 255.0 * opacities
+        if config.falloff == "gaussian":
+            dxc = 2.0 * jnp.log(jnp.maximum(a255, 1e-12))
+            trunc = jnp.sqrt(jnp.clip(dxc, 0.0, 9.0)) * (1.0 / 3.0)
+        else:
+            trunc = jnp.sqrt(jnp.clip(1.0 - 1.0 / jnp.maximum(a255, 1e-12), 0.0, 1.0))
+        ext0 = ext0 * trunc
+        ext1 = ext1 * trunc
 
     # Conic = inverse 2x2 covariance (cu:305-307).
     inv_det = 1.0 / jnp.maximum(eps, det)

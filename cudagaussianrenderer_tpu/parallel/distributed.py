@@ -46,7 +46,7 @@ from ..ops.ranges import tile_ranges
 from ..ops.expand import MAX_CAPACITY as _KERNEL_MAX_CAPACITY
 from ..ops.raster import pack_pair_data, rasterize_tiles, tiles_to_image
 from ..ops.sorting import sort_pairs
-from ..render import _splat_colors
+from ..render import _splat_colors, round_capacity, warn_capacity_ceiling
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "tiles") -> Mesh:
@@ -81,7 +81,10 @@ def _render_shard(
 
     # --- splat-parallel stages ---
     colors = _splat_colors(scene, camera_data)
-    clip = project_splats(scene.means, scene.scales, scene.quats, camera_data, config)
+    clip = project_splats(
+        scene.means, scene.scales, scene.quats, camera_data, config,
+        opacities=scene.opacities,
+    )
 
     # --- all-gather the compact clip data + colors over ICI ---
     def gather(x):
@@ -183,6 +186,7 @@ def render_frame_sharded(
     ``axis`` plus aggregate pair statistics.
     """
     _validate(config, mesh, axis, scene)
+    capacity_per_device = round_capacity(capacity_per_device)
     fn = jax.shard_map(
         functools.partial(
             _render_shard,
@@ -219,6 +223,7 @@ def render_frames_sharded(
     pair statistics.
     """
     _validate(config, mesh, tile_axis, scene)
+    capacity_per_device = round_capacity(capacity_per_device)
     n_frames = mesh.shape[frame_axis]
     batch = jax.tree_util.tree_leaves(camera_batch)[0].shape[0]
     if batch % n_frames != 0:
@@ -262,6 +267,7 @@ def render_frames_tilesharded(
     batches when every device participates in each frame).
     """
     _validate(config, mesh, axis, scene)
+    capacity_per_device = round_capacity(capacity_per_device)
 
     def body(scene_shard, cams):
         render = functools.partial(
@@ -337,7 +343,7 @@ class DistributedRenderer:
     def _bucket(self, candidates: int) -> int:
         """Per-device bucket: 20% headroom, 32Ki grain (the per-device
         counts are smaller and vary more across bands than the global
-        Renderer bucket's 10% / 128Ki)."""
+        Renderer bucket's 8% / 64Ki, render.Renderer._bucket)."""
         want = max(1 << 14, int(candidates * 1.2))
         grain = 1 << 15
         return min(-(-want // grain) * grain, self.MAX_CAPACITY)
@@ -369,6 +375,9 @@ class DistributedRenderer:
         return self._fns[key]
 
     def _update_capacity(self, candidates: int):
+        # ``candidates`` is the pmax'd PER-DEVICE in-band candidate count.
+        if candidates > self.MAX_CAPACITY:
+            warn_capacity_ceiling(self, candidates)
         if self.adaptive:
             self.capacity = self._bucket(candidates)
             self.saturated = False

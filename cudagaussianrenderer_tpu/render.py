@@ -17,6 +17,7 @@ truncated list and the next frame recompiles with doubled capacity.
 from __future__ import annotations
 
 import time
+import warnings
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -27,6 +28,7 @@ from .config import RenderConfig
 from .models.camera import Camera
 from .models.scene import GaussianScene
 from .ops.binning import build_tile_pairs
+from .ops.expand import MAX_BLOCK as _KERNEL_BLOCK
 from .ops.expand import MAX_CAPACITY as _KERNEL_MAX_CAPACITY
 from .ops.projection import project_splats
 from .ops.ranges import tile_ranges
@@ -45,6 +47,46 @@ def _splat_colors(scene: GaussianScene, camera_data: dict) -> jnp.ndarray:
     return scene.colors
 
 
+def round_capacity(capacity: int, interpret=None) -> int:
+    """Round a pair-list capacity up to the emit kernel's whole-block
+    output grain (1024 slots on TPU; 128 in interpret mode, where the
+    kernel shrinks its block down to one 8x128 tile).
+
+    Applied at every public entry point so an arbitrary capacity renders
+    with at-least-requested slots instead of raising inside ops.expand.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    grain = 128 if interpret else _KERNEL_BLOCK
+    return -(-max(1, int(capacity)) // grain) * grain
+
+
+def warn_capacity_ceiling(renderer, candidates: int) -> None:
+    """The emit kernel's exact-f32 selection caps pair-list capacity at
+    MAX_CAPACITY (~16.5M pairs); a frame whose candidate count exceeds it
+    renders with a TRUNCATED pair list and capacity growth cannot fix it
+    (the reference grows without bound, Demo.cpp:356-366; we saturate).
+    Warn once per renderer, loudly, and point at the escape hatches.
+
+    Shared by render.Renderer and parallel.DistributedRenderer (which
+    applies it to the pmax'd per-device candidate count)."""
+    if getattr(renderer, "_ceiling_warned", False):
+        return
+    renderer._ceiling_warned = True
+    warnings.warn(
+        f"frame produced {candidates} candidate pairs, above the pair-list "
+        f"capacity ceiling ({renderer.MAX_CAPACITY}); frames past the ceiling "
+        "render with a truncated (depth-ordered per tile, but arbitrarily "
+        "cut) pair list. Escape hatches: shard tile rows across devices "
+        "(parallel.DistributedRenderer divides the per-device pair count), "
+        "lower the candidate count (smaller viewport, opacity-aware "
+        "extents), or render in tile-row bands via "
+        "build_tile_pairs(row_band=...) over multiple passes.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def render_frame(
     scene: GaussianScene,
     camera_data: dict,
@@ -57,8 +99,12 @@ def render_frame(
 
     Returns (image uint8 [H, W, 4], aux dict with pair statistics).
     """
+    capacity = round_capacity(capacity, interpret)
     colors = _splat_colors(scene, camera_data)
-    clip = project_splats(scene.means, scene.scales, scene.quats, camera_data, config)
+    clip = project_splats(
+        scene.means, scene.scales, scene.quats, camera_data, config,
+        opacities=scene.opacities,
+    )
     pairs = build_tile_pairs(
         clip, colors, scene.opacities, config, capacity, interpret=interpret
     )
@@ -123,6 +169,7 @@ class Renderer:
         # An explicit config.capacity opts into the reference's fixed
         # grow-only behavior instead.
         self.adaptive_capacity = config.capacity is None
+        self._ceiling_warned = False
 
     # Hard capacity ceiling: the emit kernel's exact f32 one-hot selection
     # requires capacity + 1 < 2^24.  Beyond it the pipeline renders with a
@@ -168,12 +215,17 @@ class Renderer:
         self.frame_count += 1
         if check_saturation:
             candidates = int(aux["num_candidates"])
+            if candidates > self.MAX_CAPACITY:
+                self._warn_capacity_ceiling(candidates)
             if self.adaptive_capacity:
                 self.capacity = self._bucket(candidates)
                 self.saturated = False
             else:
                 self.saturated = candidates >= self.capacity
         return np.asarray(image)
+
+    def _warn_capacity_ceiling(self, candidates: int) -> None:
+        warn_capacity_ceiling(self, candidates)
 
     # ------------------------------------------------------------------
     # Profiling mode: stage-sliced timing with reference-matching names.
@@ -189,7 +241,9 @@ class Renderer:
         cfg, cap, interp = self.config, self.capacity, self.interpret
         sh_fn = jax.jit(lambda s, c: _splat_colors(s, c))
         proj_fn = jax.jit(
-            lambda s, c: project_splats(s.means, s.scales, s.quats, c, cfg)
+            lambda s, c: project_splats(
+                s.means, s.scales, s.quats, c, cfg, opacities=s.opacities
+            )
         )
         bin_fn = jax.jit(
             lambda clip, colors, s: (

@@ -53,7 +53,9 @@ def throughput(scene, config, frames, *, static_camera=False):
     from cudagaussianrenderer_tpu.ops.projection import project_splats
 
     def count_candidates(s, c):
-        clip = project_splats(s.means, s.scales, s.quats, c, config)
+        clip = project_splats(
+            s.means, s.scales, s.quats, c, config, opacities=s.opacities
+        )
         rects = splat_tile_rects(clip, config)
         return jnp.sum(splat_row_packs(clip, rects, config).counts)
 

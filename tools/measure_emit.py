@@ -123,10 +123,15 @@ def main():
     rows, incl = jax.jit(make_inputs)(clip, scene)
     jax.block_until_ready((rows, incl))
 
-    def kernel_body(s, rows, incl):
-        r = (*rows[:2], rows[2] + s * 1e-9, *rows[3:])  # salt cx col
-        out = expand_mod.emit_pairs(r, incl, capacity, cfg)
-        return jnp.sum(out[0][:128].astype(jnp.float32)) * 1e-9
+    def make_kernel_body(limbs):
+        def kernel_body(s, rows, incl):
+            r = (*rows[:2], rows[2] + s * 1e-9, *rows[3:])  # salt cx col
+            out = expand_mod.emit_pairs(
+                r, incl, capacity, cfg, unsafe_sel_limbs=limbs
+            )
+            return jnp.sum(out[0][:128].astype(jnp.float32)) * 1e-9
+
+        return kernel_body
 
     for window, bps, limbs in (
         (512, 4, 3),
@@ -136,14 +141,12 @@ def main():
     ):
         expand_mod.WINDOW = window
         expand_mod.BLOCKS_PER_STEP = bps
-        expand_mod._SEL_LIMB_PROBE = limbs
         m = timed(f"emit_pairs kernel only W={window} bps={bps} limbs={limbs}",
-                  scanned(kernel_body), rows, incl)
+                  scanned(make_kernel_body(limbs)), rows, incl)
         if m is not None:
             print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
     expand_mod.WINDOW = 512
     expand_mod.BLOCKS_PER_STEP = 4
-    expand_mod._SEL_LIMB_PROBE = 3
 
     # XLA pre-pass pieces: everything in build_tile_pairs BEFORE the
     # kernel (row math, packing, cumsum, interleave, block starts).
