@@ -234,6 +234,7 @@ def test_sorted_ranges_partition_list(pipeline_state):
         assert np.all(d[:-1] <= d[1:])
 
 
+@pytest.mark.slow
 def test_lex_sort_mode_equivalent(pipeline_state):
     scene, cam, config, clip, capacity, pairs19 = pipeline_state
     cfg32 = RenderConfig(screen_size=256, depth_bits=32)

@@ -43,6 +43,7 @@ def test_round_capacity_block_grain():
     assert round_capacity(300, interpret=True) == 384
 
 
+@pytest.mark.slow
 def test_render_frame_accepts_unaligned_capacity():
     """A sub-block capacity must render, not raise (ADVICE round 3)."""
     scene = random_scene(100, seed=1).pad_to_multiple(256)
@@ -57,6 +58,7 @@ def test_render_frame_accepts_unaligned_capacity():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_capacity_ceiling_warns_and_truncates_forever(monkeypatch):
     scene = random_scene(400, seed=9)
     config = RenderConfig(screen_size=128)
@@ -120,6 +122,7 @@ def test_opacity_extents_shrink_only_and_cull_subfloor(extent_setup, falloff):
     assert (sub <= 1e-6).all()
 
 
+@pytest.mark.slow
 def test_opacity_extents_cut_pairs_with_sub_lsb_image_delta(extent_setup):
     scene, cam = extent_setup
     base_cfg = RenderConfig(screen_size=128, opacity_aware_extents=False)

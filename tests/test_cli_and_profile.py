@@ -29,6 +29,7 @@ def test_cli_orbit_writes_frames(tmp_path):
     assert len(frames) == 2
 
 
+@pytest.mark.slow
 def test_profile_frame_and_report():
     scene = random_scene(300, seed=4)
     r = Renderer(scene, RenderConfig(screen_size=64, tiles_per_cell=4))

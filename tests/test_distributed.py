@@ -50,6 +50,7 @@ def test_sharded_matches_single_device():
     assert int(np.asarray(aux_s["num_pairs"])) == int(np.asarray(aux_1["num_pairs"]))
 
 
+@pytest.mark.slow
 def test_sharded_saturation_truncates():
     """A too-small per-device capacity truncates but stays shape-correct
     and reports saturation via the pmax'd candidate count."""
@@ -115,6 +116,7 @@ def test_frame_parallel_2d_mesh():
         assert (diff > 1).mean() < 0.001, f"frame {i}: max diff {diff.max()}"
 
 
+@pytest.mark.slow
 def test_distributed_renderer_render_batch_2d():
     n_total = min(8, len(jax.devices()))
     if n_total < 4:
@@ -138,6 +140,7 @@ def test_graft_entry_multichip():
     mod.dryrun_multichip(min(8, len(jax.devices())))
 
 
+@pytest.mark.slow
 def test_distributed_renderer_custom_axis_names():
     """Mesh axis names are user-chosen; the renderer must forward them to
     both the per-frame and the batched sharded paths (the batched path

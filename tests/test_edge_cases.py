@@ -17,6 +17,7 @@ from cudagaussianrenderer_tpu.models.scene import random_scene, scene_from_array
 from cudagaussianrenderer_tpu.render import Renderer
 
 
+@pytest.mark.slow
 def test_single_splat_renders():
     scene = scene_from_arrays(
         means=np.zeros((1, 3), np.float32),
@@ -36,6 +37,7 @@ def test_single_splat_renders():
     assert c[..., 0].max() > 100 and c[..., 3].max() == 255
 
 
+@pytest.mark.slow
 def test_one_tile_screen():
     """16px screen = exactly one tile; tiles_per_cell must be adjusted."""
     config = RenderConfig(screen_size=16, tiles_per_cell=1)
@@ -52,6 +54,7 @@ def test_tiles_per_cell_must_divide():
         RenderConfig(screen_size=16)  # default tiles_per_cell=8 > 1 tile
 
 
+@pytest.mark.slow
 def test_huge_splat_covers_screen():
     """One splat larger than the frustum: its rect clamps to the full tile
     grid and every pixel blends it."""
@@ -102,6 +105,7 @@ def test_all_splats_at_same_depth():
     assert img1[..., 3].max() == 255
 
 
+@pytest.mark.slow
 def test_zero_opacity_scene_renders_black():
     scene = random_scene(100, seed=5)
     scene = dataclasses.replace(

@@ -27,7 +27,10 @@ def _image_close(got, want, *, pix_tol=8, frac=0.02, msg=""):
     assert bad <= frac, f"{msg}: {bad:.4f} of pixels differ by more than {pix_tol}"
 
 
-@pytest.mark.parametrize("falloff", ["gaussian", "epanechnikov"])
+@pytest.mark.parametrize(
+    "falloff",
+    ["gaussian", pytest.param("epanechnikov", marks=pytest.mark.slow)],
+)
 def test_render_matches_golden(falloff):
     scene = random_scene(300, seed=2)
     config = RenderConfig(screen_size=128, falloff=falloff)
@@ -41,6 +44,7 @@ def test_render_matches_golden(falloff):
     _image_close(got, want, msg=falloff)
 
 
+@pytest.mark.slow
 def test_rectangular_viewport_matches_golden():
     """192x128 viewport: per-axis tile math, aspect-corrected camera and
     per-axis trace bump must all agree with the float64 oracle."""
@@ -57,6 +61,7 @@ def test_rectangular_viewport_matches_golden():
     _image_close(got, want, msg="rect")
 
 
+@pytest.mark.slow
 def test_render_sh_scene_matches_golden():
     scene = random_scene(200, seed=8, sh_degree=3)
     config = RenderConfig(screen_size=128)
@@ -67,6 +72,7 @@ def test_render_sh_scene_matches_golden():
     _image_close(got, want, msg="sh")
 
 
+@pytest.mark.slow
 def test_empty_view_renders_black():
     scene = random_scene(50, seed=4)
     config = RenderConfig(screen_size=128)
@@ -89,6 +95,7 @@ def test_saturation_doubles_capacity():
     assert r.capacity == cap0 * 2  # Demo.cpp:356-366 behavior
 
 
+@pytest.mark.slow
 def test_jit_render_frame_is_traceable():
     scene = random_scene(100, seed=1).pad_to_multiple(256)
     config = RenderConfig(screen_size=128)

@@ -1,6 +1,7 @@
 """Rotation quantization round-trip (encodeVec4 / decodeVec4 parity)."""
 
 import numpy as np
+import pytest
 
 from cudagaussianrenderer_tpu.utils.quantize import (
     decode_quat_xyzw,
@@ -74,6 +75,7 @@ def test_pair_buffers_are_integer_typed():
         np.testing.assert_array_equal(got[k, : hazard.size], np.roll(hazard, k))
 
 
+@pytest.mark.slow
 def test_emit_output_is_integer_typed():
     import jax
     import jax.numpy as jnp

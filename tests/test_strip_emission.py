@@ -61,7 +61,10 @@ def _decode_rows(x0, w_rect, h_rect, packs, count):
     return tiles
 
 
-@pytest.mark.parametrize("case", ["generic", "eccentric", "tall_wide"])
+@pytest.mark.parametrize(
+    "case",
+    ["generic", "eccentric", pytest.param("tall_wide", marks=pytest.mark.slow)],
+)
 def test_strip_emission_matches_exact_test(case):
     rng = np.random.default_rng(hash(case) % 2**31)
     n = 300

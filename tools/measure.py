@@ -1,0 +1,415 @@
+#!/usr/bin/env python
+"""Consolidated TPU measurement harness (replaces the round-scoped
+measure_r*.py scratch scripts; their recorded numbers live in
+docs/PERF_NOTES.md).
+
+Method (docs/PERF_NOTES.md "benchmarking rules"):
+  * device-side lax.scan over REPS salted reps per dispatch (salt
+    something the body CONSUMES or XLA hoists it),
+  * best-of-3 outer reps, np.asarray to force materialization
+    (block_until_ready is unreliable through the axon tunnel),
+  * trivial-dispatch baseline subtracted for "net" numbers,
+  * consume >= 1 element of EVERY lax.sort output operand (XLA DCEs
+    unused payload operands and you time a key-only sort),
+  * never reshape a flat sort to [1, n] (pathological lowering).
+
+Usage: python tools/measure.py <subcommand> [...]
+  sort      flat vs batched pair-sort shapes + operand-count sweep
+  reorder   splat re-order cost (band-sort prerequisite) + cumsum costs
+  extents   opacity-aware extents A/B: candidates + frame time
+  emit      emit kernel A/B (window / blocks-per-step / limb probe)
+  raster    raster chunk + scan-limb variants
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+except Exception:
+    pass
+
+REPS = 8
+
+# Bench workload (must match bench.py): 1M splats at the reference's
+# Lilly Boquet density (~4 exact pairs/splat), 1024^2, orbit camera 0.
+BENCH_N = 1_000_000
+BENCH_CAPACITY = 4_587_520  # round-3 bench bucket at this workload
+
+
+def timed(name, make_fn, *args):
+    try:
+        fn = jax.jit(make_fn)
+        t0 = time.perf_counter()
+        np.asarray(fn(jnp.float32(0.0), *args))
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for it in range(1, 4):
+            t0 = time.perf_counter()
+            np.asarray(fn(jnp.float32(it), *args))
+            best = min(best, time.perf_counter() - t0)
+        ms = best * 1e3 / REPS
+        print(f"{name:44s} {ms:9.3f} ms/rep  (compile {compile_s:5.1f}s)", flush=True)
+        return ms
+    except Exception as e:  # noqa: BLE001
+        print(f"{name:44s} FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+        return None
+
+
+def scanned(body):
+    def fn(salt, *args):
+        def step(c, s):
+            return c + body(s, *args), 0
+
+        c, _ = jax.lax.scan(
+            step, jnp.float32(0.0), salt + jnp.arange(REPS, dtype=jnp.float32)
+        )
+        return c
+
+    return fn
+
+
+def dispatch_baseline():
+    return timed(
+        "dispatch baseline",
+        scanned(lambda s, x: jnp.sum(x) + s),
+        jnp.ones((8, 128), jnp.float32),
+    )
+
+
+def bench_scene(n=BENCH_N, sh_degree=0):
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+
+    return random_scene(
+        n, seed=0, min_scale=0.002, max_scale=0.053, extent=4.0,
+        sh_degree=sh_degree,
+    ).pad_to_multiple(256)
+
+
+def bench_camera(scene, idx=0, n=8):
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+
+    cam = orbit_cameras(scene.bounds_min, scene.bounds_max, n)[idx].camera_data()
+    return jax.tree.map(jnp.asarray, cam)
+
+
+# ---------------------------------------------------------------------------
+# sort: flat vs batched shapes, operand count
+# ---------------------------------------------------------------------------
+
+
+def cmd_sort(capacity=BENCH_CAPACITY):
+    rng = np.random.default_rng(0)
+    key = jnp.asarray(rng.integers(0, 1 << 31, capacity, dtype=np.uint32))
+    payloads = [
+        jnp.asarray(rng.integers(0, 1 << 32, capacity, dtype=np.uint32))
+        for _ in range(3)
+    ]
+    base = dispatch_baseline()
+
+    def net(ms):
+        return ms - base if (ms is not None and base is not None) else float("nan")
+
+    def flat_body(s, k, *ps):
+        out = jax.lax.sort(
+            (k ^ s.astype(jnp.uint32), *ps), num_keys=1, is_stable=False
+        )
+        return sum(o[0].astype(jnp.float32) * 1e-9 for o in out)
+
+    m = timed(f"flat 4-op sort @{capacity}", scanned(flat_body), key, *payloads)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    for g in (8, 16, 32, 64, 128):
+        seg = capacity // g
+        if seg * g != capacity:
+            continue
+        k2 = key.reshape(g, seg)
+        p2 = [p.reshape(g, seg) for p in payloads]
+
+        def body(s, k, *ps):
+            out = jax.lax.sort(
+                (k ^ s.astype(jnp.uint32), *ps),
+                dimension=1, num_keys=1, is_stable=False,
+            )
+            return sum(o[0, 0].astype(jnp.float32) * 1e-9 for o in out)
+
+        m = timed(f"batched [{g},{seg}] 4-op", scanned(body), k2, *p2)
+        print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# reorder: splat re-order by center tile row (band-sort prerequisite)
+# ---------------------------------------------------------------------------
+
+
+def cmd_reorder(n=BENCH_N):
+    """Cost of sorting the raw scene columns by a [0,64) band key, plus
+    the banded-count building blocks ([G,N] count matrix + axis-1
+    cumsum).  The re-order is a locality optimization only — band-
+    clamped emission is exact for ANY splat order — so it can also be
+    amortized across frames."""
+    rng = np.random.default_rng(0)
+    base = dispatch_baseline()
+
+    def net(ms):
+        return ms - base if (ms is not None and base is not None) else float("nan")
+
+    band = jnp.asarray(rng.integers(0, 64, n, dtype=np.uint32))
+    f32cols = [jnp.asarray(rng.random(n, dtype=np.float32)) for _ in range(6)]
+    u32cols = [
+        jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.uint32)) for _ in range(2)
+    ]
+
+    # Scene re-order: key + means(3) + scales(3) + quat + rgba = 9 ops.
+    def body9(s, k, *cols):
+        out = jax.lax.sort(
+            (k ^ s.astype(jnp.uint32), *cols), num_keys=1, is_stable=False
+        )
+        return sum(o[0].astype(jnp.float32) * 1e-9 for o in out)
+
+    m = timed(f"reorder 1key+8payload @{n}", scanned(body9), band, *f32cols, *u32cols)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    # (key, idx) only — floor for a gather-based (non-viable) plan.
+    def body2(s, k, i):
+        out = jax.lax.sort((k ^ s.astype(jnp.uint32), i), num_keys=1, is_stable=False)
+        return out[0][0].astype(jnp.float32) * 1e-9 + out[1][0].astype(jnp.float32)
+
+    m = timed(f"reorder 1key+1idx @{n}", scanned(body2), band,
+              jnp.arange(n, dtype=jnp.uint32))
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    # Banded-count building blocks.
+    counts = jnp.asarray(rng.integers(0, 8, n).astype(np.float32))
+    y0 = jnp.asarray(rng.integers(0, 64, n).astype(np.float32))
+    for g in (8, 16, 32, 64):
+        def body_cnt(s, c, y, _g=g):
+            # count matrix: per-band in-band counts (select per band).
+            rows_per = 64 // _g
+            bids = jnp.floor(y / rows_per)
+            mat = jnp.stack(
+                [jnp.where(bids == float(b), c + s * 1e-9, 0.0) for b in range(_g)]
+            )
+            incl = jnp.cumsum(mat, axis=1)
+            return jnp.sum(incl[:, -1]) * 1e-9
+
+        m = timed(f"count-matrix+cumsum [{g},{n}]", scanned(body_cnt), counts, y0)
+        print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# extents: opacity-aware extents A/B
+# ---------------------------------------------------------------------------
+
+
+def cmd_extents():
+    import dataclasses
+
+    from cudagaussianrenderer_tpu.config import RenderConfig
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+    from cudagaussianrenderer_tpu.ops.binning import (
+        splat_row_packs, splat_tile_rects,
+    )
+    from cudagaussianrenderer_tpu.ops.projection import project_splats
+    from cudagaussianrenderer_tpu.render import render_frame
+
+    scene = bench_scene()
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 8)
+    base_cfg = RenderConfig(screen_size=1024, opacity_aware_extents=False)
+    trunc_cfg = dataclasses.replace(base_cfg, opacity_aware_extents=True)
+
+    for name, cfg in (("exact 3-sigma", base_cfg), ("opacity-aware", trunc_cfg)):
+        def count(s, c, _cfg=cfg):
+            clip = project_splats(
+                s.means, s.scales, s.quats, c, _cfg, opacities=s.opacities
+            )
+            rects = splat_tile_rects(clip, _cfg)
+            return jnp.sum(splat_row_packs(clip, rects, _cfg).counts)
+
+        jc = jax.jit(count)
+        per_cam = [int(jc(scene, c.camera_data())) for c in cams]
+        print(f"{name:20s} candidates: max {max(per_cam)} "
+              f"mean {sum(per_cam)//len(per_cam)} per-cam {per_cam}", flush=True)
+
+    cap = -(-int(
+        max(
+            int(jax.jit(lambda s, c: jnp.sum(splat_row_packs(
+                project_splats(s.means, s.scales, s.quats, c, base_cfg,
+                               opacities=s.opacities),
+                splat_tile_rects(project_splats(
+                    s.means, s.scales, s.quats, c, base_cfg,
+                    opacities=s.opacities), base_cfg), base_cfg).counts))(
+                        scene, c.camera_data()))
+            for c in cams
+        ) * 1.02
+    ) // 1024) * 1024
+
+    cam0 = bench_camera(scene)
+    for name, cfg in (("frame exact 3-sigma", base_cfg),
+                      ("frame opacity-aware", trunc_cfg)):
+        def body(s, sc, c, _cfg=cfg):
+            c2 = dict(c, view=c["view"].at[0, 3].add(s * 1e-6))
+            img, aux = render_frame(sc, c2, _cfg, cap)
+            return (jnp.sum(img[::64, ::64, 0].astype(jnp.float32)) * 1e-9
+                    + aux["num_pairs"].astype(jnp.float32) * 1e-12)
+
+        timed(name, scanned(body), scene, cam0)
+
+
+# ---------------------------------------------------------------------------
+# emit: kernel-only A/B (window / blocks-per-step / limbs)
+# ---------------------------------------------------------------------------
+
+
+def cmd_emit():
+    from cudagaussianrenderer_tpu.config import RenderConfig
+    from cudagaussianrenderer_tpu.ops import expand as expand_mod
+    from cudagaussianrenderer_tpu.ops.binning import (
+        build_tile_pairs, splat_row_packs, splat_tile_rects,
+    )
+    from cudagaussianrenderer_tpu.ops.expand import emit_pairs
+    from cudagaussianrenderer_tpu.ops.geometry import pack_rgb_u32
+    from cudagaussianrenderer_tpu.ops.projection import project_splats
+    from cudagaussianrenderer_tpu.ops.binning import quantize_depth
+
+    cfg = RenderConfig(screen_size=1024)
+    scene = bench_scene()
+    cam = bench_camera(scene)
+    capacity = BENCH_CAPACITY
+    base = dispatch_baseline()
+
+    def net(ms):
+        return ms - base if (ms is not None and base is not None) else float("nan")
+
+    def make_inputs(clip, s):
+        rects = splat_tile_rects(clip, cfg)
+        packs = splat_row_packs(clip, rects, cfg)
+        incl = jnp.cumsum(packs.counts)
+        geom = (
+            (rects.x0.astype(jnp.float32) * 256.0
+             + rects.y0.astype(jnp.float32)) * 256.0
+            + rects.w.astype(jnp.float32)
+        )
+        cols = (
+            geom,
+            quantize_depth(clip.clip_z, 19).astype(jnp.float32),
+            clip.cx, clip.cy, clip.con_a, clip.con_b, clip.con_c,
+            pack_rgb_u32(s.colors).astype(jnp.float32),
+            s.opacities,
+            *packs.packs,
+        )
+        return cols, incl
+
+    clip = jax.jit(
+        lambda s, c: project_splats(s.means, s.scales, s.quats, c, cfg,
+                                    opacities=s.opacities)
+    )(scene, cam)
+    cols, incl = jax.jit(make_inputs)(clip, scene)
+    jax.block_until_ready((cols, incl))
+
+    def make_body(limbs):
+        def body(s, cols, incl):
+            c2 = (*cols[:2], cols[2] + s * 1e-9, *cols[3:])  # salt cx
+            out = emit_pairs(c2, incl, capacity, cfg, unsafe_sel_limbs=limbs)
+            return jnp.sum(out[0][:128].astype(jnp.float32)) * 1e-9
+
+        return body
+
+    for window, bps, limbs in ((512, 4, 3), (512, 4, 1), (256, 8, 3), (512, 1, 3)):
+        expand_mod.WINDOW = window
+        expand_mod.BLOCKS_PER_STEP = bps
+        m = timed(f"emit kernel W={window} bps={bps} limbs={limbs}",
+                  scanned(make_body(limbs)), cols, incl)
+        print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+    expand_mod.WINDOW = 512
+    expand_mod.BLOCKS_PER_STEP = 4
+
+    def full_body(s, sc, clip):
+        clip2 = clip._replace(cx=clip.cx + s * 1e-9)
+        p = build_tile_pairs(clip2, sc.colors, sc.opacities, cfg, capacity)
+        return (p.keys[0][0].astype(jnp.float32) * 1e-9
+                + p.num_pairs.astype(jnp.float32) * 1e-12)
+
+    m = timed("build_tile_pairs end-to-end", scanned(full_body), scene, clip)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# raster: chunk + scan-limb variants
+# ---------------------------------------------------------------------------
+
+
+def cmd_raster():
+    from cudagaussianrenderer_tpu.config import RenderConfig
+    from cudagaussianrenderer_tpu.ops import raster as raster_mod
+    from cudagaussianrenderer_tpu.ops.binning import build_tile_pairs
+    from cudagaussianrenderer_tpu.ops.projection import project_splats
+    from cudagaussianrenderer_tpu.ops.ranges import tile_ranges
+    from cudagaussianrenderer_tpu.ops.raster import (
+        pack_pair_data, rasterize_tiles, tiles_to_image,
+    )
+    from cudagaussianrenderer_tpu.ops.sorting import sort_pairs
+
+    scene = bench_scene()
+    cam = bench_camera(scene)
+    capacity = BENCH_CAPACITY
+    base = dispatch_baseline()
+
+    cfg = RenderConfig(screen_size=1024)
+    clip = jax.jit(
+        lambda s, c: project_splats(s.means, s.scales, s.quats, c, cfg,
+                                    opacities=s.opacities)
+    )(scene, cam)
+    pairs = jax.jit(
+        lambda cl, s: build_tile_pairs(cl, s.colors, s.opacities, cfg, capacity)
+    )(clip, scene)
+    skeys, _, sattrs = jax.jit(lambda p: sort_pairs(p))(pairs)
+    starts, counts = jax.jit(lambda k: tile_ranges(k, cfg))(skeys)
+    jax.block_until_ready((sattrs, starts, counts))
+
+    for name, chunk, limbs in (
+        ("chunk=128 limbs=1 (prod)", 128, 1),
+        ("chunk=128 limbs=2", 128, 2),
+        ("chunk=256 limbs=1", 256, 1),
+    ):
+        raster_mod.SCAN_LIMBS = limbs
+        cfgv = RenderConfig(screen_size=1024, raster_chunk=chunk)
+
+        def body(s, a0, a1, a2, st, ct, _cfg=cfgv, _ck=chunk):
+            return jnp.sum(
+                tiles_to_image(
+                    rasterize_tiles(
+                        pack_pair_data((a0, a1, a2 ^ s.astype(jnp.uint32)), _ck),
+                        st, ct, _cfg,
+                    ),
+                    _cfg,
+                )[::64, ::64, 0].astype(jnp.float32)
+            )
+
+        m = timed(name, scanned(body), *sattrs, starts, counts)
+        if m is not None and base is not None:
+            print(f"{'':44s} net {m - base:9.3f} ms", flush=True)
+    raster_mod.SCAN_LIMBS = 1
+
+
+if __name__ == "__main__":
+    print("backend:", jax.default_backend(), flush=True)
+    cmds = {
+        "sort": cmd_sort,
+        "reorder": cmd_reorder,
+        "extents": cmd_extents,
+        "emit": cmd_emit,
+        "raster": cmd_raster,
+    }
+    which = sys.argv[1] if len(sys.argv) > 1 else None
+    if which not in cmds:
+        print(__doc__)
+        sys.exit(1)
+    cmds[which]()
