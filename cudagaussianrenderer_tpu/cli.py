@@ -28,6 +28,10 @@ def _add_common(p):
     p.add_argument("--height", type=int, default=None, help="framebuffer height (rectangular viewport)")
     p.add_argument("--falloff", choices=["gaussian", "epanechnikov"], default="gaussian")
     p.add_argument("--depth-bits", type=int, choices=[19, 32], default=19)
+    p.add_argument(
+        "--bands", type=int, default=0,
+        help="band-segmented sort over N tile-row bands (0 = flat sort)",
+    )
     p.add_argument("--raster-chunk", type=int, default=None)
     p.add_argument("--tiles-per-cell", type=int, default=None)
     p.add_argument("--capacity-factor", type=int, default=8)
@@ -58,6 +62,7 @@ def _build(args):
         depth_bits=args.depth_bits,
         capacity_factor=args.capacity_factor,
         gamma=args.gamma,
+        sort_bands=args.bands,
     )
     if args.raster_chunk is not None:
         kwargs["raster_chunk"] = args.raster_chunk

@@ -66,6 +66,17 @@ class RenderConfig:
     # CUDA's tie order depends on block scheduling (cu:672-712).
     stable_sort: bool = False
 
+    # --- band-segmented sort ---
+    # G > 1 emits the pair list band-major over G tile-row bands and
+    # sorts it as a batched [G, capacity/G] lax.sort — far fewer bitonic
+    # passes than the flat sort (measured 2-4.7x cheaper per pair at
+    # G >= 64 segments, docs/PERF_NOTES.md).  Renderer rebalances band
+    # boundaries toward equal pair counts each frame and (optionally)
+    # re-orders splats by center tile row for emit-kernel window
+    # locality.  0/1 = flat sort (the reference's single cub dispatch,
+    # GaussianRender.cu:804-855).
+    sort_bands: int = 0
+
     # --- sort key layout ---
     # Number of bits of quantized linear depth carried in the sort key.
     # 19 (default): a single uint32 key packs (tile_id << 19) | depth19 —
@@ -127,6 +138,8 @@ class RenderConfig:
             raise ValueError("raster_chunk must be a power-of-two multiple of 128")
         if self.tiles_per_cell < 1:
             raise ValueError("tiles_per_cell must be >= 1")
+        if self.sort_bands < 0 or self.sort_bands > self.tiles_y:
+            raise ValueError("sort_bands must be in [0, tiles_y]")
 
     # --- derived quantities ---
     @property

@@ -214,6 +214,176 @@ def _emit_kernel(
         )
 
 
+def _store_sentinels(st, out_refs, block, packed, config):
+    """All-sentinel output block: keys sort to the dead suffix, values = -1."""
+    key0_ref, key1_ref, values_ref, cxcy_ref, conic_ref, rgba_ref = out_refs
+    zero = jnp.zeros((1, block), jnp.uint32)
+    sent = jnp.full((1, block), SENTINEL_KEY, jnp.uint32)
+    if packed:
+        st(key0_ref, sent)
+        st(key1_ref, zero)
+    else:
+        st(key0_ref, jnp.full((1, block), config.sentinel_tile, jnp.uint32))
+        st(key1_ref, sent)
+    st(
+        values_ref,
+        pltpu.bitcast(jnp.full((1, block), -1, jnp.int32), jnp.uint32),
+    )
+    st(cxcy_ref, zero)
+    st(conic_ref, zero)
+    st(rgba_ref, zero)
+
+
+def _emit_payload(
+    acc,
+    excl,
+    j_lane,
+    end_f,
+    st,
+    out_refs,
+    *,
+    block,
+    packed,
+    tiles_x,
+    config,
+    band_lo=None,
+    band_hi=None,
+):
+    """Fused per-slot emission math on the selected rows (all VMEM).
+
+    ``acc``: [16, block] selected splat rows (R_* layout, rows 0-1 unused
+    here), ``excl``: [1, block] each slot's owning-splat exclusive prefix
+    (virtual-slot-valued in banded mode), ``end_f``: f32 in-range bound
+    for this block's slots.  ``band_lo``/``band_hi`` (traced f32 tile-row
+    bounds) activate band-local candidate ordinals: the per-row run walk
+    counts only rows inside [band_lo, band_hi) and the full-rect
+    fallthrough starts at the first in-band row, mirroring
+    binning.band_counts exactly.
+    """
+    key0_ref, key1_ref, values_ref, cxcy_ref, conic_ref, rgba_ref = out_refs
+    banded = band_lo is not None
+
+    def row(r):
+        return acc[2 + r : 3 + r, :]  # [1, block]
+
+    in_range = j_lane < end_f
+
+    # Tile rect unpack; /256 is an exact power-of-two float division.
+    g = row(R_GEOM)
+    g_hi = jnp.floor(g * (1.0 / 256.0))
+    w_raw = g - g_hi * 256.0
+    x0 = jnp.floor(g_hi * (1.0 / 256.0))
+    y0 = g_hi - x0 * 256.0
+
+    # Per-row exact-run slot mapping (binning.splat_row_packs): walk
+    # the 8 packed (dx, w) runs to find the row owning local ordinal
+    # ``o``; ordinals past the packed total fall through to full-rect
+    # rows (row >= 8 of tall splats, or the whole rect of splats too
+    # wide to pack, flagged by w_raw > MAX_PACK_W).  All arithmetic
+    # on exact small integers in f32.
+    o = j_lane - excl
+    sel_cum = jnp.zeros((1, block), jnp.float32)
+    sel_dx = jnp.zeros((1, block), jnp.float32)
+    sel_ly = jnp.zeros((1, block), jnp.float32)
+    cum = jnp.zeros((1, block), jnp.float32)
+    for p in range(4):
+        t = row(R_PACK0 + p)
+        t_hi = jnp.floor(t * (1.0 / 4096.0))  # (dx, w) of row 2p
+        t_lo = t - t_hi * 4096.0              # (dx, w) of row 2p+1
+        for half, r in ((t_hi, 2 * p), (t_lo, 2 * p + 1)):
+            dx_r = jnp.floor(half * (1.0 / 64.0))
+            w_r = half - dx_r * 64.0
+            if banded:
+                yr = y0 + float(r)
+                w_r = jnp.where((yr >= band_lo) & (yr < band_hi), w_r, 0.0)
+            nxt = cum + w_r
+            m = ((cum <= o) & (o < nxt)).astype(jnp.float32)
+            sel_cum = sel_cum + m * cum
+            sel_dx = sel_dx + m * dx_r
+            sel_ly = sel_ly + m * float(r)
+            cum = nxt
+    in_packed = o < cum  # cum = (in-band) packed total
+    # Full-rect fallthrough rows.  TPU's f32 divide is a reciprocal
+    # multiply, NOT correctly rounded: floor((k*w)/w) lands on k-1
+    # for most multiples of many widths (measured: 93% of k at w=61),
+    # so correct the quotient by one step against the exact
+    # remainder (inputs are exact small ints; the divide is within
+    # 1 ulp, so one step suffices).
+    extra = o - cum
+    w_f = jnp.maximum(w_raw, 1.0)
+    ly_rel = jnp.floor(extra / w_f)
+    rem = extra - ly_rel * w_f
+    ly_rel = (
+        ly_rel
+        + (rem >= w_f).astype(jnp.float32)
+        - (rem < 0.0).astype(jnp.float32)
+    )
+    lx_o = extra - ly_rel * w_f
+    base_row = jnp.where(w_raw > 63.0, 0.0, 8.0)
+    if banded:
+        # Full-width rows start at the first in-band row (band_counts
+        # counts only rows >= max(base, band_lo - y0)).
+        base_row = jnp.maximum(base_row, band_lo - y0)
+    gy = y0 + jnp.where(in_packed, sel_ly, base_row + ly_rel)
+    gx = x0 + jnp.where(in_packed, sel_dx + (o - sel_cum), lx_o)
+    valid = in_range
+
+    # Mosaic has no f32->u32 cast; values are < 2^31 so go via i32.
+    def to_u32(x):
+        return pltpu.bitcast(x.astype(jnp.int32), jnp.uint32)
+
+    tile_u = to_u32(gy * float(tiles_x) + gx)
+    q_u = to_u32(row(R_DEPTH))
+    sent = jnp.full((1, block), SENTINEL_KEY, jnp.uint32)
+    if packed:
+        key = (tile_u << DEPTH_SHIFT) | q_u
+        key0 = jnp.where(valid, key, sent)
+        key1 = jnp.zeros((1, block), jnp.uint32)
+    else:
+        key0 = jnp.where(
+            valid, tile_u, jnp.uint32(config.sentinel_tile)
+        )
+        key1 = jnp.where(valid, q_u << 8, sent)
+
+    values = jnp.where(
+        valid, row(R_IDX).astype(jnp.int32), -1
+    )
+
+    # Packed raster attributes (sort operands; must match the XLA
+    # packing in geometry.py bit-for-bit).
+    def q16(x):
+        return to_u32(jnp.clip((x + 1.0) * 0.5, 0.0, 1.0) * CENTER_SCALE + 0.5)
+
+    def mf12(x):
+        b16 = _rnd_bf16_bits_u32(x, shift=True)
+        v = jnp.clip(
+            pltpu.bitcast(b16, jnp.int32) - MF12_K, 0, 4095
+        )
+        return pltpu.bitcast(v, jnp.uint32)
+
+    def mf12_dec(q):
+        return pltpu.bitcast((q + jnp.uint32(MF12_K)) << 16, jnp.float32)
+
+    cxcy = (q16(row(R_CX)) << 16) | q16(row(R_CY))
+    qa = mf12(row(R_CA))
+    qc = mf12(row(R_CC))
+    rho = row(R_CB) / jnp.maximum(
+        jnp.sqrt(mf12_dec(qa) * mf12_dec(qc)), 1e-30
+    )
+    q_rho = to_u32(jnp.clip((rho + 1.0) * 127.5 + 0.5, 0.0, 255.0))
+    conic = (qa << 20) | (qc << 8) | q_rho
+    rgba = (to_u32(row(R_RGB)) << 8) | to_u32(
+        jnp.clip(row(R_ALPHA), 0.0, 1.0) * 255.0 + 0.5
+    )
+
+    st(key0_ref, key0)
+    st(key1_ref, key1)
+    st(values_ref, pltpu.bitcast(values, jnp.uint32))
+    st(cxcy_ref, cxcy)
+    st(conic_ref, conic)
+    st(rgba_ref, rgba)
+
+
 def _emit_block(
     b,
     k,
@@ -276,22 +446,7 @@ def _emit_block(
 
     @pl.when(jnp.logical_not(live))
     def _():
-        # All-sentinel block: keys sort to the dead suffix, values = -1.
-        zero = jnp.zeros((1, block), jnp.uint32)
-        sent = jnp.full((1, block), SENTINEL_KEY, jnp.uint32)
-        if packed:
-            st(key0_ref, sent)
-            st(key1_ref, zero)
-        else:
-            st(key0_ref, jnp.full((1, block), config.sentinel_tile, jnp.uint32))
-            st(key1_ref, sent)
-        st(
-            values_ref,
-            pltpu.bitcast(jnp.full((1, block), -1, jnp.int32), jnp.uint32),
-        )
-        st(cxcy_ref, zero)
-        st(conic_ref, zero)
-        st(rgba_ref, zero)
+        _store_sentinels(st, out_refs, block, packed, config)
 
     @pl.when(live)
     def _():
@@ -360,121 +515,213 @@ def _emit_block(
         )
 
         # ---- fused per-slot emission math (all VMEM-resident) ----
-        def row(r):
-            return acc[2 + r : 3 + r, :]  # [1, block]
-
-        excl = acc[0:1, :]
-        in_range = j_lane < jnp.minimum(
+        end_f = jnp.minimum(
             total.astype(jnp.float32), float(block * nblocks)
         )
-
-        # Tile rect unpack; /256 is an exact power-of-two float division.
-        g = row(R_GEOM)
-        g_hi = jnp.floor(g * (1.0 / 256.0))
-        w_raw = g - g_hi * 256.0
-        x0 = jnp.floor(g_hi * (1.0 / 256.0))
-        y0 = g_hi - x0 * 256.0
-
-        # Per-row exact-run slot mapping (binning.splat_row_packs): walk
-        # the 8 packed (dx, w) runs to find the row owning local ordinal
-        # ``o``; ordinals past the packed total fall through to full-rect
-        # rows (row >= 8 of tall splats, or the whole rect of splats too
-        # wide to pack, flagged by w_raw > MAX_PACK_W).  All arithmetic
-        # on exact small integers in f32.
-        o = j_lane - excl
-        sel_cum = jnp.zeros((1, block), jnp.float32)
-        sel_dx = jnp.zeros((1, block), jnp.float32)
-        sel_ly = jnp.zeros((1, block), jnp.float32)
-        cum = jnp.zeros((1, block), jnp.float32)
-        for p in range(4):
-            t = row(R_PACK0 + p)
-            t_hi = jnp.floor(t * (1.0 / 4096.0))  # (dx, w) of row 2p
-            t_lo = t - t_hi * 4096.0              # (dx, w) of row 2p+1
-            for half, r in ((t_hi, 2 * p), (t_lo, 2 * p + 1)):
-                dx_r = jnp.floor(half * (1.0 / 64.0))
-                w_r = half - dx_r * 64.0
-                nxt = cum + w_r
-                m = ((cum <= o) & (o < nxt)).astype(jnp.float32)
-                sel_cum = sel_cum + m * cum
-                sel_dx = sel_dx + m * dx_r
-                sel_ly = sel_ly + m * float(r)
-                cum = nxt
-        in_packed = o < cum  # cum = packed total
-        # Full-rect fallthrough rows.  TPU's f32 divide is a reciprocal
-        # multiply, NOT correctly rounded: floor((k*w)/w) lands on k-1
-        # for most multiples of many widths (measured: 93% of k at w=61),
-        # so correct the quotient by one step against the exact
-        # remainder (inputs are exact small ints; the divide is within
-        # 1 ulp, so one step suffices).
-        extra = o - cum
-        w_f = jnp.maximum(w_raw, 1.0)
-        ly_rel = jnp.floor(extra / w_f)
-        rem = extra - ly_rel * w_f
-        ly_rel = (
-            ly_rel
-            + (rem >= w_f).astype(jnp.float32)
-            - (rem < 0.0).astype(jnp.float32)
+        _emit_payload(
+            acc,
+            acc[0:1, :],
+            j_lane,
+            end_f,
+            st,
+            out_refs,
+            block=block,
+            packed=packed,
+            tiles_x=tiles_x,
+            config=config,
         )
-        lx_o = extra - ly_rel * w_f
-        base_row = jnp.where(w_raw > 63.0, 0.0, 8.0)
-        gy = y0 + jnp.where(in_packed, sel_ly, base_row + ly_rel)
-        gx = x0 + jnp.where(in_packed, sel_dx + (o - sel_cum), lx_o)
-        valid = in_range
 
-        # Mosaic has no f32->u32 cast; values are < 2^31 so go via i32.
-        def to_u32(x):
-            return pltpu.bitcast(x.astype(jnp.int32), jnp.uint32)
 
-        tile_u = to_u32(gy * float(tiles_x) + gx)
-        q_u = to_u32(row(R_DEPTH))
-        sent = jnp.full((1, block), SENTINEL_KEY, jnp.uint32)
-        if packed:
-            key = (tile_u << DEPTH_SHIFT) | q_u
-            key0 = jnp.where(valid, key, sent)
-            key1 = jnp.zeros((1, block), jnp.uint32)
-        else:
-            key0 = jnp.where(
-                valid, tile_u, jnp.uint32(config.sentinel_tile)
+def _emit_kernel_banded(
+    scal_ref,
+    rows_hbm,
+    pfx_hbm,
+    key0_ref,
+    key1_ref,
+    values_ref,
+    cxcy_ref,
+    conic_ref,
+    rgba_ref,
+    win_buf,
+    pfx_buf,
+    sems,
+    psems,
+    *,
+    block,
+    bps,
+    bpb,
+    n_cols,
+    nblocks,
+    n_bands,
+    config: RenderConfig,
+):
+    """Band-major emission: like _emit_kernel, but output slots are
+    segmented into n_bands equal-capacity tile-row bands; slot j of band
+    g is owned by the splat whose BAND-LOCAL candidate prefix segment
+    contains j.  The banded exclusive/inclusive prefixes live in a
+    separate [2, n_bands * n_cols] array (one extra [2, W] DMA per
+    window); attribute windows keep reading the shared [16, n_cols] rows
+    array, so attributes are never duplicated per band.
+
+    Scalar layout (one int32 vector):
+      [0 .. nblocks]        virtual first-owner index per block boundary
+      [E + g]               band end slot (g * CG + in-band total clamped)
+      [E + G + g]           last in-band owning splat (real index)
+      [E + 2G + g]          band lo tile row
+      [E + 3G + g]          band hi tile row
+    with E = nblocks + 1, G = n_bands.
+    """
+    out_refs = (key0_ref, key1_ref, values_ref, cxcy_ref, conic_ref, rgba_ref)
+    step = pl.program_id(0)
+    E = nblocks + 1
+    packed = config.depth_bits == 19
+    tiles_x = config.tiles_x
+
+    def band_of(b):
+        return b // bpb
+
+    def clamp_start(b, g):
+        last = scal_ref[E + n_bands + g]
+        return jnp.clip(scal_ref[b] - g * n_cols, 0, last)
+
+    def clamp_end(b, g):
+        last = scal_ref[E + n_bands + g]
+        return jnp.clip(scal_ref[b + 1] - g * n_cols, 0, last + 1)
+
+    def start_dmas(slot, base, g, wi):
+        sl = pl.ds(base + wi * WINDOW, WINDOW)
+        psl = pl.ds(g * n_cols + base + wi * WINDOW, WINDOW)
+        pltpu.make_async_copy(rows_hbm.at[:, sl], win_buf.at[slot], sems.at[slot]).start()
+        pltpu.make_async_copy(pfx_hbm.at[:, psl], pfx_buf.at[slot], psems.at[slot]).start()
+
+    def wait_dmas(slot, base, g, wi):
+        sl = pl.ds(base + wi * WINDOW, WINDOW)
+        psl = pl.ds(g * n_cols + base + wi * WINDOW, WINDOW)
+        pltpu.make_async_copy(rows_hbm.at[:, sl], win_buf.at[slot], sems.at[slot]).wait()
+        pltpu.make_async_copy(pfx_hbm.at[:, psl], pfx_buf.at[slot], psems.at[slot]).wait()
+
+    for k in range(bps):
+        b = step * bps + k
+        g = band_of(b)
+        band_end = scal_ref[E + g]
+        lo_row = scal_ref[E + 2 * n_bands + g].astype(jnp.float32)
+        hi_row = scal_ref[E + 3 * n_bands + g].astype(jnp.float32)
+        s0 = clamp_start(b, g)
+        s1 = clamp_end(b, g)
+        a0 = (s0 // 128) * 128
+        num_windows = (s1 - a0) // WINDOW + 1
+        live = b * block < band_end
+
+        my_w0 = 2 + jax.lax.rem(b, 2)
+        my_w1 = 4 + jax.lax.rem(b, 2)
+
+        if k == 0:
+            @pl.when(b == 0)
+            def _():
+                start_dmas(my_w0, a0, g, 0)
+
+                @pl.when(live & (num_windows > 1))
+                def _():
+                    start_dmas(my_w1, a0, g, 1)
+
+        @pl.when(b + 1 < nblocks)
+        def _():
+            ng = (b + 1) // bpb
+            next_a0 = (clamp_start(b + 1, ng) // 128) * 128
+            start_dmas(2 + jax.lax.rem(b + 1, 2), next_a0, ng, 0)
+            next_nw = (clamp_end(b + 1, ng) - next_a0) // WINDOW + 1
+            next_live = (b + 1) * block < scal_ref[E + ng]
+
+            @pl.when(next_live & (next_nw > 1))
+            def _():
+                start_dmas(4 + jax.lax.rem(b + 1, 2), next_a0, ng, 1)
+
+        wait_dmas(my_w0, a0, g, 0)
+
+        def st(ref, v, _k=k):
+            ref[pl.ds(_k * block, block)] = v.reshape((block,))
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            _store_sentinels(st, out_refs, block, packed, config)
+
+        @pl.when(live)
+        def _(b=b, g=g, a0=a0, num_windows=num_windows, my_w0=my_w0,
+              my_w1=my_w1, band_end=band_end, lo_row=lo_row, hi_row=hi_row,
+              st=st):
+            j_sub = b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+            j_lane = (
+                b * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+            ).astype(jnp.float32)
+
+            def body(wi, carry):
+                acc, excl_acc = carry
+                slot = jnp.where(
+                    wi == 0,
+                    my_w0,
+                    jnp.where(wi == 1, my_w1, jax.lax.rem(wi, 2)),
+                )
+
+                @pl.when((wi + 1 < num_windows) & (wi > 0))
+                def _():
+                    start_dmas(1 - jax.lax.rem(wi, 2), a0, g, wi + 1)
+
+                @pl.when(wi > 0)
+                def _():
+                    wait_dmas(slot, a0, g, wi)
+
+                win = win_buf[slot]   # [16, WINDOW] f32 attribute rows
+                pfx = pfx_buf[slot]   # [2, WINDOW] f32 banded excl/incl
+                excl_i = pfx[0:1, :].astype(jnp.int32)
+                cnt_u = pltpu.bitcast(
+                    pfx[1:2, :].astype(jnp.int32) - excl_i, jnp.uint32
+                )
+                d_u = pltpu.bitcast(j_sub - excl_i, jnp.uint32)
+                match = (d_u < cnt_u).astype(jnp.bfloat16)
+                # Banded excl rides the selection as a 17th row (exact
+                # int < 2^24, same three-limb reconstruction).
+                win17 = jnp.concatenate([win, pfx[0:1, :]])  # [17, W]
+                mask = jnp.uint32(0xFFFF0000)
+                hi = pltpu.bitcast(
+                    pltpu.bitcast(win17, jnp.uint32) & mask, jnp.float32
+                )
+                r1 = win17 - hi
+                mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
+                lo = r1 - mid
+                limbs = jnp.concatenate([hi, mid, lo]).astype(jnp.bfloat16)
+                sel = jax.lax.dot_general(
+                    limbs,
+                    match,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [51, block]
+                out = sel[0:17] + sel[17:34] + sel[34:51]
+                return acc + out[0:16], excl_acc + out[16:17]
+
+            acc, excl = jax.lax.fori_loop(
+                0,
+                num_windows,
+                body,
+                (
+                    jnp.zeros((16, block), jnp.float32),
+                    jnp.zeros((1, block), jnp.float32),
+                ),
             )
-            key1 = jnp.where(valid, q_u << 8, sent)
 
-        values = jnp.where(
-            valid, row(R_IDX).astype(jnp.int32), -1
-        )
-
-        # Packed raster attributes (sort operands; must match the XLA
-        # packing in geometry.py bit-for-bit).
-        def q16(x):
-            return to_u32(jnp.clip((x + 1.0) * 0.5, 0.0, 1.0) * CENTER_SCALE + 0.5)
-
-        def mf12(x):
-            b16 = _rnd_bf16_bits_u32(x, shift=True)
-            v = jnp.clip(
-                pltpu.bitcast(b16, jnp.int32) - MF12_K, 0, 4095
+            _emit_payload(
+                acc,
+                excl,
+                j_lane,
+                band_end.astype(jnp.float32),
+                st,
+                out_refs,
+                block=block,
+                packed=packed,
+                tiles_x=tiles_x,
+                config=config,
+                band_lo=lo_row,
+                band_hi=hi_row,
             )
-            return pltpu.bitcast(v, jnp.uint32)
-
-        def mf12_dec(q):
-            return pltpu.bitcast((q + jnp.uint32(MF12_K)) << 16, jnp.float32)
-
-        cxcy = (q16(row(R_CX)) << 16) | q16(row(R_CY))
-        qa = mf12(row(R_CA))
-        qc = mf12(row(R_CC))
-        rho = row(R_CB) / jnp.maximum(
-            jnp.sqrt(mf12_dec(qa) * mf12_dec(qc)), 1e-30
-        )
-        q_rho = to_u32(jnp.clip((rho + 1.0) * 127.5 + 0.5, 0.0, 255.0))
-        conic = (qa << 20) | (qc << 8) | q_rho
-        rgba = (to_u32(row(R_RGB)) << 8) | to_u32(
-            jnp.clip(row(R_ALPHA), 0.0, 1.0) * 255.0 + 0.5
-        )
-
-        st(key0_ref, key0)
-        st(key1_ref, key1)
-        st(values_ref, pltpu.bitcast(values, jnp.uint32))
-        st(cxcy_ref, cxcy)
-        st(conic_ref, conic)
-        st(rgba_ref, rgba)
 
 
 def emit_pairs(
@@ -586,3 +833,171 @@ def emit_pairs(
         out_shape=[flat] * NUM_OUT,
         interpret=interpret,
     )(starts, full)
+
+
+def _stack2_kernel(a_ref, b_ref, out_ref):
+    out_ref[0:1, :] = a_ref[...].reshape(1, PREP_BLK)
+    out_ref[1:2, :] = b_ref[...].reshape(1, PREP_BLK)
+
+
+def _stack2(a, b, interpret):
+    """Two flat [M] f32 columns -> one [2, M] row array (Pallas pass; an
+    XLA stack costs strided sublane writes into (8, 128)-tiled memory)."""
+    m = a.shape[0]
+    assert m % PREP_BLK == 0, m
+    return pl.pallas_call(
+        _stack2_kernel,
+        grid=(m // PREP_BLK,),
+        in_specs=[pl.BlockSpec((PREP_BLK,), lambda i: (i,)) for _ in range(2)],
+        out_specs=pl.BlockSpec((2, PREP_BLK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((2, m), jnp.float32),
+        interpret=interpret,
+    )(a, b)
+
+
+def emit_pairs_banded(
+    cols,
+    counts_banded: jnp.ndarray,
+    band_rows: jnp.ndarray,
+    capacity: int,
+    config: RenderConfig,
+    *,
+    interpret=None,
+):
+    """Band-major expand + pack: slots are segmented into G equal-capacity
+    tile-row bands (G = counts_banded.shape[0]); band g's segment holds
+    exactly that band's (splat, tile) pairs, so the pair list can be
+    sorted as a batched [G, capacity / G] lax.sort (sorting.
+    sort_pairs_banded) — fewer bitonic passes than the flat sort — and
+    the concatenation is globally tile-ordered because bands partition
+    the tile rows in order.
+
+    cols: 13 flat [N] f32 columns as in emit_pairs.
+    counts_banded: [G, N] int32 per-band in-band candidate counts
+        (binning.band_counts — must mirror the kernel's slot mapping).
+    band_rows: [G + 1] int32 tile-row boundaries (band g = rows
+        [band_rows[g], band_rows[g+1])); traced values are fine.
+    Returns (six flat [capacity] uint32 arrays, band_totals [G] int32 of
+    unclamped per-band candidate counts).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_bands = int(counts_banded.shape[0])
+    block = MAX_BLOCK
+    if interpret:
+        while block > 128 and (capacity // n_bands) % block:
+            block //= 2
+    cg = capacity // n_bands
+    if cg * n_bands != capacity or cg % block != 0:
+        raise ValueError(
+            f"capacity must be a multiple of bands*{block} (got {capacity}, "
+            f"{n_bands} bands)"
+        )
+    if capacity + 1 >= MAX_EXACT_I32:
+        raise ValueError("capacity too large for exact f32 selection")
+    cols = tuple(cols)
+    assert len(cols) == NUM_ROWS_IN - 1, len(cols)
+    n = counts_banded.shape[1]
+
+    # Band-local inclusive prefixes, clamped to the per-band capacity,
+    # then offset into virtual slot space (band g owns [g*cg, (g+1)*cg)).
+    incl_local = jnp.cumsum(counts_banded, axis=1)          # [G, N] i32
+    band_totals = incl_local[:, -1]
+    offs = (jnp.arange(n_bands, dtype=jnp.int32) * cg)[:, None]
+    incl_v = offs + jnp.minimum(incl_local, cg)
+    excl_v = offs + jnp.minimum(incl_local - counts_banded, cg)
+    band_end = incl_v[:, -1]                                 # [G]
+    # Last in-band owning splat per band (window-walk end bound).
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, counts_banded.shape, 1)
+    last_owner = jnp.max(
+        jnp.where(counts_banded > 0, iota_n, 0), axis=1
+    )
+
+    # Attribute rows: same shared [16, NP] array as the flat kernel
+    # (rows 0-1 carry the global prefix, unused here).
+    np_cols = -(-(n + 2 * WINDOW + 128) // PREP_BLK) * PREP_BLK
+    pad = lambda x: jnp.pad(x.astype(jnp.float32), (0, np_cols - n))  # noqa: E731
+    zeros = jnp.zeros((n,), jnp.float32)
+    full = _interleave_rows(
+        [pad(zeros), pad(zeros)] + [pad(c) for c in cols], np_cols, interpret
+    )
+
+    # Banded prefix array [2, G * NP]: pad BOTH rows with the band's
+    # final inclusive value so every tail column has excl == incl (zero
+    # count, no matches in overrun windows).  Edge-padding excl with its
+    # own last value would replicate the last splat's live segment into
+    # every pad column.
+    tail = incl_v[:, -1:].astype(jnp.float32)
+
+    def pad_band(x):
+        fill = jnp.broadcast_to(tail, (n_bands, np_cols - n))
+        return jnp.concatenate(
+            [x.astype(jnp.float32), fill], axis=1
+        ).reshape(n_bands * np_cols)
+
+    pfx = _stack2(pad_band(excl_v), pad_band(incl_v), interpret)
+
+    nblocks = capacity // block
+    bpb = cg // block
+    # Virtual first-owner index per block boundary: the same cumulative-
+    # histogram searchsorted as the flat path, over the flattened
+    # band-major prefix (monotone across bands by construction).
+    from .ranges import _edges_pallas
+
+    shift = block.bit_length() - 1
+    k = ((incl_v.reshape(-1) + (block - 1)) >> shift).astype(jnp.uint32)
+    edges = _edges_pallas(k, nblocks + 2, 0, interpret)
+    # Map virtual indices onto the PADDED per-band axis (g*np_cols + i).
+    g_of = jnp.clip(edges[1:] // n, 0, n_bands - 1)
+    starts_v = edges[1:] + g_of * (np_cols - n)
+
+    scalars = jnp.concatenate(
+        [
+            starts_v.astype(jnp.int32),
+            band_end.astype(jnp.int32),
+            last_owner.astype(jnp.int32),
+            band_rows[:-1].astype(jnp.int32),
+            band_rows[1:].astype(jnp.int32),
+        ]
+    )
+
+    bps = BLOCKS_PER_STEP
+    while bpb % bps:
+        bps //= 2
+
+    kernel = functools.partial(
+        _emit_kernel_banded,
+        block=block,
+        bps=bps,
+        bpb=bpb,
+        n_cols=np_cols,
+        nblocks=nblocks,
+        n_bands=n_bands,
+        config=config,
+    )
+    flat = jax.ShapeDtypeStruct((capacity,), jnp.uint32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks // bps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block * bps,), lambda i, *_: (i,))
+            for _ in range(NUM_OUT)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((6, 16, WINDOW), jnp.float32),
+            pltpu.VMEM((6, 2, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[flat] * NUM_OUT,
+        interpret=interpret,
+    )(scalars, full, pfx)
+    return outs, band_totals

@@ -95,12 +95,22 @@ def tile_ranges(
     sorted_keys: Tuple[jnp.ndarray, ...],
     config: RenderConfig,
     *,
+    band_rows=None,
+    band_capacity: int = 0,
     interpret=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compute (starts [T], counts [T]) for all T tiles.
 
     ``sorted_keys``: operands from sorting.sort_pairs — either the single
     packed uint32 key or (tile, depth).
+
+    ``band_rows``/``band_capacity``: for band-major lists
+    (binning.build_tile_pairs_banded + sorting.sort_pairs_banded), band
+    g's valid pairs start at slot g * band_capacity and its sentinel run
+    sits between bands, so starts are the band offset plus the tile's
+    WITHIN-BAND cumulative count.  Per-tile counts come from the same
+    global histogram either way (sentinels never land in a surviving
+    bin, wherever they sit).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -112,6 +122,23 @@ def tile_ranges(
         )
     else:
         edges = _edges_pallas(sorted_keys[0], t + 1, 0, interpret)
-    starts = edges[:-1]
     counts = edges[1:] - edges[:-1]
+    if band_rows is None:
+        return edges[:-1], counts
+
+    g_bands = band_rows.shape[0] - 1
+    tile_row = jnp.arange(t, dtype=jnp.int32) // config.tiles_x
+    # Band id per tile + per-tile band base (one-hot selects — G is tiny,
+    # and a gather over 4096 tiles would execute serially on TPU).
+    starts = jnp.zeros(t, jnp.int32)
+    for g in range(g_bands):
+        lo = band_rows[g]
+        hi = band_rows[g + 1]
+        in_band = (tile_row >= lo) & (tile_row < hi)
+        band_edge0 = jax.lax.dynamic_index_in_dim(
+            edges, lo * config.tiles_x, keepdims=False
+        )
+        starts = jnp.where(
+            in_band, g * band_capacity + edges[:-1] - band_edge0, starts
+        )
     return starts, counts

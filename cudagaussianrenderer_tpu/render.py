@@ -27,14 +27,14 @@ import numpy as np
 from .config import RenderConfig
 from .models.camera import Camera
 from .models.scene import GaussianScene
-from .ops.binning import build_tile_pairs
+from .ops.binning import build_tile_pairs, build_tile_pairs_banded
 from .ops.expand import MAX_BLOCK as _KERNEL_BLOCK
 from .ops.expand import MAX_CAPACITY as _KERNEL_MAX_CAPACITY
 from .ops.projection import project_splats
 from .ops.ranges import tile_ranges
 from .ops.raster import pack_pair_data, rasterize_tiles, tiles_to_image
 from .ops.sh import evaluate_sh_colors
-from .ops.sorting import sort_pairs
+from .ops.sorting import sort_pairs, sort_pairs_banded
 
 
 def _splat_colors(scene: GaussianScene, camera_data: dict) -> jnp.ndarray:
@@ -47,17 +47,19 @@ def _splat_colors(scene: GaussianScene, camera_data: dict) -> jnp.ndarray:
     return scene.colors
 
 
-def round_capacity(capacity: int, interpret=None) -> int:
+def round_capacity(capacity: int, interpret=None, bands: int = 1) -> int:
     """Round a pair-list capacity up to the emit kernel's whole-block
     output grain (1024 slots on TPU; 128 in interpret mode, where the
-    kernel shrinks its block down to one 8x128 tile).
+    kernel shrinks its block down to one 8x128 tile), times the band
+    count for band-segmented lists (per-band capacity is a whole number
+    of blocks).
 
     Applied at every public entry point so an arbitrary capacity renders
     with at-least-requested slots instead of raising inside ops.expand.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    grain = 128 if interpret else _KERNEL_BLOCK
+    grain = (128 if interpret else _KERNEL_BLOCK) * max(1, int(bands))
     return -(-max(1, int(capacity)) // grain) * grain
 
 
@@ -87,29 +89,115 @@ def warn_capacity_ceiling(renderer, candidates: int) -> None:
     )
 
 
+def uniform_band_rows(config: RenderConfig) -> np.ndarray:
+    """Default equal-ROW band boundaries for config.sort_bands bands."""
+    g = config.sort_bands
+    return np.round(np.linspace(0, config.tiles_y, g + 1)).astype(np.int32)
+
+
+def reorder_scene_by_tile_row(
+    scene: GaussianScene, camera_data: dict, config: RenderConfig
+) -> GaussianScene:
+    """Re-order splats by their projected center tile row.
+
+    Purely a LOCALITY optimization for band-segmented emission
+    (config.sort_bands): band-clamped emission is exact for any splat
+    order, but the banded emit kernel's window walk is dense only when
+    each band's owning splats are contiguous.  Because a smooth camera
+    (orbit, fly-through) drifts splat rows slowly, the ordering stays
+    useful for many frames — Renderer re-runs this every
+    ``reorder_every`` frames, amortizing the sort.
+    """
+    clip = project_splats(
+        scene.means, scene.scales, scene.quats, camera_data, config,
+        opacities=scene.opacities,
+    )
+    row = jnp.clip(
+        jnp.floor((clip.cy + 1.0) * (0.5 * config.tiles_y)),
+        0.0,
+        float(config.tiles_y - 1),
+    ).astype(jnp.int32)
+    ops = (
+        row,
+        scene.means[0], scene.means[1], scene.means[2],
+        scene.scales[0], scene.scales[1], scene.scales[2],
+        scene.quats,
+        scene.opacities,
+        scene.colors[0], scene.colors[1], scene.colors[2],
+    )
+    nsh = 0
+    if scene.sh is not None:
+        shf = scene.sh.reshape(-1, scene.sh.shape[-1])
+        nsh = shf.shape[0]
+        ops = ops + tuple(shf[i] for i in range(nsh))
+    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    sh = None
+    if scene.sh is not None:
+        sh = jnp.stack(out[12:12 + nsh]).reshape(scene.sh.shape)
+    import dataclasses
+
+    return dataclasses.replace(
+        scene,
+        means=jnp.stack(out[1:4]),
+        scales=jnp.stack(out[4:7]),
+        quats=out[7],
+        opacities=out[8],
+        colors=jnp.stack(out[9:12]),
+        sh=sh,
+    )
+
+
 def render_frame(
     scene: GaussianScene,
     camera_data: dict,
     config: RenderConfig,
     capacity: int,
     *,
+    band_rows=None,
     interpret=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Render one frame.  Jittable end-to-end (config/capacity static).
 
     Returns (image uint8 [H, W, 4], aux dict with pair statistics).
+
+    With config.sort_bands = G > 1, the pair list is emitted band-major
+    over G tile-row bands and stage D runs as a batched [G, capacity/G]
+    sort (fewer bitonic passes).  ``band_rows`` ([G+1] tile-row
+    boundaries, traced ints fine) tunes the band balance — Renderer
+    feeds back the previous frame's per-band counts; None = equal rows.
     """
-    capacity = round_capacity(capacity, interpret)
+    banded = config.sort_bands > 1
+    capacity = round_capacity(
+        capacity, interpret, bands=config.sort_bands if banded else 1
+    )
     colors = _splat_colors(scene, camera_data)
     clip = project_splats(
         scene.means, scene.scales, scene.quats, camera_data, config,
         opacities=scene.opacities,
     )
-    pairs = build_tile_pairs(
-        clip, colors, scene.opacities, config, capacity, interpret=interpret
-    )
-    sorted_keys, _, sorted_attrs = sort_pairs(pairs, stable=config.stable_sort)
-    starts, counts = tile_ranges(sorted_keys, config, interpret=interpret)
+    if banded:
+        if band_rows is None:
+            band_rows = jnp.asarray(uniform_band_rows(config))
+        pairs, band_totals = build_tile_pairs_banded(
+            clip, colors, scene.opacities, config, capacity, band_rows,
+            interpret=interpret,
+        )
+        sorted_keys, _, sorted_attrs = sort_pairs_banded(
+            pairs, config.sort_bands
+        )
+        starts, counts = tile_ranges(
+            sorted_keys, config,
+            band_rows=band_rows,
+            band_capacity=capacity // config.sort_bands,
+            interpret=interpret,
+        )
+    else:
+        pairs = build_tile_pairs(
+            clip, colors, scene.opacities, config, capacity, interpret=interpret
+        )
+        sorted_keys, _, sorted_attrs = sort_pairs(pairs, stable=config.stable_sort)
+        starts, counts = tile_ranges(sorted_keys, config, interpret=interpret)
+        band_totals = None
     pair_data = pack_pair_data(sorted_attrs, config.raster_chunk)
     tiles = rasterize_tiles(pair_data, starts, counts, config, interpret=interpret)
     image = tiles_to_image(tiles, config)
@@ -117,6 +205,8 @@ def render_frame(
         num_candidates=pairs.num_candidates,
         num_pairs=pairs.num_pairs,
     )
+    if banded:
+        aux["band_totals"] = band_totals
     return image, aux
 
 
@@ -142,6 +232,7 @@ class Renderer:
         config: RenderConfig = RenderConfig(),
         *,
         interpret: Optional[bool] = None,
+        reorder_every: int = 8,
     ):
         self.config = config
         self.scene = scene.pad_to_multiple(256)
@@ -170,6 +261,14 @@ class Renderer:
         # grow-only behavior instead.
         self.adaptive_capacity = config.capacity is None
         self._ceiling_warned = False
+        # Band-segmented sort state (config.sort_bands > 1): equal-count
+        # boundary controller + amortized locality re-order.
+        self.banded = config.sort_bands > 1
+        self.n_bands = max(1, config.sort_bands)
+        self.band_rows = uniform_band_rows(config) if self.banded else None
+        self.reorder_every = reorder_every if self.banded else 0
+        if self.banded:
+            self.capacity = self._round_banded(self.capacity)
 
     # Hard capacity ceiling: the emit kernel's exact f32 one-hot selection
     # requires capacity + 1 < 2^24.  Beyond it the pipeline renders with a
@@ -186,14 +285,76 @@ class Renderer:
         grain = 1 << 16
         return min(-(-want // grain) * grain, cls.MAX_CAPACITY)
 
+    def _round_banded(self, capacity: int) -> int:
+        """Clamp + round a capacity to the banded grain (bands x blocks),
+        never exceeding MAX_CAPACITY."""
+        grain = (128 if self.interpret else 1024) * self.n_bands
+        cap = -(-min(capacity, self.MAX_CAPACITY) // grain) * grain
+        return min(cap, self.MAX_CAPACITY // grain * grain)
+
+    def _bucket_banded(self, band_max: int) -> int:
+        """Adaptive banded capacity from the max per-band count: more
+        headroom than the flat bucket (20%) because the equal-count
+        controller lags the view by a frame, at a finer 16Ki per-band
+        grain."""
+        per_band = max(1 << 14, int(band_max * 1.20))
+        per_band = -(-per_band // (1 << 14)) * (1 << 14)
+        return self._round_banded(per_band * self.n_bands)
+
+    def _rebalance_bands(self, totals: np.ndarray) -> None:
+        """Move band boundaries toward equal per-band pair counts.
+
+        Models the row density as uniform within each current band; new
+        boundary k sits at the row where the piecewise-linear cumulative
+        load crosses k/G of the total.  Converges in a few frames for a
+        smooth camera; per-band capacity headroom covers the transient.
+        """
+        total = int(totals.sum())
+        ty = self.config.tiles_y
+        g = self.n_bands
+        if total <= 0:
+            self.band_rows = uniform_band_rows(self.config)
+            return
+        rows = self.band_rows.astype(np.float64)
+        cum = np.concatenate([[0.0], np.cumsum(totals.astype(np.float64))])
+        targets = np.arange(1, g) * (total / g)
+        k = np.searchsorted(cum[1:-1], targets, side="left")  # band of target
+        span_c = np.maximum(cum[k + 1] - cum[k], 1e-9)
+        frac = (targets - cum[k]) / span_c
+        new_rows = rows[k] + frac * (rows[k + 1] - rows[k])
+        arr = np.concatenate([[0], np.round(new_rows), [ty]]).astype(np.int32)
+        self.band_rows = np.maximum.accumulate(np.clip(arr, 0, ty))
+
     def _get_fn(self):
         key = (self.capacity, None)
         if key not in self._fns:
             cfg, cap, interp = self.config, self.capacity, self.interpret
 
+            if self.banded:
+                @jax.jit
+                def fn(scene, camera_data, band_rows):
+                    return render_frame(
+                        scene, camera_data, cfg, cap,
+                        band_rows=band_rows, interpret=interp,
+                    )
+            else:
+                @jax.jit
+                def fn(scene, camera_data):
+                    return render_frame(
+                        scene, camera_data, cfg, cap, interpret=interp
+                    )
+
+            self._fns[key] = fn
+        return self._fns[key]
+
+    def _reorder_fn(self):
+        key = ("reorder",)
+        if key not in self._fns:
+            cfg = self.config
+
             @jax.jit
             def fn(scene, camera_data):
-                return render_frame(scene, camera_data, cfg, cap, interpret=interp)
+                return reorder_scene_by_tile_row(scene, camera_data, cfg)
 
             self._fns[key] = fn
         return self._fns[key]
@@ -209,15 +370,32 @@ class Renderer:
         """
         if self.saturated:
             # Demo.cpp:356-366 grow-on-saturation behavior.
-            self.capacity = min(self.capacity * 2, self.MAX_CAPACITY)
+            cap = min(self.capacity * 2, self.MAX_CAPACITY)
+            self.capacity = self._round_banded(cap) if self.banded else cap
             self.saturated = False
-        image, aux = self._get_fn()(self.scene, camera.camera_data())
+        if self.banded:
+            if self.reorder_every and self.frame_count % self.reorder_every == 0:
+                self.scene = self._reorder_fn()(self.scene, camera.camera_data())
+            image, aux = self._get_fn()(
+                self.scene, camera.camera_data(), jnp.asarray(self.band_rows)
+            )
+        else:
+            image, aux = self._get_fn()(self.scene, camera.camera_data())
         self.frame_count += 1
         if check_saturation:
             candidates = int(aux["num_candidates"])
             if candidates > self.MAX_CAPACITY:
                 self._warn_capacity_ceiling(candidates)
-            if self.adaptive_capacity:
+            if self.banded:
+                totals = np.asarray(aux["band_totals"])
+                band_max = int(totals.max())
+                if self.adaptive_capacity:
+                    self.capacity = self._bucket_banded(band_max)
+                    self.saturated = False
+                else:
+                    self.saturated = band_max >= self.capacity // self.n_bands
+                self._rebalance_bands(totals)
+            elif self.adaptive_capacity:
                 self.capacity = self._bucket(candidates)
                 self.saturated = False
             else:
@@ -245,19 +423,38 @@ class Renderer:
                 s.means, s.scales, s.quats, c, cfg, opacities=s.opacities
             )
         )
-        bin_fn = jax.jit(
-            lambda clip, colors, s: (
-                build_tile_pairs(
-                    clip, colors, s.opacities, cfg, cap, interpret=interp
-                ),
-                None,
-                None,
+        if self.banded:
+            g = self.n_bands
+
+            @jax.jit
+            def bin_fn(clip, colors, s, band_rows):
+                pairs, totals = build_tile_pairs_banded(
+                    clip, colors, s.opacities, cfg, cap, band_rows,
+                    interpret=interp,
+                )
+                return pairs, band_rows, totals
+
+            sort_fn = jax.jit(lambda p: sort_pairs_banded(p, g))
+            rng_fn = jax.jit(
+                lambda keys, bounds: tile_ranges(
+                    keys, cfg, band_rows=bounds,
+                    band_capacity=cap // g, interpret=interp,
+                )
             )
-        )
-        sort_fn = jax.jit(lambda p: sort_pairs(p, stable=cfg.stable_sort))
-        rng_fn = jax.jit(
-            lambda keys, bounds: tile_ranges(keys, cfg, interpret=interp)
-        )
+        else:
+            bin_fn = jax.jit(
+                lambda clip, colors, s, band_rows: (
+                    build_tile_pairs(
+                        clip, colors, s.opacities, cfg, cap, interpret=interp
+                    ),
+                    None,
+                    None,
+                )
+            )
+            sort_fn = jax.jit(lambda p: sort_pairs(p, stable=cfg.stable_sort))
+            rng_fn = jax.jit(
+                lambda keys, bounds: tile_ranges(keys, cfg, interpret=interp)
+            )
         rast_fn = jax.jit(
             lambda attrs, starts, counts: rasterize_tiles(
                 pack_pair_data(attrs, cfg.raster_chunk),
@@ -293,11 +490,12 @@ class Renderer:
             return out
 
         sh_fn, proj_fn, bin_fn, sort_fn, rng_fn, rast_fn = self._stage_fns()
+        band_rows = jnp.asarray(self.band_rows) if self.banded else None
 
         if warmup:
             colors = sh_fn(scene, cam)
             clip = proj_fn(scene, cam)
-            pairs, bounds, _ = bin_fn(clip, colors, scene)
+            pairs, bounds, _ = bin_fn(clip, colors, scene, band_rows)
             keys, _, attrs = sort_fn(pairs)
             starts, counts = rng_fn(keys, bounds)
             np.asarray(rast_fn(attrs, starts, counts))
@@ -305,7 +503,7 @@ class Renderer:
 
         colors = timed("evaluateSphericalHarmonics" if has_sh else "_baked", sh_fn, scene, cam)
         clip = timed("evaluateClipData", proj_fn, scene, cam)
-        pairs, bounds, _ = timed("buildTileList", bin_fn, clip, colors, scene)
+        pairs, bounds, _ = timed("buildTileList", bin_fn, clip, colors, scene, band_rows)
         keys, _, attrs = timed("sortTileList", sort_fn, pairs)
         starts, counts = timed("evaluateTileRanges", rng_fn, keys, bounds)
         timed("renderDepthBuffer", rast_fn, attrs, starts, counts)

@@ -1,0 +1,154 @@
+"""Band-segmented sort path (config.sort_bands): correctness vs flat.
+
+The banded pipeline — band-major emission (ops.expand.emit_pairs_banded),
+batched per-band sort (sorting.sort_pairs_banded), band-offset range
+starts (ranges.tile_ranges band args) — must produce the SAME pair set
+as the flat pipeline for any splat order and any band boundaries; images
+may differ only by unstable-sort tie order (<= a couple of levels).
+"""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cudagaussianrenderer_tpu.config import RenderConfig
+from cudagaussianrenderer_tpu.models.camera import Camera, orbit_cameras
+from cudagaussianrenderer_tpu.models.scene import random_scene
+from cudagaussianrenderer_tpu.ops.binning import (
+    band_counts,
+    build_tile_pairs,
+    build_tile_pairs_banded,
+    splat_row_packs,
+    splat_tile_rects,
+)
+from cudagaussianrenderer_tpu.ops.projection import project_splats
+from cudagaussianrenderer_tpu.render import (
+    Renderer,
+    _splat_colors,
+    render_frame,
+    reorder_scene_by_tile_row,
+    uniform_band_rows,
+)
+
+
+def _pair_multiset(pairs):
+    k = np.asarray(pairs.keys[0]).astype(np.uint64)
+    if len(pairs.keys) > 1:
+        k = (k << np.uint64(32)) | np.asarray(pairs.keys[1]).astype(np.uint64)
+    v = np.asarray(pairs.values)
+    m = v >= 0
+    return Counter(zip(k[m].tolist(), v[m].tolist()))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = random_scene(300, seed=2).pad_to_multiple(256)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    return scene, cam.camera_data()
+
+
+@pytest.mark.parametrize("depth_bits", [19, 32])
+def test_banded_pairs_match_flat_exactly(setup, depth_bits):
+    scene, cam = setup
+    cfgf = RenderConfig(screen_size=128, depth_bits=depth_bits)
+    cfgb = RenderConfig(screen_size=128, depth_bits=depth_bits, sort_bands=4)
+    clip = project_splats(
+        scene.means, scene.scales, scene.quats, cam, cfgb,
+        opacities=scene.opacities,
+    )
+    colors = _splat_colors(scene, cam)
+    pf = build_tile_pairs(clip, colors, scene.opacities, cfgf, 8192, interpret=True)
+    pb, totals = build_tile_pairs_banded(
+        clip, colors, scene.opacities, cfgb, 8192,
+        jnp.asarray(uniform_band_rows(cfgb)), interpret=True,
+    )
+    assert int(pf.num_candidates) == int(pb.num_candidates)
+    assert int(np.asarray(totals).sum()) == int(pb.num_candidates)
+    assert _pair_multiset(pf) == _pair_multiset(pb)
+
+
+def test_banded_pairs_match_flat_after_reorder(setup):
+    """Regression: the banded prefix padding must not replicate the LAST
+    splat's live segment into the pad columns (a reordered scene puts a
+    live splat at the array end of the last band)."""
+    scene, cam = setup
+    cfgf = RenderConfig(screen_size=128)
+    cfgb = RenderConfig(screen_size=128, sort_bands=4)
+    sc2 = reorder_scene_by_tile_row(scene, cam, cfgf)
+    clip = project_splats(
+        sc2.means, sc2.scales, sc2.quats, cam, cfgb, opacities=sc2.opacities
+    )
+    colors = _splat_colors(sc2, cam)
+    pf = build_tile_pairs(clip, colors, sc2.opacities, cfgf, 8192, interpret=True)
+    pb, _ = build_tile_pairs_banded(
+        clip, colors, sc2.opacities, cfgb, 8192,
+        jnp.asarray(uniform_band_rows(cfgb)), interpret=True,
+    )
+    assert _pair_multiset(pf) == _pair_multiset(pb)
+
+
+def test_band_counts_partition_totals(setup):
+    """Per-band counts over any row partition must sum to the exact
+    per-splat totals, including tall (h > 8) and wide (w > 63) rects."""
+    scene = random_scene(120, seed=7, min_scale=0.05, max_scale=1.2)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cfg = RenderConfig(screen_size=256)
+    clip = project_splats(
+        scene.means, scene.scales, scene.quats, cam.camera_data(), cfg,
+        opacities=scene.opacities,
+    )
+    rects = splat_tile_rects(clip, cfg)
+    packs = splat_row_packs(clip, rects, cfg)
+    for band_rows in ([0, 4, 8, 12, 16], [0, 1, 9, 16], [0, 16]):
+        cb = band_counts(rects, packs, jnp.asarray(band_rows, jnp.int32))
+        np.testing.assert_array_equal(
+            np.asarray(cb).sum(axis=0), np.asarray(packs.counts),
+            err_msg=str(band_rows),
+        )
+
+
+@pytest.mark.slow
+def test_banded_image_matches_flat_dynamic_bands(setup):
+    scene, cam = setup
+    cfgf = RenderConfig(screen_size=128)
+    cfgb = RenderConfig(screen_size=128, sort_bands=4)
+    img0, aux0 = render_frame(scene, cam, cfgf, 8192, interpret=True)
+    img1, aux1 = render_frame(
+        scene, cam, cfgb, 8192,
+        band_rows=jnp.asarray([0, 3, 4, 6, 8], jnp.int32), interpret=True,
+    )
+    assert int(aux0["num_pairs"]) == int(aux1["num_pairs"])
+    d = np.abs(np.asarray(img0).astype(int) - np.asarray(img1).astype(int))
+    assert d.max() <= 2  # unstable-sort tie order only
+
+
+def test_banded_saturation_truncates_per_band(setup):
+    scene, cam = setup
+    cfgb = RenderConfig(screen_size=128, sort_bands=4)
+    img, aux = render_frame(scene, cam, cfgb, 1024, interpret=True)
+    totals = np.asarray(aux["band_totals"])
+    per_band = 1024 // 4
+    expected = np.minimum(totals, per_band).sum()
+    assert int(aux["num_pairs"]) == int(expected)
+    assert np.asarray(img)[..., 3].max() == 255  # still renders
+
+
+@pytest.mark.slow
+def test_banded_renderer_rebalances_and_matches():
+    scene = random_scene(400, seed=9)
+    cfgf = RenderConfig(screen_size=128)
+    cfgb = RenderConfig(screen_size=128, sort_bands=4)
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 4)
+    rf = Renderer(scene, cfgf)
+    rb = Renderer(scene, cfgb, reorder_every=2)
+    rows0 = rb.band_rows.copy()
+    for c in cams:
+        d = np.abs(rf.render(c).astype(int) - rb.render(c).astype(int))
+        assert (d > 2).any(axis=-1).mean() <= 0.001
+    assert not np.array_equal(rb.band_rows, rows0)  # controller moved
+    assert rb.band_rows[0] == 0 and rb.band_rows[-1] == cfgb.tiles_y
+    assert (np.diff(rb.band_rows) >= 0).all()
