@@ -67,6 +67,9 @@ def main():
     # closer to the reference's dispatch-free CUDA-kernel-only timing.
     ap.add_argument("frames", nargs="?", type=int, default=32)
     ap.add_argument("--devices", type=int, default=1)
+    # Band-segmented sort (config.sort_bands): batched [G, C/G] stage-D
+    # sort with equal-count boundaries carried through the frame scan.
+    ap.add_argument("--bands", type=int, default=0)
     # The reference also publishes an Epanechnikov-falloff figure
     # (README.md:133-136: 10.30 ms gaussian vs 8.84 ms epanechnikov).
     ap.add_argument("--falloff", choices=["gaussian", "epanechnikov"], default="gaussian")
@@ -95,7 +98,9 @@ def main():
     scene = random_scene(
         args.n_splats, seed=0, min_scale=0.002, max_scale=0.053, extent=4.0
     ).pad_to_multiple(256 * args.devices)
-    config = RenderConfig(screen_size=1024, falloff=args.falloff)
+    config = RenderConfig(
+        screen_size=1024, falloff=args.falloff, sort_bands=args.bands
+    )
     cams = orbit_cameras(scene.bounds_min, scene.bounds_max, args.frames)
     cam_stack = jax.tree.map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
@@ -109,13 +114,17 @@ def main():
             render_frame_sharded,
         )
 
+        if args.bands > 1:
+            raise SystemExit("--bands is single-device only (use --devices 1)")
         mesh = make_mesh(args.devices)
 
-        def frame(scene, cam, capacity):
+        def frame(scene, cam, capacity, band_rows=None):
             return render_frame_sharded(scene, cam, config, capacity, mesh)
 
     else:
-        frame = lambda scene, cam, capacity: render_frame(scene, cam, config, capacity)  # noqa: E731
+        frame = lambda scene, cam, capacity, band_rows=None: render_frame(  # noqa: E731
+            scene, cam, config, capacity, band_rows=band_rows
+        )
 
     # Size capacity like the adaptive Renderer would: probe the orbit's
     # candidate count at EVERY camera and take the max, so the static
@@ -146,12 +155,31 @@ def main():
     # is the 1e-6 view salt, which moves rect boundaries by ~1e-5 px.
     # 0.5% headroom + 1024-slot rounding covers it (the saturation
     # warning below would catch a miss).
-    grain = 1024  # emit-kernel block granularity
+    grain = 1024 * max(1, args.bands)  # emit-kernel block granularity
     capacity = max(1 << 17, -(-int(candidates * 1.005) // grain) * grain)
+    if args.bands > 1:
+        # Equal-count bands converge within a frame or two; 12% headroom
+        # covers the controller's one-frame lag plus boundary rounding.
+        capacity = -(-int(candidates * 1.12) // grain) * grain
     if args.devices > 1:
         # Per-device capacity for tile-row bands: global/devices with 2x
         # skew headroom (center bands carry more pairs than the mean).
         capacity = max(grain, -(-capacity * 2 // args.devices // grain) * grain)
+
+    # Band-segmented sort: re-order splats once for emit locality (the
+    # orbit's vertical axis keeps screen rows nearly stable) and carry
+    # the equal-count boundaries through the frame scan.
+    if args.bands > 1:
+        from cudagaussianrenderer_tpu.render import (
+            rebalance_band_rows,
+            reorder_scene_by_tile_row,
+            uniform_band_rows,
+        )
+
+        scene = jax.jit(
+            lambda s, c: reorder_scene_by_tile_row(s, c, config)
+        )(scene, cam0)
+        band_rows0 = jnp.asarray(uniform_band_rows(config))
 
     # ---- headline: fused whole-frame throughput over the orbit ----
     def frames_body(salt, scene, cam_stack):
@@ -160,14 +188,24 @@ def main():
         cam_stack = dict(cam_stack, view=view)
 
         def step(carry, cam):
-            img, aux = frame(scene, cam, capacity)
+            acc, band_rows = carry
+            img, aux = frame(scene, cam, capacity, band_rows)
             # num_candidates is the saturation signal on every path: the
             # global exact count single-chip, the pmax'd per-device
             # in-band count sharded (so a saturated band is visible).
-            stats = (aux["num_pairs"], aux["num_candidates"])
-            return carry + jnp.sum(img[::64, ::64, 0].astype(jnp.float32)), stats
+            if args.bands > 1:
+                band_rows = rebalance_band_rows(
+                    band_rows, aux["band_totals"], config.tiles_y
+                )
+                sat = jnp.max(aux["band_totals"]) * args.bands
+            else:
+                sat = aux["num_candidates"]
+            stats = (aux["num_pairs"], sat)
+            acc = acc + jnp.sum(img[::64, ::64, 0].astype(jnp.float32))
+            return (acc, band_rows), stats
 
-        c, stats = jax.lax.scan(step, jnp.float32(0.0), cam_stack)
+        init = (jnp.float32(0.0), band_rows0 if args.bands > 1 else None)
+        (c, _), stats = jax.lax.scan(step, init, cam_stack)
         return c, stats
 
     jfn = jax.jit(frames_body)
@@ -213,11 +251,47 @@ def main():
                 s.means, s.scales, s.quats, c, config, opacities=s.opacities
             )
         )(scene, cam0)
-        pairs = jax.jit(
-            lambda cl, s: build_tile_pairs(cl, s.colors, s.opacities, config, capacity)
-        )(clip, scene)
-        skeys, _, sattrs = jax.jit(lambda p: sort_pairs(p))(pairs)
-        starts, counts = jax.jit(lambda k: tile_ranges(k, config))(skeys)
+        if args.bands > 1:
+            from cudagaussianrenderer_tpu.ops.binning import (
+                build_tile_pairs_banded,
+            )
+            from cudagaussianrenderer_tpu.ops.sorting import sort_pairs_banded
+            from cudagaussianrenderer_tpu.render import uniform_band_rows
+
+            band_rows = jnp.asarray(uniform_band_rows(config))
+            # One rebalance pass so the stage table reflects the scan's
+            # steady-state band balance.
+            _, totals0 = jax.jit(
+                lambda cl, s, br: build_tile_pairs_banded(
+                    cl, s.colors, s.opacities, config, capacity, br
+                )
+            )(clip, scene, band_rows)
+            from cudagaussianrenderer_tpu.render import rebalance_band_rows
+
+            band_rows = jax.jit(
+                lambda br, t: rebalance_band_rows(br, t, config.tiles_y)
+            )(band_rows, totals0)
+
+            def build_fn(cl, s):
+                return build_tile_pairs_banded(
+                    cl, s.colors, s.opacities, config, capacity, band_rows
+                )[0]
+
+            sort_fn = lambda p: sort_pairs_banded(p, args.bands)  # noqa: E731
+            ranges_fn = lambda k: tile_ranges(  # noqa: E731
+                k, config, band_rows=band_rows,
+                band_capacity=capacity // args.bands,
+            )
+        else:
+            build_fn = lambda cl, s: build_tile_pairs(  # noqa: E731
+                cl, s.colors, s.opacities, config, capacity
+            )
+            sort_fn = sort_pairs
+            ranges_fn = lambda k: tile_ranges(k, config)  # noqa: E731
+
+        pairs = jax.jit(build_fn)(clip, scene)
+        skeys, _, sattrs = jax.jit(lambda p: sort_fn(p))(pairs)
+        starts, counts = jax.jit(lambda k: ranges_fn(k))(skeys)
         pair_data = jax.jit(lambda a: pack_pair_data(a, config.raster_chunk))(sattrs)
         jax.block_until_ready(pair_data)
 
@@ -242,30 +316,47 @@ def main():
         stages["buildTileList"] = net(
             _timed_ms(
                 lambda s, cl, sc: jnp.sum(
-                    build_tile_pairs(
-                        cl._replace(cx=cl.cx + s * 1e-9), sc.colors, sc.opacities,
-                        config, capacity,
+                    build_fn(
+                        cl._replace(cx=cl.cx + s * 1e-9), sc
                     ).keys[0][:128].astype(jnp.float32)
                 ),
                 (clip, scene),
             )
         )
         key0 = pairs.keys[0]
-        stages["sortTileList"] = net(
-            _timed_ms(
-                lambda s, k, *a: sum(
-                    o[0].astype(jnp.float32) * 1e-9
-                    for o in jax.lax.sort(
-                        (k ^ s.astype(jnp.uint32), *a), num_keys=1, is_stable=False
-                    )
-                ),
-                (key0, *pairs.attrs),
+        if args.bands > 1:
+            seg = capacity // args.bands
+            stages["sortTileList"] = net(
+                _timed_ms(
+                    lambda s, k, *a: sum(
+                        o[0, 0].astype(jnp.float32) * 1e-9
+                        for o in jax.lax.sort(
+                            tuple(
+                                x.reshape(args.bands, seg)
+                                for x in (k ^ s.astype(jnp.uint32), *a)
+                            ),
+                            dimension=1, num_keys=1, is_stable=False,
+                        )
+                    ),
+                    (key0, *pairs.attrs),
+                )
             )
-        )
+        else:
+            stages["sortTileList"] = net(
+                _timed_ms(
+                    lambda s, k, *a: sum(
+                        o[0].astype(jnp.float32) * 1e-9
+                        for o in jax.lax.sort(
+                            (k ^ s.astype(jnp.uint32), *a), num_keys=1, is_stable=False
+                        )
+                    ),
+                    (key0, *pairs.attrs),
+                )
+            )
         stages["evaluateTileRanges"] = net(
             _timed_ms(
                 lambda s, k: jnp.sum(
-                    tile_ranges((k | s.astype(jnp.uint32),), config)[0][:128].astype(
+                    ranges_fn((k | s.astype(jnp.uint32),))[0][:128].astype(
                         jnp.float32
                     )
                 ),

@@ -147,6 +147,43 @@ def reorder_scene_by_tile_row(
     )
 
 
+def rebalance_band_rows(
+    band_rows: jnp.ndarray, totals: jnp.ndarray, tiles_y: int
+) -> jnp.ndarray:
+    """Traced equal-count boundary update (Renderer._rebalance_bands'
+    jnp twin, usable inside a lax.scan frame loop): move boundary k to
+    the row where the piecewise-linear cumulative load crosses k/G of
+    the total, assuming uniform density within each current band."""
+    g = band_rows.shape[0] - 1
+    rows = band_rows.astype(jnp.float32)
+    cum = jnp.concatenate(
+        [jnp.zeros(1, jnp.float32), jnp.cumsum(totals.astype(jnp.float32))]
+    )
+    total = cum[-1]
+    targets = jnp.arange(1, g, dtype=jnp.float32) * (total / g)
+    # Band containing each target (compare-sum; G is tiny).
+    k = jnp.sum(
+        cum[1:-1][None, :] <= targets[:, None] - 0.5, axis=1
+    ).astype(jnp.int32)
+    lo_c = jnp.take(cum, k)
+    span_c = jnp.maximum(jnp.take(cum, k + 1) - lo_c, 1e-9)
+    frac = (targets - lo_c) / span_c
+    lo_r = jnp.take(rows, k)
+    new = lo_r + frac * (jnp.take(rows, k + 1) - lo_r)
+    arr = jnp.concatenate(
+        [jnp.zeros(1, jnp.float32), jnp.round(new),
+         jnp.full(1, float(tiles_y), jnp.float32)]
+    ).astype(jnp.int32)
+    arr = jax.lax.associative_scan(jnp.maximum, arr)
+    arr = jnp.clip(arr, 0, tiles_y)
+    # An empty frame (total 0) would collapse every boundary to 0; fall
+    # back to equal rows so the next live frame starts balanced-ish.
+    uniform = jnp.round(
+        jnp.arange(g + 1, dtype=jnp.float32) * (tiles_y / g)
+    ).astype(jnp.int32)
+    return jnp.where(total > 0, arr, uniform)
+
+
 def render_frame(
     scene: GaussianScene,
     camera_data: dict,

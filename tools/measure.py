@@ -19,6 +19,8 @@ Usage: python tools/measure.py <subcommand> [...]
   extents   opacity-aware extents A/B: candidates + frame time
   emit      emit kernel A/B (window / blocks-per-step / limb probe)
   raster    raster chunk + scan-limb variants
+  bandsort  flat vs band-segmented pipeline A/B (G sweep, reorder
+            on/off, stale-order locality)
 """
 
 import sys
@@ -399,6 +401,87 @@ def cmd_raster():
     raster_mod.SCAN_LIMBS = 1
 
 
+def cmd_bandsort():
+    """Flat vs band-segmented pipeline at the bench workload.
+
+    Measures, in one process (cross-process timing is +-1 ms noise):
+      1. whole-frame flat vs banded at G in {8, 16, 32}, on a
+         row-ordered scene (the Renderer's steady state);
+      2. banded emission on the UNORDERED scene (locality cost of
+         skipping the re-order);
+      3. banded emission under a STALE order (re-order amortization:
+         order from camera 0, render camera k);
+      4. the re-order itself (12-operand scene sort + re-projection).
+    """
+    import dataclasses
+
+    from cudagaussianrenderer_tpu.config import RenderConfig
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+    from cudagaussianrenderer_tpu.render import (
+        render_frame, reorder_scene_by_tile_row, uniform_band_rows,
+    )
+
+    scene = bench_scene()
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 32)
+    cam0 = jax.tree.map(jnp.asarray, cams[0].camera_data())
+    flat_cfg = RenderConfig(screen_size=1024)
+    capacity = BENCH_CAPACITY
+    base = dispatch_baseline()
+
+    def net(ms):
+        return ms - base if (ms is not None and base is not None) else float("nan")
+
+    ordered = jax.jit(
+        lambda s, c: reorder_scene_by_tile_row(s, c, flat_cfg)
+    )(scene, cam0)
+    jax.block_until_ready(ordered.means)
+
+    def frame_body(cfg, band_rows):
+        def body(s, sc, c):
+            c2 = dict(c, view=c["view"].at[0, 3].add(s * 1e-6))
+            img, aux = render_frame(
+                sc, c2, cfg, capacity, band_rows=band_rows
+            )
+            return (jnp.sum(img[::64, ::64, 0].astype(jnp.float32)) * 1e-9
+                    + aux["num_pairs"].astype(jnp.float32) * 1e-12)
+
+        return body
+
+    m = timed("frame flat (ordered scene)", scanned(frame_body(flat_cfg, None)),
+              ordered, cam0)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    for g in (8, 16, 32):
+        cfg = dataclasses.replace(flat_cfg, sort_bands=g)
+        br = jnp.asarray(uniform_band_rows(cfg))
+        m = timed(f"frame banded G={g} (ordered)",
+                  scanned(frame_body(cfg, br)), ordered, cam0)
+        print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    cfg16 = dataclasses.replace(flat_cfg, sort_bands=16)
+    br16 = jnp.asarray(uniform_band_rows(cfg16))
+    m = timed("frame banded G=16 (UNordered)",
+              scanned(frame_body(cfg16, br16)), scene, cam0)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    # Stale order: scene ordered for camera 0, rendered from camera k.
+    for k in (1, 2, 4, 8):
+        camk = jax.tree.map(jnp.asarray, cams[k].camera_data())
+        m = timed(f"frame banded G=16 (stale order, +{k} steps)",
+                  scanned(frame_body(cfg16, br16)), ordered, camk)
+        print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    def reorder_body(s, sc, c):
+        c2 = dict(c, view=c["view"].at[0, 3].add(s * 1e-6))
+        out = reorder_scene_by_tile_row(sc, c2, flat_cfg)
+        return (jnp.sum(out.means[:, :128]) * 1e-9
+                + out.opacities[0] * 1e-12)
+
+    m = timed("reorder_scene_by_tile_row @1M", scanned(reorder_body),
+              scene, cam0)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), flush=True)
     cmds = {
@@ -407,6 +490,7 @@ if __name__ == "__main__":
         "extents": cmd_extents,
         "emit": cmd_emit,
         "raster": cmd_raster,
+        "bandsort": cmd_bandsort,
     }
     which = sys.argv[1] if len(sys.argv) > 1 else None
     if which not in cmds:
