@@ -85,6 +85,15 @@ SCAN_LIMBS = 1
 # are latency-bound and the chain was never the bottleneck.  See
 # docs/PERF_NOTES.md round 3; deleted rather than kept as a dead flag.
 
+# Compute the per-(pixel, pair) quadratic form m = -dpow/2 in bfloat16
+# instead of f32 (experiment flag, read at trace time; tools/measure.py
+# raster flips it).  Numerics: m in [-9, 0] with ~2^-8 relative error
+# -> up to ~3.5% density error on the largest exponents — acceptable
+# only if it measures FASTER; on TPU the VPU runs bf16 elementwise at
+# f32 rate, so this is expected to be a null result (recorded either
+# way, see docs/PERF_NOTES.md round 4).
+QUAD_BF16 = False
+
 CENTER_INV_SCALE = 2.0 / 65535.0
 
 # Chunk-DMA pipeline depth.  A [PAIR_ROWS, 128] chunk is only 2 KB, so
@@ -297,7 +306,16 @@ def _raster_kernel(
             nb2 = -con_b
             dx = pcx - cx  # [pixels, chunk]
             dy = pcy - cy
-            m = (na * dx + nb2 * dy) * dx + (nc * dy) * dy
+            if QUAD_BF16:
+                dxb = dx.astype(jnp.bfloat16)
+                dyb = dy.astype(jnp.bfloat16)
+                m = (
+                    (na.astype(jnp.bfloat16) * dxb
+                     + nb2.astype(jnp.bfloat16) * dyb) * dxb
+                    + (nc.astype(jnp.bfloat16) * dyb) * dyb
+                ).astype(jnp.float32)
+            else:
+                m = (na * dx + nb2 * dy) * dx + (nc * dy) * dy
             gidx = astart + c * chunk + lane  # [1, chunk] global pair index
             in_seg = (gidx >= start) & (gidx < start + count)
             if logf:

@@ -376,12 +376,14 @@ def cmd_raster():
     starts, counts = jax.jit(lambda k: tile_ranges(k, cfg))(skeys)
     jax.block_until_ready((sattrs, starts, counts))
 
-    for name, chunk, limbs in (
-        ("chunk=128 limbs=1 (prod)", 128, 1),
-        ("chunk=128 limbs=2", 128, 2),
-        ("chunk=256 limbs=1", 256, 1),
+    for name, chunk, limbs, quad_bf16 in (
+        ("chunk=128 limbs=1 (prod)", 128, 1, False),
+        ("chunk=128 limbs=1 QUAD_BF16", 128, 1, True),
+        ("chunk=128 limbs=2", 128, 2, False),
+        ("chunk=256 limbs=1", 256, 1, False),
     ):
         raster_mod.SCAN_LIMBS = limbs
+        raster_mod.QUAD_BF16 = quad_bf16
         cfgv = RenderConfig(screen_size=1024, raster_chunk=chunk)
 
         def body(s, a0, a1, a2, st, ct, _cfg=cfgv, _ck=chunk):
@@ -399,6 +401,7 @@ def cmd_raster():
         if m is not None and base is not None:
             print(f"{'':44s} net {m - base:9.3f} ms", flush=True)
     raster_mod.SCAN_LIMBS = 1
+    raster_mod.QUAD_BF16 = False
 
 
 def cmd_bandsort():
