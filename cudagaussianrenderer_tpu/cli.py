@@ -218,6 +218,24 @@ def cmd_interactive(args):
     print(f"ran {frame} interactive frames -> {out}", file=sys.stderr)
 
 
+def cmd_serve(args):
+    """Live interactive viewer: the reference's GLFW window + event loop
+    (Demo.cpp:196-237, 484-525) as a dependency-free HTTP server — open
+    the printed URL, drag/orbit/pan with the mouse, fly with WASD/QE."""
+    from .viewer import serve
+
+    renderer, _, scene, config = _build(args)
+    print(
+        f"serving live viewer on http://{args.host}:{args.port}/  (Ctrl-C stops)",
+        file=sys.stderr,
+    )
+    serve(
+        renderer, scene, config,
+        host=args.host, port=args.port,
+        fps_cap=args.fps_cap, max_frames=args.max_frames,
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="cudagaussianrenderer_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -254,6 +272,18 @@ def main(argv=None):
     p.add_argument("--realtime", action="store_true", help="sleep to the frame cap")
     _add_common(p)
     p.set_defaults(fn=cmd_interactive)
+
+    p = sub.add_parser(
+        "serve",
+        help="live interactive viewer over HTTP (GLFW-window analog)",
+    )
+    p.add_argument("scene", nargs="?", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--fps-cap", type=float, default=60.0)
+    p.add_argument("--max-frames", type=int, default=0, help="stop after N frames (0 = run)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
     args.fn(args)

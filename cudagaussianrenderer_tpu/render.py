@@ -298,6 +298,7 @@ class Renderer:
         # grow-only behavior instead.
         self.adaptive_capacity = config.capacity is None
         self._ceiling_warned = False
+        self.last_candidates = 0
         # Band-segmented sort state (config.sort_bands > 1): equal-count
         # boundary controller + amortized locality re-order.
         self.banded = config.sort_bands > 1
@@ -421,6 +422,7 @@ class Renderer:
         self.frame_count += 1
         if check_saturation:
             candidates = int(aux["num_candidates"])
+            self.last_candidates = candidates
             if candidates > self.MAX_CAPACITY:
                 self._warn_capacity_ceiling(candidates)
             if self.banded:
