@@ -64,6 +64,18 @@ def main():
         ("lex keys (depth_bits=32)", dict(
             n=400, seed=2, cfg=dict(screen_size=128, depth_bits=32),
         )),
+        # Band-segmented sort: band-major emission (separate banded-
+        # prefix DMA + 17-row limb selection), batched per-band sort,
+        # band-offset range starts.  The huge-splat scales also push
+        # rects across band boundaries (band-clamped run walk).
+        ("banded G=8 128px", dict(
+            n=500, seed=2, cfg=dict(screen_size=128, sort_bands=8),
+        )),
+        ("banded G=16 huge 1024px", dict(
+            n=192, seed=9,
+            scene_kw=dict(min_scale=0.3, max_scale=1.6, extent=3.0),
+            cfg=dict(screen_size=1024, sort_bands=16), capacity=1048576,
+        )),
     ]
     for name, c in cases:
         config = RenderConfig(**c["cfg"])
@@ -78,6 +90,10 @@ def main():
         got = np.asarray(got)
         assert int(aux["num_candidates"]) <= capacity, (
             name, int(aux["num_candidates"]), "saturated — raise case capacity")
+        if "band_totals" in aux:
+            g = config.sort_bands
+            assert int(np.asarray(aux["band_totals"]).max()) <= capacity // g, (
+                name, "a band saturated — raise case capacity")
         want = golden_render(scene_to_numpy(scene), cam.camera_data(), config)
         check(name, got, want)
 
