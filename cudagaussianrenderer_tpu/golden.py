@@ -19,9 +19,61 @@ import numpy as np
 
 from .config import RenderConfig
 from .models.scene import SH_C0
-from .ops.sh import sh_basis  # pure math, shared deliberately; verified
-                              # against a Legendre-recurrence oracle in tests
 from .utils.quantize import decode_quat_xyzw, quat_xyzw_to_rotation_matrix
+
+
+# ---------------------------------------------------------------------------
+# Independent SH oracle: associated-Legendre recurrence in f64, written
+# from the real-SH definition — NOT the production polynomial table
+# (ops/sh.py), so the two can disagree (the oracle discipline the
+# projection/blend code already follows).
+# ---------------------------------------------------------------------------
+
+
+def _assoc_legendre_no_cs(l, m, x):
+    """P_l^m(x) without the Condon-Shortley (-1)^m factor."""
+    pmm = np.ones_like(x)
+    if m > 0:
+        somx2 = np.sqrt(np.maximum(0.0, 1.0 - x * x))
+        fact = 1.0
+        for _ in range(m):
+            pmm = pmm * fact * somx2
+            fact += 2.0
+    if l == m:
+        return pmm
+    pmmp1 = x * (2 * m + 1) * pmm
+    if l == m + 1:
+        return pmmp1
+    for ll in range(m + 2, l + 1):
+        pll = (x * (2 * ll - 1) * pmmp1 - (ll + m - 1) * pmm) / (ll - m)
+        pmm, pmmp1 = pmmp1, pll
+    return pmmp1
+
+
+def oracle_sh_basis(dirs, degree):
+    """Real SH basis with the y-up 3DGS index order: within degree l the
+    m index runs -l..l; phi is measured in the x/y plane from x, theta
+    from z (matching sh_gen.py's parametrization)."""
+    import math
+
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    phi = np.arctan2(y, x)
+    out = []
+    for l in range(degree + 1):
+        for m in range(-l, l + 1):
+            am = abs(m)
+            k = np.sqrt(
+                (2 * l + 1) / (4 * np.pi)
+                * float(math.factorial(l - am)) / float(math.factorial(l + am))
+            )
+            p = _assoc_legendre_no_cs(l, am, z)
+            if m == 0:
+                out.append(k * p)
+            elif m > 0:
+                out.append(np.sqrt(2.0) * k * p * np.cos(am * phi))
+            else:
+                out.append(np.sqrt(2.0) * k * p * np.sin(am * phi))
+    return np.stack(out, axis=-1)
 
 
 def golden_project(means, scales, quats_packed, camera, config: RenderConfig):
@@ -149,7 +201,7 @@ def golden_render(
     if sh_degree > 0 and scene_numpy.get("sh") is not None:
         d = np.asarray(camera["position"])[None, :] - means
         d = d / np.linalg.norm(d, axis=1, keepdims=True)
-        basis = sh_basis(d, sh_degree, xp=np)
+        basis = oracle_sh_basis(d.astype(np.float64), sh_degree)
         k = (sh_degree + 1) ** 2
         colors = np.einsum("nk,nkc->nc", basis, scene_numpy["sh"][:, :k])
         colors = np.clip(colors + 0.5, 0.0, 1.0)

@@ -10,59 +10,8 @@ right.
 import numpy as np
 import pytest
 
+from cudagaussianrenderer_tpu.golden import oracle_sh_basis
 from cudagaussianrenderer_tpu.ops.sh import evaluate_sh_colors, num_sh_coeffs, sh_basis
-
-
-def _assoc_legendre_no_cs(l, m, x):
-    """P_l^m(x) without the Condon-Shortley (-1)^m factor."""
-    pmm = np.ones_like(x)
-    if m > 0:
-        somx2 = np.sqrt(np.maximum(0.0, 1.0 - x * x))
-        fact = 1.0
-        for _ in range(m):
-            pmm = pmm * fact * somx2
-            fact += 2.0
-    if l == m:
-        return pmm
-    pmmp1 = x * (2 * m + 1) * pmm
-    if l == m + 1:
-        return pmmp1
-    for ll in range(m + 2, l + 1):
-        pll = (x * (2 * ll - 1) * pmmp1 - (ll + m - 1) * pmm) / (ll - m)
-        pmm, pmmp1 = pmmp1, pll
-    return pmmp1
-
-
-def _factorial(n):
-    import math
-
-    return float(math.factorial(n))
-
-
-def oracle_sh_basis(dirs, degree):
-    """Real SH with the y-up 3DGS index order: within degree l the m index
-    runs -l..l and the cartesian mapping is (x, y, z) with phi measured in
-    the x/y plane from x, theta from z."""
-    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
-    phi = np.arctan2(y, x)
-    out = []
-    for l in range(degree + 1):
-        for m in range(-l, l + 1):
-            am = abs(m)
-            k = np.sqrt(
-                (2 * l + 1)
-                / (4 * np.pi)
-                * _factorial(l - am)
-                / _factorial(l + am)
-            )
-            p = _assoc_legendre_no_cs(l, am, z)
-            if m == 0:
-                out.append(k * p)
-            elif m > 0:
-                out.append(np.sqrt(2.0) * k * p * np.cos(am * phi))
-            else:
-                out.append(np.sqrt(2.0) * k * p * np.sin(am * phi))
-    return np.stack(out, axis=-1)
 
 
 @pytest.mark.parametrize("degree", [0, 1, 2, 3, 4])
