@@ -467,8 +467,26 @@ def cmd_bandsort():
               scanned(frame_body(cfg16, br16)), scene, cam0)
     print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
 
-    # Stale order: scene ordered for camera 0, rendered from camera k.
-    for k in (1, 2, 4, 8):
+    # World-up ordering: camera-independent, locality ~5-8x dense across
+    # the whole orbit (CPU drift study, PERF_NOTES round 4) — the
+    # no-reorder steady state.
+    import dataclasses as _dc
+
+    wy = np.asarray(scene.means)[1]
+    perm = np.argsort(wy, kind="stable")
+    worldup = _dc.replace(
+        scene,
+        means=scene.means[:, perm], scales=scene.scales[:, perm],
+        quats=scene.quats[perm], opacities=scene.opacities[perm],
+        colors=scene.colors[:, perm],
+    )
+    m = timed("frame banded G=16 (world-up order)",
+              scanned(frame_body(cfg16, br16)), worldup, cam0)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    # Stale order: scene ordered for camera 0, rendered from camera k
+    # (5.6-degree orbit steps; span/member ~8x after ONE step).
+    for k in (1, 4):
         camk = jax.tree.map(jnp.asarray, cams[k].camera_data())
         m = timed(f"frame banded G=16 (stale order, +{k} steps)",
                   scanned(frame_body(cfg16, br16)), ordered, camk)
