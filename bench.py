@@ -123,7 +123,8 @@ def main():
 
     else:
         frame = lambda scene, cam, capacity, band_rows=None: render_frame(  # noqa: E731
-            scene, cam, config, capacity, band_rows=band_rows
+            scene, cam, config, capacity,
+            band_rows=band_rows, compact_capacity=compact_capacity,
         )
 
     # Size capacity like the adaptive Renderer would: probe the orbit's
@@ -166,20 +167,38 @@ def main():
         # skew headroom (center bands carry more pairs than the mean).
         capacity = max(grain, -(-capacity * 2 // args.devices // grain) * grain)
 
-    # Band-segmented sort: re-order splats once for emit locality (the
-    # orbit's vertical axis keeps screen rows nearly stable) and carry
+    # Band-segmented sort: the in-frame MXU band compaction keeps the
+    # emission dense for every camera (no splat re-order needed); carry
     # the equal-count boundaries through the frame scan.
+    compact_capacity = 0
     if args.bands > 1:
+        from cudagaussianrenderer_tpu.ops.binning import band_counts
         from cudagaussianrenderer_tpu.render import (
             rebalance_band_rows,
-            reorder_scene_by_tile_row,
             uniform_band_rows,
         )
 
-        scene = jax.jit(
-            lambda s, c: reorder_scene_by_tile_row(s, c, config)
-        )(scene, cam0)
         band_rows0 = jnp.asarray(uniform_band_rows(config))
+
+        # Probe the per-band in-band splat maximum over the orbit (at
+        # uniform boundaries) to size the compacted axis; 30% headroom
+        # covers the equal-count controller moving boundaries.
+        def count_band_splats(s, c):
+            clip = project_splats(
+                s.means, s.scales, s.quats, c, config, opacities=s.opacities
+            )
+            rects = splat_tile_rects(clip, config)
+            packs = splat_row_packs(clip, rects, config)
+            cb = band_counts(rects, packs, band_rows0)
+            return jnp.max(jnp.sum((cb > 0).astype(jnp.int32), axis=1))
+
+        sprobe = jax.jit(count_band_splats)
+        max_band_splats = max(
+            int(np.asarray(sprobe(scene, jax.tree.map(lambda x: x[i], cam_stack))))
+            for i in range(args.frames)
+        )
+        grain_c = 1024 * args.bands
+        compact_capacity = -(-int(max_band_splats * 1.3) * args.bands // grain_c) * grain_c
 
     # ---- headline: fused whole-frame throughput over the orbit ----
     def frames_body(salt, scene, cam_stack):
@@ -198,9 +217,11 @@ def main():
                     band_rows, aux["band_totals"], config.tiles_y
                 )
                 sat = jnp.max(aux["band_totals"]) * args.bands
+                csat = jnp.max(aux["band_splats"]) * args.bands
             else:
                 sat = aux["num_candidates"]
-            stats = (aux["num_pairs"], sat)
+                csat = jnp.int32(0)
+            stats = (aux["num_pairs"], sat, csat)
             acc = acc + jnp.sum(img[::64, ::64, 0].astype(jnp.float32))
             return (acc, band_rows), stats
 
@@ -228,6 +249,13 @@ def main():
             f"WARNING: pair list saturated (max{per_dev} candidates "
             f"{int(cands.max())} > capacity {capacity}); a frame rendered "
             "truncated",
+            file=sys.stderr,
+        )
+    if args.bands > 1 and int(np.asarray(out[1][2]).max()) > compact_capacity:
+        print(
+            f"WARNING: band compaction saturated (max per-band splats x G "
+            f"{int(np.asarray(out[1][2]).max())} > compact capacity "
+            f"{compact_capacity}); a frame dropped trailing splats",
             file=sys.stderr,
         )
 
@@ -274,7 +302,8 @@ def main():
 
             def build_fn(cl, s):
                 return build_tile_pairs_banded(
-                    cl, s.colors, s.opacities, config, capacity, band_rows
+                    cl, s.colors, s.opacities, config, capacity, band_rows,
+                    compact_capacity=compact_capacity,
                 )[0]
 
             sort_fn = lambda p: sort_pairs_banded(p, args.bands)  # noqa: E731

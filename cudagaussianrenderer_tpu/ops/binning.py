@@ -403,17 +403,22 @@ def build_tile_pairs_banded(
     capacity: int,
     band_rows: jnp.ndarray,
     *,
+    compact_capacity: int = 0,
     interpret=None,
-) -> Tuple[TilePairs, jnp.ndarray]:
+) -> Tuple[TilePairs, jnp.ndarray, jnp.ndarray]:
     """Band-major expansion: like build_tile_pairs, but the pair list is
     segmented into G = len(band_rows) - 1 equal-capacity tile-row bands
     so stage D can run as a batched [G, capacity/G] sort (fewer bitonic
     passes; see sorting.sort_pairs_banded) and stage E only needs
     band-offset range starts (ranges.tile_ranges with band args).
+    Internally two dense Pallas passes: an MXU band compaction of the
+    splat rows, then the flat emit walk over the compacted axis
+    (ops.expand.emit_pairs_banded).
 
-    Returns (pairs, band_totals [G] int32 of unclamped per-band
-    candidate counts — the saturation signal and the rebalancing input
-    for the equal-count boundary controller in render.Renderer).
+    Returns (pairs, band_totals [G], band_splats [G]) — unclamped
+    per-band pair and in-band splat counts: the saturation signals and
+    the rebalancing input for the equal-count boundary controller in
+    render.Renderer.
     """
     from .expand import (
         OUT_CONIC,
@@ -451,8 +456,9 @@ def build_tile_pairs_banded(
         *row_packs.packs,
     )
 
-    out, band_totals = emit_pairs_banded(
-        cols, counts_b, band_rows, capacity, config, interpret=interpret
+    out, band_totals, band_splats = emit_pairs_banded(
+        cols, counts_b, band_rows, capacity, config,
+        compact_capacity=compact_capacity, interpret=interpret,
     )
 
     values = jax.lax.bitcast_convert_type(out[OUT_VALUES], jnp.int32)
@@ -469,4 +475,4 @@ def build_tile_pairs_banded(
         num_candidates=jnp.sum(band_totals).astype(jnp.int32),
         num_pairs=jnp.sum(values >= 0).astype(jnp.int32),
     )
-    return pairs, band_totals
+    return pairs, band_totals, band_splats

@@ -167,7 +167,23 @@ def _emit_kernel(
     bps,
     config: RenderConfig,
     sel_limbs: int = 3,
+    bpb: int = 0,
+    n_bands: int = 0,
 ):
+    """Slot-expansion emit kernel.
+
+    Flat mode (bpb == 0): prefix rows 0-1 of ``rows_hbm`` carry the
+    global clamped candidate cumsum; one dead suffix past ``total``.
+
+    Banded mode (bpb = blocks per band): the rows array is the BAND-
+    COMPACTED output of _compact_kernel — rows 0-1 carry band-OFFSET
+    pair prefixes (g*CG + clamped in-band cumsum), so the walk is dense
+    and windows that overrun into a neighboring band's columns are
+    self-masking (their prefix segments lie outside this block's slot
+    range).  Extra scalars after the block starts give each band's pair
+    end slot and tile-row bounds; _emit_payload's band row clamping maps
+    band-local ordinals onto in-band tile rows.
+    """
     out_refs = (key0_ref, key1_ref, values_ref, cxcy_ref, conic_ref, rgba_ref)
     step = pl.program_id(0)
     nblocks = pl.num_programs(0) * bps
@@ -211,6 +227,8 @@ def _emit_kernel(
             tiles_x=tiles_x,
             config=config,
             sel_limbs=sel_limbs,
+            bpb=bpb,
+            n_bands=n_bands,
         )
 
 
@@ -401,13 +419,32 @@ def _emit_block(
     tiles_x,
     config,
     sel_limbs=3,
+    bpb=0,
+    n_bands=0,
 ):
     key0_ref, key1_ref, values_ref, cxcy_ref, conic_ref, rgba_ref = out_refs
     s0 = starts_ref[b]
     s1 = starts_ref[b + 1]
     a0 = (s0 // 128) * 128
     num_windows = (s1 - a0) // WINDOW + 1
-    live = b * block < total
+    # Scalar layout past the block starts, banded mode (bpb > 0):
+    # [E + g] band pair-end slot, [E + G + g] lo tile row,
+    # [E + 2G + g] hi tile row, with E = nblocks + 2.
+    E = nblocks + 2
+
+    def end_of(blk):
+        if not bpb:
+            return total
+        return starts_ref[E + blk // bpb]
+
+    band = None
+    if bpb:
+        g = b // bpb
+        band = (
+            starts_ref[E + n_bands + g].astype(jnp.float32),
+            starts_ref[E + 2 * n_bands + g].astype(jnp.float32),
+        )
+    live = b * block < end_of(b)
 
     # Cross-block software pipeline: windows 0 AND 1 of block b live in
     # slots 2+(b%2) / 4+(b%2), issued by block b-1 (block 0 issues its
@@ -433,7 +470,7 @@ def _emit_block(
         # and would leak the semaphore).
         next_nw = (starts_ref[b + 2] - next_a0) // WINDOW + 1
 
-        @pl.when(((b + 1) * block < total) & (next_nw > 1))
+        @pl.when(((b + 1) * block < end_of(b + 1)) & (next_nw > 1))
         def _():
             start(4 + jax.lax.rem(b + 1, 2), next_a0, 1)
 
@@ -516,7 +553,7 @@ def _emit_block(
 
         # ---- fused per-slot emission math (all VMEM-resident) ----
         end_f = jnp.minimum(
-            total.astype(jnp.float32), float(block * nblocks)
+            end_of(b).astype(jnp.float32), float(block * nblocks)
         )
         _emit_payload(
             acc,
@@ -529,19 +566,16 @@ def _emit_block(
             packed=packed,
             tiles_x=tiles_x,
             config=config,
+            band_lo=None if band is None else band[0],
+            band_hi=None if band is None else band[1],
         )
 
 
-def _emit_kernel_banded(
+def _compact_kernel(
     scal_ref,
     rows_hbm,
     pfx_hbm,
-    key0_ref,
-    key1_ref,
-    values_ref,
-    cxcy_ref,
-    conic_ref,
-    rgba_ref,
+    out_ref,
     win_buf,
     pfx_buf,
     sems,
@@ -553,40 +587,39 @@ def _emit_kernel_banded(
     n_cols,
     nblocks,
     n_bands,
-    config: RenderConfig,
 ):
-    """Band-major emission: like _emit_kernel, but output slots are
-    segmented into n_bands equal-capacity tile-row bands; slot j of band
-    g is owned by the splat whose BAND-LOCAL candidate prefix segment
-    contains j.  The banded exclusive/inclusive prefixes live in a
-    separate [2, n_bands * n_cols] array (one extra [2, W] DMA per
-    window); attribute windows keep reading the shared [16, n_cols] rows
-    array, so attributes are never duplicated per band.
+    """Band compaction — the per-frame MXU partition that makes banded
+    pair emission DENSE for any camera motion (no splat re-order, no
+    staleness; see docs/PERF_NOTES.md round-4 drift study).
 
-    Scalar layout (one int32 vector):
-      [0 .. nblocks]        virtual first-owner index per block boundary
-      [E + g]               band end slot (g * CG + in-band total clamped)
-      [E + G + g]           last in-band owning splat (real index)
-      [E + 2G + g]          band lo tile row
-      [E + 3G + g]          band hi tile row
+    Output slot j of band g receives the [16] rows of band g's j-th
+    in-band splat: rows 0-1 become that splat's band-offset clamped PAIR
+    prefixes (p_excl, p_incl) and rows 2-15 its attribute rows — exactly
+    the layout the flat _emit_kernel expects, so the pair emission runs
+    dense over the compacted axis with zero extra DMAs.
+
+    Selection is the emit machinery with 0/1 counts: a column matches
+    slot j iff j == c_incl - 1 and the splat has in-band pairs
+    (p_excl != p_incl) — the one-hot partition by band id that a
+    scatter cannot express on TPU.
+
+    Scalar layout (int32):
+      [0 .. nblocks]   virtual first-owner per block boundary, over the
+                       per-band PADDED source axis (g * n_cols + real)
+      [E + g]          band compact end slot (g*MC + min(S_g, MC))
+      [E + G + g]      last in-band splat (real source index)
+      [E + 2G + g]     band pair end slot (dead/pad prefix fill — keeps
+                       the compacted p_incl row monotone for the pair
+                       stage's block-start histogram)
     with E = nblocks + 1, G = n_bands.
+    pfx rows: [0] c_incl (virtual compact-slot cumsum), [1] p_excl,
+    [2] p_incl.
     """
-    out_refs = (key0_ref, key1_ref, values_ref, cxcy_ref, conic_ref, rgba_ref)
     step = pl.program_id(0)
     E = nblocks + 1
-    packed = config.depth_bits == 19
-    tiles_x = config.tiles_x
 
-    def band_of(b):
-        return b // bpb
-
-    def clamp_start(b, g):
-        last = scal_ref[E + n_bands + g]
-        return jnp.clip(scal_ref[b] - g * n_cols, 0, last)
-
-    def clamp_end(b, g):
-        last = scal_ref[E + n_bands + g]
-        return jnp.clip(scal_ref[b + 1] - g * n_cols, 0, last + 1)
+    def last_of(g):
+        return scal_ref[E + n_bands + g]
 
     def start_dmas(slot, base, g, wi):
         sl = pl.ds(base + wi * WINDOW, WINDOW)
@@ -600,17 +633,21 @@ def _emit_kernel_banded(
         pltpu.make_async_copy(rows_hbm.at[:, sl], win_buf.at[slot], sems.at[slot]).wait()
         pltpu.make_async_copy(pfx_hbm.at[:, psl], pfx_buf.at[slot], psems.at[slot]).wait()
 
+    def walk_of(b):
+        """(band, start, end, a0, num_windows, live) for block b."""
+        g = jnp.clip(b // bpb, 0, n_bands - 1)
+        last = last_of(g)
+        s0 = jnp.clip(scal_ref[b] - g * n_cols, 0, last)
+        s1 = jnp.clip(scal_ref[b + 1] - g * n_cols, 0, last + 1)
+        a0 = (s0 // 128) * 128
+        nw = (s1 - a0) // WINDOW + 1
+        live = b * block < scal_ref[E + g]
+        return g, a0, nw, live
+
     for k in range(bps):
         b = step * bps + k
-        g = band_of(b)
-        band_end = scal_ref[E + g]
-        lo_row = scal_ref[E + 2 * n_bands + g].astype(jnp.float32)
-        hi_row = scal_ref[E + 3 * n_bands + g].astype(jnp.float32)
-        s0 = clamp_start(b, g)
-        s1 = clamp_end(b, g)
-        a0 = (s0 // 128) * 128
-        num_windows = (s1 - a0) // WINDOW + 1
-        live = b * block < band_end
+        g, a0, num_windows, live = walk_of(b)
+        pair_end = scal_ref[E + 2 * n_bands + g].astype(jnp.float32)
 
         my_w0 = 2 + jax.lax.rem(b, 2)
         my_w1 = 4 + jax.lax.rem(b, 2)
@@ -626,11 +663,8 @@ def _emit_kernel_banded(
 
         @pl.when(b + 1 < nblocks)
         def _():
-            ng = (b + 1) // bpb
-            next_a0 = (clamp_start(b + 1, ng) // 128) * 128
+            ng, next_a0, next_nw, next_live = walk_of(b + 1)
             start_dmas(2 + jax.lax.rem(b + 1, 2), next_a0, ng, 0)
-            next_nw = (clamp_end(b + 1, ng) - next_a0) // WINDOW + 1
-            next_live = (b + 1) * block < scal_ref[E + ng]
 
             @pl.when(next_live & (next_nw > 1))
             def _():
@@ -638,24 +672,26 @@ def _emit_kernel_banded(
 
         wait_dmas(my_w0, a0, g, 0)
 
-        def st(ref, v, _k=k):
-            ref[pl.ds(_k * block, block)] = v.reshape((block,))
+        def st16(v, _k=k):
+            out_ref[:, pl.ds(_k * block, block)] = v
 
         @pl.when(jnp.logical_not(live))
-        def _():
-            _store_sentinels(st, out_refs, block, packed, config)
+        def _(pair_end=pair_end, st16=st16):
+            # Inert pad columns: prefix rows carry the band's pair end
+            # (excl == incl: no pair-stage matches; keeps the p_incl row
+            # monotone), attribute rows are zero.
+            pe = jnp.full((2, block), pair_end, jnp.float32)
+            st16(jnp.concatenate([pe, jnp.zeros((14, block), jnp.float32)]))
 
         @pl.when(live)
         def _(b=b, g=g, a0=a0, num_windows=num_windows, my_w0=my_w0,
-              my_w1=my_w1, band_end=band_end, lo_row=lo_row, hi_row=hi_row,
-              st=st):
+              my_w1=my_w1, pair_end=pair_end, st16=st16):
             j_sub = b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-            j_lane = (
-                b * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
-            ).astype(jnp.float32)
+            j_lane = b * block + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block), 1
+            )
 
-            def body(wi, carry):
-                acc, excl_acc = carry
+            def body(wi, acc):
                 slot = jnp.where(
                     wi == 0,
                     my_w0,
@@ -670,23 +706,23 @@ def _emit_kernel_banded(
                 def _():
                     wait_dmas(slot, a0, g, wi)
 
-                win = win_buf[slot]   # [16, WINDOW] f32 attribute rows
-                pfx = pfx_buf[slot]   # [2, WINDOW] f32 banded excl/incl
-                excl_i = pfx[0:1, :].astype(jnp.int32)
-                cnt_u = pltpu.bitcast(
-                    pfx[1:2, :].astype(jnp.int32) - excl_i, jnp.uint32
-                )
-                d_u = pltpu.bitcast(j_sub - excl_i, jnp.uint32)
-                match = (d_u < cnt_u).astype(jnp.bfloat16)
-                # Banded excl rides the selection as a 17th row (exact
-                # int < 2^24, same three-limb reconstruction).
-                win17 = jnp.concatenate([win, pfx[0:1, :]])  # [17, W]
+                win = win_buf[slot]   # [16, W] source rows (0-1 unused)
+                pfx = pfx_buf[slot]   # [3, W] c_incl / p_excl / p_incl
+                cinc = pfx[0:1, :].astype(jnp.int32)
+                has_pairs = pfx[1:2, :] != pfx[2:3, :]
+                match = ((j_sub == cinc - 1) & has_pairs).astype(jnp.bfloat16)
+                # Payload = 16 source rows + the two pair-prefix rows,
+                # split into three bf16 limbs, ONE [54, W] x [W, block]
+                # selection matmul (exact one-hot reconstruction).
+                win18 = jnp.concatenate([win, pfx[1:3, :]])  # [18, W]
                 mask = jnp.uint32(0xFFFF0000)
                 hi = pltpu.bitcast(
-                    pltpu.bitcast(win17, jnp.uint32) & mask, jnp.float32
+                    pltpu.bitcast(win18, jnp.uint32) & mask, jnp.float32
                 )
-                r1 = win17 - hi
-                mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
+                r1 = win18 - hi
+                mid = pltpu.bitcast(
+                    pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32
+                )
                 lo = r1 - mid
                 limbs = jnp.concatenate([hi, mid, lo]).astype(jnp.bfloat16)
                 sel = jax.lax.dot_general(
@@ -694,34 +730,18 @@ def _emit_kernel_banded(
                     match,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [51, block]
-                out = sel[0:17] + sel[17:34] + sel[34:51]
-                return acc + out[0:16], excl_acc + out[16:17]
+                )  # [54, block]
+                return acc + (sel[0:18] + sel[18:36] + sel[36:54])
 
-            acc, excl = jax.lax.fori_loop(
-                0,
-                num_windows,
-                body,
-                (
-                    jnp.zeros((16, block), jnp.float32),
-                    jnp.zeros((1, block), jnp.float32),
-                ),
+            acc = jax.lax.fori_loop(
+                0, num_windows, body, jnp.zeros((18, block), jnp.float32)
             )
-
-            _emit_payload(
-                acc,
-                excl,
-                j_lane,
-                band_end.astype(jnp.float32),
-                st,
-                out_refs,
-                block=block,
-                packed=packed,
-                tiles_x=tiles_x,
-                config=config,
-                band_lo=lo_row,
-                band_hi=hi_row,
-            )
+            # Slots past the band's compact end inside a live block:
+            # prefix rows fall back to the pair end (monotone + inert).
+            cend = scal_ref[E + g]
+            in_band = (j_lane < cend).astype(jnp.float32)
+            prefix = acc[16:18] * in_band + pair_end * (1.0 - in_band)
+            st16(jnp.concatenate([prefix, acc[2:16] * in_band]))
 
 
 def emit_pairs(
@@ -835,24 +855,26 @@ def emit_pairs(
     )(starts, full)
 
 
-def _stack2_kernel(a_ref, b_ref, out_ref):
-    out_ref[0:1, :] = a_ref[...].reshape(1, PREP_BLK)
-    out_ref[1:2, :] = b_ref[...].reshape(1, PREP_BLK)
+def _stackk_kernel(*refs):
+    cols, out_ref = refs[:-1], refs[-1]
+    for r, c in enumerate(cols):
+        out_ref[r : r + 1, :] = c[...].reshape(1, PREP_BLK)
 
 
-def _stack2(a, b, interpret):
-    """Two flat [M] f32 columns -> one [2, M] row array (Pallas pass; an
+def _stackk(cols, interpret):
+    """k flat [M] f32 columns -> one [k, M] row array (Pallas pass; an
     XLA stack costs strided sublane writes into (8, 128)-tiled memory)."""
-    m = a.shape[0]
+    k = len(cols)
+    m = cols[0].shape[0]
     assert m % PREP_BLK == 0, m
     return pl.pallas_call(
-        _stack2_kernel,
+        _stackk_kernel,
         grid=(m // PREP_BLK,),
-        in_specs=[pl.BlockSpec((PREP_BLK,), lambda i: (i,)) for _ in range(2)],
-        out_specs=pl.BlockSpec((2, PREP_BLK), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((2, m), jnp.float32),
+        in_specs=[pl.BlockSpec((PREP_BLK,), lambda i: (i,)) for _ in cols],
+        out_specs=pl.BlockSpec((k, PREP_BLK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((k, m), jnp.float32),
         interpret=interpret,
-    )(a, b)
+    )(*cols)
 
 
 def emit_pairs_banded(
@@ -862,30 +884,44 @@ def emit_pairs_banded(
     capacity: int,
     config: RenderConfig,
     *,
+    compact_capacity: int = 0,
     interpret=None,
 ):
-    """Band-major expand + pack: slots are segmented into G equal-capacity
-    tile-row bands (G = counts_banded.shape[0]); band g's segment holds
-    exactly that band's (splat, tile) pairs, so the pair list can be
-    sorted as a batched [G, capacity / G] lax.sort (sorting.
-    sort_pairs_banded) — fewer bitonic passes than the flat sort — and
-    the concatenation is globally tile-ordered because bands partition
-    the tile rows in order.
+    """Band-major expand + pack in TWO dense Pallas passes.
+
+    Slots segment into G equal-capacity tile-row bands (G =
+    counts_banded.shape[0]); band g's segment holds exactly that band's
+    (splat, tile) pairs, so stage D runs as a batched [G, capacity/G]
+    lax.sort and the concatenation is globally tile-ordered (bands
+    partition the tile rows in order).
+
+    Pass 1 (_compact_kernel) partitions the splat rows by band on the
+    MXU — the one-pass permutation a TPU scatter cannot express — so
+    pass 2 (the ordinary flat _emit_kernel walk, plus band row-clamping
+    of the per-slot ordinal math) is DENSE for ANY camera motion: no
+    splat re-order, no cross-frame staleness (docs/PERF_NOTES.md
+    round-4 drift study killed the persistent-order design).
 
     cols: 13 flat [N] f32 columns as in emit_pairs.
     counts_banded: [G, N] int32 per-band in-band candidate counts
-        (binning.band_counts — must mirror the kernel's slot mapping).
-    band_rows: [G + 1] int32 tile-row boundaries (band g = rows
-        [band_rows[g], band_rows[g+1])); traced values are fine.
-    Returns (six flat [capacity] uint32 arrays, band_totals [G] int32 of
-    unclamped per-band candidate counts).
+        (binning.band_counts — mirrors the band-clamped slot mapping).
+    band_rows: [G + 1] int32 tile-row boundaries (traced fine).
+    compact_capacity: static total compacted-splat slots (multiple of
+        G * block); 0 -> 2x the splat count (straddlers put the true
+        need near N * (1 + straddle fraction)).  A band whose in-band
+        splat count exceeds its share drops trailing splats' pairs for
+        the frame (saturation semantics; aux reports per-band counts).
+
+    Returns (six flat [capacity] uint32 arrays, band_totals [G] int32,
+    band_splats [G] int32).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_bands = int(counts_banded.shape[0])
     block = MAX_BLOCK
     if interpret:
-        while block > 128 and (capacity // n_bands) % block:
+        _mc = (compact_capacity or 2 * counts_banded.shape[1]) // n_bands
+        while block > 128 and ((capacity // n_bands) % block or _mc % block):
             block //= 2
     cg = capacity // n_bands
     if cg * n_bands != capacity or cg % block != 0:
@@ -898,23 +934,42 @@ def emit_pairs_banded(
     cols = tuple(cols)
     assert len(cols) == NUM_ROWS_IN - 1, len(cols)
     n = counts_banded.shape[1]
+    if not compact_capacity:
+        compact_capacity = -(-2 * n // (n_bands * block)) * (n_bands * block)
+    mc = compact_capacity // n_bands
+    if mc * n_bands != compact_capacity or mc % block != 0:
+        raise ValueError("compact_capacity must be a multiple of bands*block")
+    if compact_capacity + 1 >= MAX_EXACT_I32:
+        raise ValueError("compact_capacity too large for exact f32 selection")
 
-    # Band-local inclusive prefixes, clamped to the per-band capacity,
-    # then offset into virtual slot space (band g owns [g*cg, (g+1)*cg)).
-    incl_local = jnp.cumsum(counts_banded, axis=1)          # [G, N] i32
-    band_totals = incl_local[:, -1]
-    offs = (jnp.arange(n_bands, dtype=jnp.int32) * cg)[:, None]
-    incl_v = offs + jnp.minimum(incl_local, cg)
-    excl_v = offs + jnp.minimum(incl_local - counts_banded, cg)
-    band_end = incl_v[:, -1]                                 # [G]
-    # Last in-band owning splat per band (window-walk end bound).
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, counts_banded.shape, 1)
-    last_owner = jnp.max(
-        jnp.where(counts_banded > 0, iota_n, 0), axis=1
+    # ---- per-band prefixes (all exact int32, values < 2^24) ----
+    p_cum = jnp.cumsum(counts_banded, axis=1)                  # [G, N]
+    band_totals = p_cum[:, -1]
+    sel = counts_banded > 0
+    c_cum = jnp.cumsum(sel.astype(jnp.int32), axis=1)          # [G, N]
+    band_splats = c_cum[:, -1]
+    offs_c = (jnp.arange(n_bands, dtype=jnp.int32) * mc)[:, None]
+    offs_p = (jnp.arange(n_bands, dtype=jnp.int32) * cg)[:, None]
+    c_incl_v = offs_c + jnp.minimum(c_cum, mc)
+    p_incl_v = offs_p + jnp.minimum(p_cum, cg)
+    # Splats beyond the band's compact capacity (c_cum > mc) share the
+    # clamped c_incl and would multi-match the last compact slot; give
+    # them equal pair prefixes so the has-pairs mask drops them (their
+    # pairs are NOT emitted this frame — compact saturation).
+    kept = sel & (c_cum <= mc)
+    p_excl_v = jnp.where(
+        kept, offs_p + jnp.minimum(p_cum - counts_banded, cg), p_incl_v
     )
+    # Pairs actually reachable per band: compact saturation (S_g > MC)
+    # drops trailing splats, so the pair end counts only pairs of
+    # compacted splats (and clamps at the band pair capacity).
+    pair_end = offs_p[:, 0] + jnp.minimum(
+        jnp.sum(counts_banded * (c_cum <= mc), axis=1), cg
+    )
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, counts_banded.shape, 1)
+    last_owner = jnp.max(jnp.where(sel, iota_n, 0), axis=1)
 
-    # Attribute rows: same shared [16, NP] array as the flat kernel
-    # (rows 0-1 carry the global prefix, unused here).
+    # ---- pass-1 inputs: source rows + banded prefix rows ----
     np_cols = -(-(n + 2 * WINDOW + 128) // PREP_BLK) * PREP_BLK
     pad = lambda x: jnp.pad(x.astype(jnp.float32), (0, np_cols - n))  # noqa: E731
     zeros = jnp.zeros((n,), jnp.float32)
@@ -922,75 +977,123 @@ def emit_pairs_banded(
         [pad(zeros), pad(zeros)] + [pad(c) for c in cols], np_cols, interpret
     )
 
-    # Banded prefix array [2, G * NP]: pad BOTH rows with the band's
-    # final inclusive value so every tail column has excl == incl (zero
-    # count, no matches in overrun windows).  Edge-padding excl with its
-    # own last value would replicate the last splat's live segment into
-    # every pad column.
-    tail = incl_v[:, -1:].astype(jnp.float32)
-
-    def pad_band(x):
-        fill = jnp.broadcast_to(tail, (n_bands, np_cols - n))
+    def pad_band(x, tail):
+        fill = jnp.broadcast_to(tail.astype(jnp.float32), (n_bands, np_cols - n))
         return jnp.concatenate(
             [x.astype(jnp.float32), fill], axis=1
         ).reshape(n_bands * np_cols)
 
-    pfx = _stack2(pad_band(excl_v), pad_band(incl_v), interpret)
+    # Tails: c_incl pads with its edge (monotone), the pair rows pad
+    # with the band's final p_incl so pad columns have excl == incl.
+    pfx = _stackk(
+        [
+            pad_band(c_incl_v, c_incl_v[:, -1:]),
+            pad_band(p_excl_v, p_incl_v[:, -1:]),
+            pad_band(p_incl_v, p_incl_v[:, -1:]),
+        ],
+        interpret,
+    )
 
-    nblocks = capacity // block
-    bpb = cg // block
-    # Virtual first-owner index per block boundary: the same cumulative-
-    # histogram searchsorted as the flat path, over the flattened
-    # band-major prefix (monotone across bands by construction).
     from .ranges import _edges_pallas
 
     shift = block.bit_length() - 1
-    k = ((incl_v.reshape(-1) + (block - 1)) >> shift).astype(jnp.uint32)
-    edges = _edges_pallas(k, nblocks + 2, 0, interpret)
-    # Map virtual indices onto the PADDED per-band axis (g*np_cols + i).
-    g_of = jnp.clip(edges[1:] // n, 0, n_bands - 1)
-    starts_v = edges[1:] + g_of * (np_cols - n)
 
-    scalars = jnp.concatenate(
+    # ---- pass 1: band compaction ----
+    # The compacted axis is padded so pass 2's window walk can run past
+    # the last band (dead blocks there emit inert pad columns).
+    slack_blocks = -(-(2 * WINDOW + 128) // block)
+    np_m = compact_capacity + slack_blocks * block
+    nblocks_c = np_m // block
+    kc = ((c_incl_v.reshape(-1) + (block - 1)) >> shift).astype(jnp.uint32)
+    edges_c = _edges_pallas(kc, nblocks_c + 2, 0, interpret)
+    g_of = jnp.clip(edges_c[1:] // n, 0, n_bands - 1)
+    starts_c = edges_c[1:] + g_of * (np_cols - n)
+    scalars_c = jnp.concatenate(
         [
-            starts_v.astype(jnp.int32),
-            band_end.astype(jnp.int32),
+            starts_c.astype(jnp.int32),
+            (offs_c[:, 0] + jnp.minimum(band_splats, mc)).astype(jnp.int32),
             last_owner.astype(jnp.int32),
+            pair_end.astype(jnp.int32),
+        ]
+    )
+
+    bps_c = BLOCKS_PER_STEP
+    while nblocks_c % bps_c:
+        bps_c //= 2
+    compact = pl.pallas_call(
+        functools.partial(
+            _compact_kernel,
+            block=block,
+            bps=bps_c,
+            bpb=mc // block,
+            n_cols=np_cols,
+            nblocks=nblocks_c,
+            n_bands=n_bands,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks_c // bps_c,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=[
+                pl.BlockSpec((16, block * bps_c), lambda i, *_: (0, i)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((6, 16, WINDOW), jnp.float32),
+                pltpu.VMEM((6, 3, WINDOW), jnp.float32),
+                pltpu.SemaphoreType.DMA((6,)),
+                pltpu.SemaphoreType.DMA((6,)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((16, np_m), jnp.float32)],
+        interpret=interpret,
+    )(scalars_c, full, pfx)[0]
+
+    # ---- pass 2: dense pair emission over the compacted axis ----
+    nblocks = capacity // block
+    # Block starts from the compacted p_incl row (monotone by
+    # construction: dead/pad columns carry their band's pair end).
+    p_incl_row = compact[1, :].astype(jnp.int32)
+    kp = ((p_incl_row + (block - 1)) >> shift).astype(jnp.uint32)
+    edges_p = _edges_pallas(kp, nblocks + 2, 0, interpret)
+    # Upper clip keeps every dead block's w0 window DMA inside the
+    # padded compacted axis (live owners sit below compact_capacity,
+    # whose slack already covers their walks).
+    starts_p = jnp.clip(edges_p[1:], 0, np_m - WINDOW)
+    scalars_p = jnp.concatenate(
+        [
+            starts_p.astype(jnp.int32),
+            jnp.minimum(pair_end[-1:], capacity).astype(jnp.int32),  # total
+            pair_end.astype(jnp.int32),
             band_rows[:-1].astype(jnp.int32),
             band_rows[1:].astype(jnp.int32),
         ]
     )
 
     bps = BLOCKS_PER_STEP
-    while bpb % bps:
+    while (capacity // n_bands // block) % bps:
         bps //= 2
-
     kernel = functools.partial(
-        _emit_kernel_banded,
+        _emit_kernel,
         block=block,
         bps=bps,
-        bpb=bpb,
-        n_cols=np_cols,
-        nblocks=nblocks,
-        n_bands=n_bands,
         config=config,
+        bpb=cg // block,
+        n_bands=n_bands,
     )
     flat = jax.ShapeDtypeStruct((capacity,), jnp.uint32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks // bps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
             pl.BlockSpec((block * bps,), lambda i, *_: (i,))
             for _ in range(NUM_OUT)
         ],
         scratch_shapes=[
             pltpu.VMEM((6, 16, WINDOW), jnp.float32),
-            pltpu.VMEM((6, 2, WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
             pltpu.SemaphoreType.DMA((6,)),
         ],
     )
@@ -999,5 +1102,5 @@ def emit_pairs_banded(
         grid_spec=grid_spec,
         out_shape=[flat] * NUM_OUT,
         interpret=interpret,
-    )(scalars, full, pfx)
-    return outs, band_totals
+    )(scalars_p, compact)
+    return outs, band_totals, band_splats

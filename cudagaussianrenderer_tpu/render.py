@@ -100,13 +100,11 @@ def reorder_scene_by_tile_row(
 ) -> GaussianScene:
     """Re-order splats by their projected center tile row.
 
-    Purely a LOCALITY optimization for band-segmented emission
-    (config.sort_bands): band-clamped emission is exact for any splat
-    order, but the banded emit kernel's window walk is dense only when
-    each band's owning splats are contiguous.  Because a smooth camera
-    (orbit, fly-through) drifts splat rows slowly, the ordering stays
-    useful for many frames — Renderer re-runs this every
-    ``reorder_every`` frames, amortizing the sort.
+    A LOCALITY experiment kept for tools/measure.py: the production
+    banded path instead runs an in-frame MXU band-compaction pass
+    (ops.expand._compact_kernel), which is dense for any camera motion
+    — the round-4 drift study showed persistent orders go ~8x stale
+    after ONE 5.6-degree orbit step (docs/PERF_NOTES.md).
     """
     clip = project_splats(
         scene.means, scene.scales, scene.quats, camera_data, config,
@@ -191,6 +189,7 @@ def render_frame(
     capacity: int,
     *,
     band_rows=None,
+    compact_capacity: int = 0,
     interpret=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Render one frame.  Jittable end-to-end (config/capacity static).
@@ -198,10 +197,13 @@ def render_frame(
     Returns (image uint8 [H, W, 4], aux dict with pair statistics).
 
     With config.sort_bands = G > 1, the pair list is emitted band-major
-    over G tile-row bands and stage D runs as a batched [G, capacity/G]
-    sort (fewer bitonic passes).  ``band_rows`` ([G+1] tile-row
-    boundaries, traced ints fine) tunes the band balance — Renderer
-    feeds back the previous frame's per-band counts; None = equal rows.
+    over G tile-row bands (an MXU band-compaction pass keeps the
+    emission dense for any camera) and stage D runs as a batched
+    [G, capacity/G] sort (fewer bitonic passes).  ``band_rows`` ([G+1]
+    tile-row boundaries, traced ints fine) tunes the band balance —
+    Renderer feeds back the previous frame's per-band counts; None =
+    equal rows.  ``compact_capacity`` (static) sizes the compacted
+    splat axis (0 = 2x the splat count).
     """
     banded = config.sort_bands > 1
     capacity = round_capacity(
@@ -215,9 +217,9 @@ def render_frame(
     if banded:
         if band_rows is None:
             band_rows = jnp.asarray(uniform_band_rows(config))
-        pairs, band_totals = build_tile_pairs_banded(
+        pairs, band_totals, band_splats = build_tile_pairs_banded(
             clip, colors, scene.opacities, config, capacity, band_rows,
-            interpret=interpret,
+            compact_capacity=compact_capacity, interpret=interpret,
         )
         sorted_keys, _, sorted_attrs = sort_pairs_banded(
             pairs, config.sort_bands
@@ -244,6 +246,7 @@ def render_frame(
     )
     if banded:
         aux["band_totals"] = band_totals
+        aux["band_splats"] = band_splats
     return image, aux
 
 
@@ -269,7 +272,6 @@ class Renderer:
         config: RenderConfig = RenderConfig(),
         *,
         interpret: Optional[bool] = None,
-        reorder_every: int = 8,
     ):
         self.config = config
         self.scene = scene.pad_to_multiple(256)
@@ -300,13 +302,17 @@ class Renderer:
         self._ceiling_warned = False
         self.last_candidates = 0
         # Band-segmented sort state (config.sort_bands > 1): equal-count
-        # boundary controller + amortized locality re-order.
+        # boundary controller + adaptive compacted-splat capacity (the
+        # MXU band-compaction pass keeps emission dense without any
+        # splat re-ordering or cross-frame state).
         self.banded = config.sort_bands > 1
         self.n_bands = max(1, config.sort_bands)
         self.band_rows = uniform_band_rows(config) if self.banded else None
-        self.reorder_every = reorder_every if self.banded else 0
         if self.banded:
             self.capacity = self._round_banded(self.capacity)
+            self.compact_capacity = self._round_banded(
+                2 * self.scene.padded_count
+            )
 
     # Hard capacity ceiling: the emit kernel's exact f32 one-hot selection
     # requires capacity + 1 < 2^24.  Beyond it the pipeline renders with a
@@ -364,16 +370,19 @@ class Renderer:
         self.band_rows = np.maximum.accumulate(np.clip(arr, 0, ty))
 
     def _get_fn(self):
-        key = (self.capacity, None)
+        key = (self.capacity, getattr(self, "compact_capacity", None))
         if key not in self._fns:
             cfg, cap, interp = self.config, self.capacity, self.interpret
 
             if self.banded:
+                ccap = self.compact_capacity
+
                 @jax.jit
                 def fn(scene, camera_data, band_rows):
                     return render_frame(
                         scene, camera_data, cfg, cap,
-                        band_rows=band_rows, interpret=interp,
+                        band_rows=band_rows, compact_capacity=ccap,
+                        interpret=interp,
                     )
             else:
                 @jax.jit
@@ -381,18 +390,6 @@ class Renderer:
                     return render_frame(
                         scene, camera_data, cfg, cap, interpret=interp
                     )
-
-            self._fns[key] = fn
-        return self._fns[key]
-
-    def _reorder_fn(self):
-        key = ("reorder",)
-        if key not in self._fns:
-            cfg = self.config
-
-            @jax.jit
-            def fn(scene, camera_data):
-                return reorder_scene_by_tile_row(scene, camera_data, cfg)
 
             self._fns[key] = fn
         return self._fns[key]
@@ -412,8 +409,6 @@ class Renderer:
             self.capacity = self._round_banded(cap) if self.banded else cap
             self.saturated = False
         if self.banded:
-            if self.reorder_every and self.frame_count % self.reorder_every == 0:
-                self.scene = self._reorder_fn()(self.scene, camera.camera_data())
             image, aux = self._get_fn()(
                 self.scene, camera.camera_data(), jnp.asarray(self.band_rows)
             )
@@ -428,6 +423,14 @@ class Renderer:
             if self.banded:
                 totals = np.asarray(aux["band_totals"])
                 band_max = int(totals.max())
+                # Compacted-splat axis: grow if any band's in-band splat
+                # count approaches its share (same doubling semantics).
+                splat_max = int(np.asarray(aux["band_splats"]).max())
+                mc = self.compact_capacity // self.n_bands
+                if splat_max > mc:
+                    self.compact_capacity = self._round_banded(
+                        min(2 * self.compact_capacity, self.MAX_CAPACITY)
+                    )
                 if self.adaptive_capacity:
                     self.capacity = self._bucket_banded(band_max)
                     self.saturated = False
@@ -452,7 +455,7 @@ class Renderer:
         """Per-stage jit wrappers, cached like _get_fn: rebuilding them
         each call would leave every profile_frame() measuring trace +
         compile instead of kernels (jit caches are per-wrapper)."""
-        key = ("stages", self.capacity)
+        key = ("stages", self.capacity, getattr(self, "compact_capacity", None))
         if key in self._fns:
             return self._fns[key]
         cfg, cap, interp = self.config, self.capacity, self.interpret
@@ -465,11 +468,13 @@ class Renderer:
         if self.banded:
             g = self.n_bands
 
+            ccap = self.compact_capacity
+
             @jax.jit
             def bin_fn(clip, colors, s, band_rows):
-                pairs, totals = build_tile_pairs_banded(
+                pairs, totals, splats = build_tile_pairs_banded(
                     clip, colors, s.opacities, cfg, cap, band_rows,
-                    interpret=interp,
+                    compact_capacity=ccap, interpret=interp,
                 )
                 return pairs, band_rows, totals
 

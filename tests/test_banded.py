@@ -62,9 +62,11 @@ def test_banded_pairs_match_flat_exactly(setup, depth_bits):
     )
     colors = _splat_colors(scene, cam)
     pf = build_tile_pairs(clip, colors, scene.opacities, cfgf, 8192, interpret=True)
-    pb, totals = build_tile_pairs_banded(
+    pb, totals, _ = build_tile_pairs_banded(
         clip, colors, scene.opacities, cfgb, 8192,
-        jnp.asarray(uniform_band_rows(cfgb)), interpret=True,
+        jnp.asarray(uniform_band_rows(cfgb)),
+        compact_capacity=4 * scene.padded_count,  # no compact saturation
+        interpret=True,
     )
     assert int(pf.num_candidates) == int(pb.num_candidates)
     assert int(np.asarray(totals).sum()) == int(pb.num_candidates)
@@ -84,9 +86,11 @@ def test_banded_pairs_match_flat_after_reorder(setup):
     )
     colors = _splat_colors(sc2, cam)
     pf = build_tile_pairs(clip, colors, sc2.opacities, cfgf, 8192, interpret=True)
-    pb, _ = build_tile_pairs_banded(
+    pb, _, _ = build_tile_pairs_banded(
         clip, colors, sc2.opacities, cfgb, 8192,
-        jnp.asarray(uniform_band_rows(cfgb)), interpret=True,
+        jnp.asarray(uniform_band_rows(cfgb)),
+        compact_capacity=4 * scene.padded_count,
+        interpret=True,
     )
     assert _pair_multiset(pf) == _pair_multiset(pb)
 
@@ -119,7 +123,8 @@ def test_banded_image_matches_flat_dynamic_bands(setup):
     img0, aux0 = render_frame(scene, cam, cfgf, 8192, interpret=True)
     img1, aux1 = render_frame(
         scene, cam, cfgb, 8192,
-        band_rows=jnp.asarray([0, 3, 4, 6, 8], jnp.int32), interpret=True,
+        band_rows=jnp.asarray([0, 3, 4, 6, 8], jnp.int32),
+        compact_capacity=4 * scene.padded_count, interpret=True,
     )
     assert int(aux0["num_pairs"]) == int(aux1["num_pairs"])
     d = np.abs(np.asarray(img0).astype(int) - np.asarray(img1).astype(int))
@@ -144,7 +149,10 @@ def test_banded_renderer_rebalances_and_matches():
     cfgb = RenderConfig(screen_size=128, sort_bands=4)
     cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 4)
     rf = Renderer(scene, cfgf)
-    rb = Renderer(scene, cfgb, reorder_every=2)
+    rb = Renderer(scene, cfgb)
+    # The padded test scene clusters its pad splats in one band; give the
+    # compacted axis full headroom so every frame matches flat exactly.
+    rb.compact_capacity = rb._round_banded(4 * rb.scene.padded_count)
     rows0 = rb.band_rows.copy()
     for c in cams:
         d = np.abs(rf.render(c).astype(int) - rb.render(c).astype(int))
@@ -152,3 +160,22 @@ def test_banded_renderer_rebalances_and_matches():
     assert not np.array_equal(rb.band_rows, rows0)  # controller moved
     assert rb.band_rows[0] == 0 and rb.band_rows[-1] == cfgb.tiles_y
     assert (np.diff(rb.band_rows) >= 0).all()
+
+
+def test_compact_saturation_truncates_per_band(setup):
+    """A band whose in-band splat count exceeds its compacted share
+    drops trailing splats' pairs for the frame (and ONLY those): emitted
+    pairs equal the per-band clamped expectation, and nothing garbage
+    leaks past the band pair ends."""
+    scene, cam = setup
+    cfgb = RenderConfig(screen_size=128, sort_bands=4)
+    img, aux = render_frame(
+        scene, cam, cfgb, 8192,
+        compact_capacity=1024,  # 256 splat slots per band
+        interpret=True,
+    )
+    totals = np.asarray(aux["band_totals"])
+    splats = np.asarray(aux["band_splats"])
+    assert (splats > 256).any()  # the fixture saturates at least one band
+    assert int(aux["num_pairs"]) < int(totals.sum())
+    assert np.asarray(img)[..., 3].max() == 255

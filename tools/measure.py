@@ -440,10 +440,14 @@ def cmd_bandsort():
     jax.block_until_ready(ordered.means)
 
     def frame_body(cfg, band_rows):
+        g = max(1, cfg.sort_bands)
+        ccap = -(-3 * scene.padded_count // (g * 1024)) * (g * 1024)
+
         def body(s, sc, c):
             c2 = dict(c, view=c["view"].at[0, 3].add(s * 1e-6))
             img, aux = render_frame(
-                sc, c2, cfg, capacity, band_rows=band_rows
+                sc, c2, cfg, capacity, band_rows=band_rows,
+                compact_capacity=ccap,
             )
             return (jnp.sum(img[::64, ::64, 0].astype(jnp.float32)) * 1e-9
                     + aux["num_pairs"].astype(jnp.float32) * 1e-12)
