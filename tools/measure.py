@@ -405,16 +405,17 @@ def cmd_raster():
 
 
 def cmd_bandsort():
-    """Flat vs band-segmented pipeline at the bench workload.
+    """Flat vs band-segmented (compaction two-pass) pipeline A/B.
 
     Measures, in one process (cross-process timing is +-1 ms noise):
-      1. whole-frame flat vs banded at G in {8, 16, 32}, on a
-         row-ordered scene (the Renderer's steady state);
-      2. banded emission on the UNORDERED scene (locality cost of
-         skipping the re-order);
-      3. banded emission under a STALE order (re-order amortization:
-         order from camera 0, render camera k);
-      4. the re-order itself (12-operand scene sort + re-projection).
+      1. whole-frame flat vs banded at G in {4, 8, 16} — the banded
+         path is order-independent (in-frame MXU band compaction), so
+         one camera represents every camera;
+      2. the isolated batched-sort win at the same shapes (cmd_sort
+         covers the sweep; here the frame-level net decides keep/delete
+         per the round-3/4 cost models in PERF_NOTES);
+      3. the re-order experiment kept for reference (the rejected
+         persistent-order design's cost).
     """
     import dataclasses
 
@@ -434,10 +435,6 @@ def cmd_bandsort():
     def net(ms):
         return ms - base if (ms is not None and base is not None) else float("nan")
 
-    ordered = jax.jit(
-        lambda s, c: reorder_scene_by_tile_row(s, c, flat_cfg)
-    )(scene, cam0)
-    jax.block_until_ready(ordered.means)
 
     def frame_body(cfg, band_rows):
         g = max(1, cfg.sort_bands)
@@ -454,46 +451,14 @@ def cmd_bandsort():
 
         return body
 
-    m = timed("frame flat (ordered scene)", scanned(frame_body(flat_cfg, None)),
-              ordered, cam0)
+    m = timed("frame flat", scanned(frame_body(flat_cfg, None)), scene, cam0)
     print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
 
-    for g in (8, 16, 32):
+    for g in (4, 8, 16):
         cfg = dataclasses.replace(flat_cfg, sort_bands=g)
         br = jnp.asarray(uniform_band_rows(cfg))
-        m = timed(f"frame banded G={g} (ordered)",
-                  scanned(frame_body(cfg, br)), ordered, cam0)
-        print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
-
-    cfg16 = dataclasses.replace(flat_cfg, sort_bands=16)
-    br16 = jnp.asarray(uniform_band_rows(cfg16))
-    m = timed("frame banded G=16 (UNordered)",
-              scanned(frame_body(cfg16, br16)), scene, cam0)
-    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
-
-    # World-up ordering: camera-independent, locality ~5-8x dense across
-    # the whole orbit (CPU drift study, PERF_NOTES round 4) — the
-    # no-reorder steady state.
-    import dataclasses as _dc
-
-    wy = np.asarray(scene.means)[1]
-    perm = np.argsort(wy, kind="stable")
-    worldup = _dc.replace(
-        scene,
-        means=scene.means[:, perm], scales=scene.scales[:, perm],
-        quats=scene.quats[perm], opacities=scene.opacities[perm],
-        colors=scene.colors[:, perm],
-    )
-    m = timed("frame banded G=16 (world-up order)",
-              scanned(frame_body(cfg16, br16)), worldup, cam0)
-    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
-
-    # Stale order: scene ordered for camera 0, rendered from camera k
-    # (5.6-degree orbit steps; span/member ~8x after ONE step).
-    for k in (1, 4):
-        camk = jax.tree.map(jnp.asarray, cams[k].camera_data())
-        m = timed(f"frame banded G=16 (stale order, +{k} steps)",
-                  scanned(frame_body(cfg16, br16)), ordered, camk)
+        m = timed(f"frame banded G={g}",
+                  scanned(frame_body(cfg, br)), scene, cam0)
         print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
 
     def reorder_body(s, sc, c):
