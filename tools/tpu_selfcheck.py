@@ -64,17 +64,20 @@ def main():
         ("lex keys (depth_bits=32)", dict(
             n=400, seed=2, cfg=dict(screen_size=128, depth_bits=32),
         )),
-        # Band-segmented sort: band-major emission (separate banded-
-        # prefix DMA + 17-row limb selection), batched per-band sort,
-        # band-offset range starts.  The huge-splat scales also push
-        # rects across band boundaries (band-clamped run walk).
+        # Band-segmented sort: MXU band compaction + banded emit walk,
+        # batched per-band sort, band-offset range starts.  The
+        # huge-splat scales also push rects across band boundaries
+        # (band-clamped run walk).  ccap avoids compact saturation
+        # (pads cluster in one band at these scales).
         ("banded G=8 128px", dict(
             n=500, seed=2, cfg=dict(screen_size=128, sort_bands=8),
+            ccap=8 * 512,
         )),
         ("banded G=16 huge 1024px", dict(
             n=192, seed=9,
             scene_kw=dict(min_scale=0.3, max_scale=1.6, extent=3.0),
             cfg=dict(screen_size=1024, sort_bands=16), capacity=1048576,
+            ccap=16 * 1024,
         )),
     ]
     for name, c in cases:
@@ -84,8 +87,11 @@ def main():
         ).pad_to_multiple(256)
         cam = Camera(aspect=config.aspect).framed(scene.bounds_min, scene.bounds_max)
         capacity = c.get("capacity", 16384)
+        ccap = c.get("ccap", 0)
         got, aux = jax.jit(
-            lambda s, cd, cfg=config, cap=capacity: render_frame(s, cd, cfg, cap)
+            lambda s, cd, cfg=config, cap=capacity, cc=ccap: render_frame(
+                s, cd, cfg, cap, compact_capacity=cc
+            )
         )(scene, cam.camera_data())
         got = np.asarray(got)
         assert int(aux["num_candidates"]) <= capacity, (
@@ -94,6 +100,8 @@ def main():
             g = config.sort_bands
             assert int(np.asarray(aux["band_totals"]).max()) <= capacity // g, (
                 name, "a band saturated — raise case capacity")
+            assert int(np.asarray(aux["band_splats"]).max()) <= ccap // g, (
+                name, "band compaction saturated — raise case ccap")
         want = golden_render(scene_to_numpy(scene), cam.camera_data(), config)
         check(name, got, want)
 
