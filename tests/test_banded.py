@@ -51,7 +51,9 @@ def setup():
     return scene, cam.camera_data()
 
 
-@pytest.mark.parametrize("depth_bits", [19, 32])
+@pytest.mark.parametrize(
+    "depth_bits", [19, pytest.param(32, marks=pytest.mark.slow)]
+)
 def test_banded_pairs_match_flat_exactly(setup, depth_bits):
     scene, cam = setup
     cfgf = RenderConfig(screen_size=128, depth_bits=depth_bits)
@@ -73,6 +75,7 @@ def test_banded_pairs_match_flat_exactly(setup, depth_bits):
     assert _pair_multiset(pf) == _pair_multiset(pb)
 
 
+@pytest.mark.slow
 def test_banded_pairs_match_flat_after_reorder(setup):
     """Regression: the banded prefix padding must not replicate the LAST
     splat's live segment into the pad columns (a reordered scene puts a
@@ -131,6 +134,7 @@ def test_banded_image_matches_flat_dynamic_bands(setup):
     assert d.max() <= 2  # unstable-sort tie order only
 
 
+@pytest.mark.slow
 def test_banded_saturation_truncates_per_band(setup):
     scene, cam = setup
     cfgb = RenderConfig(screen_size=128, sort_bands=4)
@@ -162,6 +166,7 @@ def test_banded_renderer_rebalances_and_matches():
     assert (np.diff(rb.band_rows) >= 0).all()
 
 
+@pytest.mark.slow
 def test_compact_saturation_truncates_per_band(setup):
     """A band whose in-band splat count exceeds its compacted share
     drops trailing splats' pairs for the frame (and ONLY those): emitted
