@@ -461,6 +461,49 @@ def cmd_bandsort():
                   scanned(frame_body(cfg, br)), scene, cam0)
         print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
 
+    # Isolated stage A/Bs at G=16 so frame-level deltas attribute:
+    # banded buildTileList (compaction + banded emit) vs flat, and the
+    # batched vs flat sort at the bench shapes.
+    import dataclasses as _dc
+
+    from cudagaussianrenderer_tpu.ops.binning import (
+        build_tile_pairs, build_tile_pairs_banded,
+    )
+    from cudagaussianrenderer_tpu.ops.projection import project_splats
+    from cudagaussianrenderer_tpu.render import _splat_colors
+
+    cfg16 = _dc.replace(flat_cfg, sort_bands=16)
+    br16 = jnp.asarray(uniform_band_rows(cfg16))
+    ccap16 = -(-3 * scene.padded_count // (16 * 1024)) * (16 * 1024)
+    clip = jax.jit(
+        lambda s, c: project_splats(s.means, s.scales, s.quats, c, flat_cfg,
+                                    opacities=s.opacities)
+    )(scene, cam0)
+    jax.block_until_ready(clip.cx)
+
+    def flat_build(s, cl, sc):
+        p = build_tile_pairs(
+            cl._replace(cx=cl.cx + s * 1e-9), sc.colors, sc.opacities,
+            flat_cfg, capacity,
+        )
+        return (p.keys[0][0].astype(jnp.float32) * 1e-9
+                + p.num_pairs.astype(jnp.float32) * 1e-12)
+
+    m = timed("buildTileList flat", scanned(flat_build), clip, scene)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    def banded_build(s, cl, sc):
+        p, totals, splats = build_tile_pairs_banded(
+            cl._replace(cx=cl.cx + s * 1e-9), sc.colors, sc.opacities,
+            cfg16, capacity, br16, compact_capacity=ccap16,
+        )
+        return (p.keys[0][0].astype(jnp.float32) * 1e-9
+                + p.num_pairs.astype(jnp.float32) * 1e-12
+                + jnp.max(splats).astype(jnp.float32) * 1e-12)
+
+    m = timed("buildTileList banded G=16", scanned(banded_build), clip, scene)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
     def reorder_body(s, sc, c):
         c2 = dict(c, view=c["view"].at[0, 3].add(s * 1e-6))
         out = reorder_scene_by_tile_row(sc, c2, flat_cfg)
