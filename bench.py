@@ -289,7 +289,7 @@ def main():
             band_rows = jnp.asarray(uniform_band_rows(config))
             # One rebalance pass so the stage table reflects the scan's
             # steady-state band balance.
-            _, totals0 = jax.jit(
+            _, totals0, _ = jax.jit(
                 lambda cl, s, br: build_tile_pairs_banded(
                     cl, s.colors, s.opacities, config, capacity, br
                 )

@@ -56,7 +56,11 @@ def sort_pairs(
 
 
 def sort_pairs_banded(
-    pairs: TilePairs, n_bands: int, *, with_values: bool = False
+    pairs: TilePairs,
+    n_bands: int,
+    *,
+    with_values: bool = False,
+    stable: bool = False,
 ) -> Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.ndarray], Tuple[jnp.ndarray, ...]]:
     """Batched per-band sort of a band-major pair list
     (binning.build_tile_pairs_banded).
@@ -77,7 +81,7 @@ def sort_pairs_banded(
     seg = cap // n_bands
     ops2 = tuple(o.reshape(n_bands, seg) for o in ops)
     sorted_ops = jax.lax.sort(
-        ops2, dimension=1, num_keys=num_keys, is_stable=with_values
+        ops2, dimension=1, num_keys=num_keys, is_stable=stable or with_values
     )
     flat = tuple(o.reshape(cap) for o in sorted_ops)
     keys = flat[:num_keys]

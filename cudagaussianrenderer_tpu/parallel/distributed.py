@@ -154,6 +154,13 @@ def _scene_spec(scene: GaussianScene, axis: str) -> GaussianScene:
 
 def _validate(config: RenderConfig, mesh: Mesh, axis: str, scene: GaussianScene):
     n_dev = mesh.shape[axis]
+    if config.sort_bands > 1:
+        raise ValueError(
+            "sort_bands is single-device only: the tile-row-sharded "
+            "pipeline already divides the sort across devices; run with "
+            "sort_bands=0 (bench.py --bands refuses --devices > 1 for "
+            "the same reason)"
+        )
     if config.tiles_y % n_dev != 0:
         raise ValueError(
             f"tiles_y ({config.tiles_y}) must be divisible "

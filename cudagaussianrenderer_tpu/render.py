@@ -222,7 +222,7 @@ def render_frame(
             compact_capacity=compact_capacity, interpret=interpret,
         )
         sorted_keys, _, sorted_attrs = sort_pairs_banded(
-            pairs, config.sort_bands
+            pairs, config.sort_bands, stable=config.stable_sort
         )
         starts, counts = tile_ranges(
             sorted_keys, config,
@@ -330,10 +330,13 @@ class Renderer:
         return min(-(-want // grain) * grain, cls.MAX_CAPACITY)
 
     def _round_banded(self, capacity: int) -> int:
-        """Clamp + round a capacity to the banded grain (bands x blocks),
-        never exceeding MAX_CAPACITY."""
-        grain = (128 if self.interpret else 1024) * self.n_bands
-        cap = -(-min(capacity, self.MAX_CAPACITY) // grain) * grain
+        """Clamp + round a capacity to the banded grain (bands x blocks,
+        via round_capacity — one source of the grain rule), never
+        exceeding MAX_CAPACITY."""
+        grain = round_capacity(1, self.interpret, self.n_bands)
+        cap = round_capacity(
+            min(capacity, self.MAX_CAPACITY), self.interpret, self.n_bands
+        )
         return min(cap, self.MAX_CAPACITY // grain * grain)
 
     def _bucket_banded(self, band_max: int) -> int:
@@ -478,7 +481,9 @@ class Renderer:
                 )
                 return pairs, band_rows, totals
 
-            sort_fn = jax.jit(lambda p: sort_pairs_banded(p, g))
+            sort_fn = jax.jit(
+                lambda p: sort_pairs_banded(p, g, stable=cfg.stable_sort)
+            )
             rng_fn = jax.jit(
                 lambda keys, bounds: tile_ranges(
                     keys, cfg, band_rows=bounds,

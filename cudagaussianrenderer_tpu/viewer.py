@@ -88,6 +88,8 @@ class ViewerState:
         self.running = True
 
     def set_input(self, data: dict) -> None:
+        if not isinstance(data, dict):
+            raise TypeError("input payload must be a JSON object")
         state = InputState(
             pointer=tuple(float(x) for x in data.get("pointer", (0.0, 0.0))),
             buttons=str(data.get("buttons", "none")),

@@ -71,7 +71,7 @@ def main():
         # (pads cluster in one band at these scales).
         ("banded G=8 128px", dict(
             n=500, seed=2, cfg=dict(screen_size=128, sort_bands=8),
-            ccap=8 * 512,
+            ccap=8 * 1024,
         )),
         ("banded G=16 huge 1024px", dict(
             n=192, seed=9,
