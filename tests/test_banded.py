@@ -184,3 +184,55 @@ def test_compact_saturation_truncates_per_band(setup):
     assert (splats > 256).any()  # the fixture saturates at least one band
     assert int(aux["num_pairs"]) < int(totals.sum())
     assert np.asarray(img)[..., 3].max() == 255
+
+
+@pytest.mark.slow
+def test_banded_stable_sort_smoke(setup):
+    """config.stable_sort threads through the banded path (regression:
+    it was silently dropped)."""
+    scene, cam = setup
+    cfgb = RenderConfig(screen_size=128, sort_bands=4, stable_sort=True)
+    img, aux = render_frame(
+        scene, cam, cfgb, 8192,
+        compact_capacity=4 * scene.padded_count, interpret=True,
+    )
+    img2, _ = render_frame(
+        scene, cam, cfgb, 8192,
+        compact_capacity=4 * scene.padded_count, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+    assert np.asarray(img)[..., 3].max() == 255
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [11, 23])
+def test_banded_fuzz_matches_flat(seed):
+    """Randomized scenes, scales, band counts and boundaries: the banded
+    pair multiset must equal flat exactly whenever nothing saturates."""
+    rng = np.random.default_rng(seed)
+    scene = random_scene(
+        int(rng.integers(150, 400)), seed=seed,
+        min_scale=float(rng.uniform(0.005, 0.05)),
+        max_scale=float(rng.uniform(0.2, 0.9)),
+    ).pad_to_multiple(256)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    g = int(rng.choice([2, 4, 8]))
+    cfgf = RenderConfig(screen_size=256)
+    cfgb = RenderConfig(screen_size=256, sort_bands=g)
+    # random non-uniform boundaries
+    cuts = np.sort(rng.choice(np.arange(1, 16), size=g - 1, replace=False))
+    band_rows = jnp.asarray(np.concatenate([[0], cuts, [16]]), jnp.int32)
+
+    clip = project_splats(
+        scene.means, scene.scales, scene.quats, cam.camera_data(), cfgb,
+        opacities=scene.opacities,
+    )
+    colors = _splat_colors(scene, cam.camera_data())
+    cap = 16384 * 2
+    pf = build_tile_pairs(clip, colors, scene.opacities, cfgf, cap, interpret=True)
+    pb, totals, splats = build_tile_pairs_banded(
+        clip, colors, scene.opacities, cfgb, cap, band_rows,
+        compact_capacity=g * scene.padded_count, interpret=True,
+    )
+    assert int(np.asarray(totals).max()) <= cap // g, "fixture saturated"
+    assert _pair_multiset(pf) == _pair_multiset(pb)
