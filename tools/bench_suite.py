@@ -123,7 +123,7 @@ def synth_ply(n, seed):
 
 
 def main():
-    which = {int(a) for a in sys.argv[1:]} or {1, 2, 3, 4, 5}
+    which = {int(a) for a in sys.argv[1:]} or {1, 2, 3, 4, 5, 6}
 
     from cudagaussianrenderer_tpu.config import RenderConfig
     from cudagaussianrenderer_tpu.models.scene import random_scene
@@ -157,6 +157,28 @@ def main():
         scene = random_scene(1_000_000, seed=0, min_scale=0.002, max_scale=0.053)
         r = throughput(scene, RenderConfig(screen_size=1024), 16)
         print(json.dumps(dict(config="5_flythrough_1m_1024px", **r)))
+
+    if 6 in which:
+        # Diagnostic (not in BASELINE.json): trained-3DGS-like opacities
+        # (heavy low-alpha tail) — where the opacity-aware extent
+        # truncation cuts ~18% of pairs (docs/PERF_NOTES.md round 4).
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        scene = random_scene(1_000_000, seed=0, min_scale=0.002, max_scale=0.053)
+        alpha = np.random.default_rng(1).beta(
+            0.5, 1.5, scene.opacities.shape[0]
+        ).astype(np.float32)
+        scene = dataclasses.replace(scene, opacities=jnp.asarray(alpha))
+        for flag in (False, True):
+            r = throughput(
+                scene,
+                RenderConfig(screen_size=1024, opacity_aware_extents=flag),
+                8,
+            )
+            name = "aware" if flag else "exact3sigma"
+            print(json.dumps(dict(config=f"6_realistic_alpha_{name}_1m", **r)))
 
 
 if __name__ == "__main__":
