@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""The five BASELINE.json benchmark configs, one JSON line each.
+"""The five BASELINE.json benchmark configs (+ one diagnostic), one JSON line each.
 
     1. Procedural ~10k splats, SH deg-0 baked colors, 256x256, static camera
     2. .ply scene ~100k splats (synthesized + loaded through the importer),

@@ -20,6 +20,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 import jax
 
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+except Exception:
+    pass
+
 from cudagaussianrenderer_tpu.config import RenderConfig
 from cudagaussianrenderer_tpu.golden import golden_render, scene_to_numpy
 from cudagaussianrenderer_tpu.models.camera import Camera
