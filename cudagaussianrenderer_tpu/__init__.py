@@ -22,7 +22,7 @@ from .config import RenderConfig
 from .models.camera import Camera, CameraController, InputState, orbit_cameras
 from .models.scene import GaussianScene, random_scene, scene_from_arrays
 from .ply import load_gaussian_ply, write_gaussian_ply
-from .render import Renderer, render_frame
+from .render import Renderer, render_frame, render_frame_multipass
 
 __all__ = [
     "Camera",
@@ -35,6 +35,7 @@ __all__ = [
     "orbit_cameras",
     "random_scene",
     "render_frame",
+    "render_frame_multipass",
     "scene_from_arrays",
     "write_gaussian_ply",
 ]

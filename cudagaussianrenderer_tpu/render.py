@@ -82,8 +82,9 @@ def warn_capacity_ceiling(renderer, candidates: int) -> None:
         "cut) pair list. Escape hatches: shard tile rows across devices "
         "(parallel.DistributedRenderer divides the per-device pair count), "
         "lower the candidate count (smaller viewport, opacity-aware "
-        "extents), or render in tile-row bands via "
-        "build_tile_pairs(row_band=...) over multiple passes.",
+        "extents), or render in tile-row bands on one chip via "
+        "render.render_frame_multipass (n_passes x capacity_per_pass "
+        "effective capacity).",
         RuntimeWarning,
         stacklevel=3,
     )
@@ -248,6 +249,74 @@ def render_frame(
         aux["band_totals"] = band_totals
         aux["band_splats"] = band_splats
     return image, aux
+
+
+def render_frame_multipass(
+    scene: GaussianScene,
+    camera_data: dict,
+    config: RenderConfig,
+    capacity_per_pass: int,
+    n_passes: int,
+    *,
+    interpret=None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Escape hatch ABOVE the pair-capacity ceiling: render in
+    ``n_passes`` tile-row bands, each an independent build -> sort ->
+    ranges -> raster over only that band's pairs
+    (build_tile_pairs(row_band=...), the same band-exact clamping the
+    multi-chip tile-row sharding uses).  Effective frame capacity is
+    n_passes * capacity_per_pass — each pass stays below the emit
+    kernel's 2^24 exact-f32 limit, so frames the single-pass pipeline
+    could only render truncated (render.Renderer warns; the reference
+    grows without bound, Demo.cpp:356-366) render exactly here, at the
+    cost of projecting once and sorting per band.
+
+    Jittable end-to-end; tiles_y must divide by n_passes.
+    """
+    if config.tiles_y % n_passes != 0:
+        raise ValueError(
+            f"n_passes ({n_passes}) must divide tiles_y ({config.tiles_y})"
+        )
+    if config.sort_bands > 1:
+        raise ValueError("use sort_bands OR multipass, not both")
+    capacity_per_pass = round_capacity(capacity_per_pass, interpret)
+    colors = _splat_colors(scene, camera_data)
+    clip = project_splats(
+        scene.means, scene.scales, scene.quats, camera_data, config,
+        opacities=scene.opacities,
+    )
+    rows_per = config.tiles_y // n_passes
+    band_tiles = rows_per * config.tiles_x
+    images = []
+    num_candidates = jnp.int32(0)
+    num_pairs = jnp.int32(0)
+    for p in range(n_passes):
+        lo = p * rows_per
+        pairs = build_tile_pairs(
+            clip, colors, scene.opacities, config, capacity_per_pass,
+            row_band=(lo, lo + rows_per), interpret=interpret,
+        )
+        sorted_keys, _, sorted_attrs = sort_pairs(
+            pairs, stable=config.stable_sort
+        )
+        starts, counts = tile_ranges(sorted_keys, config, interpret=interpret)
+        starts_b = jax.lax.dynamic_slice(
+            starts, (lo * config.tiles_x,), (band_tiles,)
+        )
+        counts_b = jax.lax.dynamic_slice(
+            counts, (lo * config.tiles_x,), (band_tiles,)
+        )
+        tiles = rasterize_tiles(
+            pack_pair_data(sorted_attrs, config.raster_chunk),
+            starts_b, counts_b, config,
+            num_tiles=band_tiles, tile_row_offset=lo,
+            interpret=interpret,
+        )
+        images.append(tiles_to_image(tiles, config))
+        num_candidates = num_candidates + pairs.num_candidates
+        num_pairs = num_pairs + pairs.num_pairs
+    image = jnp.concatenate(images, axis=0)
+    return image, dict(num_candidates=num_candidates, num_pairs=num_pairs)
 
 
 # Stage names exactly as the reference prints them at exit

@@ -138,3 +138,25 @@ def test_opacity_extents_cut_pairs_with_sub_lsb_image_delta(extent_setup):
     diff = np.abs(np.asarray(img0).astype(np.int32) - np.asarray(img1).astype(np.int32))
     frac_bad = (diff > 3).any(axis=-1).mean()
     assert frac_bad <= 0.005, f"truncation changed {frac_bad:.4f} of pixels by >3"
+
+
+def test_multipass_matches_single_pass():
+    """render_frame_multipass: the capacity-ceiling escape hatch renders
+    the same frame as single-pass, with per-pass capacity BELOW the
+    frame's total candidate count (the whole point)."""
+    from cudagaussianrenderer_tpu.render import render_frame_multipass
+
+    scene = random_scene(300, seed=2).pad_to_multiple(256)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cfg = RenderConfig(screen_size=128)
+    img0, aux0 = render_frame(scene, cam.camera_data(), cfg, 8192, interpret=True)
+    total = int(aux0["num_candidates"])
+    per_pass = 1024  # < total: single-pass at this capacity would truncate
+    assert per_pass < total
+    img1, aux1 = render_frame_multipass(
+        scene, cam.camera_data(), cfg, per_pass, 4, interpret=True
+    )
+    assert int(aux1["num_candidates"]) == total
+    assert int(aux1["num_pairs"]) == total  # nothing truncated
+    d = np.abs(np.asarray(img0).astype(int) - np.asarray(img1).astype(int))
+    assert (d > 2).any(axis=-1).mean() == 0.0
