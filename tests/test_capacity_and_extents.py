@@ -140,6 +140,7 @@ def test_opacity_extents_cut_pairs_with_sub_lsb_image_delta(extent_setup):
     assert frac_bad <= 0.005, f"truncation changed {frac_bad:.4f} of pixels by >3"
 
 
+@pytest.mark.slow
 def test_multipass_matches_single_pass():
     """render_frame_multipass: the capacity-ceiling escape hatch renders
     the same frame as single-pass, with per-pass capacity BELOW the
