@@ -67,6 +67,9 @@ def main():
     # closer to the reference's dispatch-free CUDA-kernel-only timing.
     ap.add_argument("frames", nargs="?", type=int, default=32)
     ap.add_argument("--devices", type=int, default=1)
+    # Headline is 1024; smaller sizes exist for CPU smoke-testing the
+    # whole driver script end-to-end (interpret-mode kernels).
+    ap.add_argument("--size", type=int, default=1024)
     # Band-segmented sort (config.sort_bands): batched [G, C/G] stage-D
     # sort with equal-count boundaries carried through the frame scan.
     ap.add_argument("--bands", type=int, default=0)
@@ -99,7 +102,7 @@ def main():
         args.n_splats, seed=0, min_scale=0.002, max_scale=0.053, extent=4.0
     ).pad_to_multiple(256 * args.devices)
     config = RenderConfig(
-        screen_size=1024, falloff=args.falloff, sort_bands=args.bands
+        screen_size=args.size, falloff=args.falloff, sort_bands=args.bands
     )
     cams = orbit_cameras(scene.bounds_min, scene.bounds_max, args.frames)
     cam_stack = jax.tree.map(
@@ -158,10 +161,7 @@ def main():
     # warning below would catch a miss).
     grain = 1024 * max(1, args.bands)  # emit-kernel block granularity
     capacity = max(1 << 17, -(-int(candidates * 1.005) // grain) * grain)
-    if args.bands > 1:
-        # Equal-count bands converge within a frame or two; 12% headroom
-        # covers the controller's one-frame lag plus boundary rounding.
-        capacity = -(-int(candidates * 1.12) // grain) * grain
+    # (--bands overrides this below from the simulated per-band maxima.)
     if args.devices > 1:
         # Per-device capacity for tile-row bands: global/devices with 2x
         # skew headroom (center bands carry more pairs than the mean).
@@ -178,27 +178,43 @@ def main():
             uniform_band_rows,
         )
 
-        band_rows0 = jnp.asarray(uniform_band_rows(config))
-
-        # Probe the per-band in-band splat maximum over the orbit (at
-        # uniform boundaries) to size the compacted axis; 30% headroom
-        # covers the equal-count controller moving boundaries.
-        def count_band_splats(s, c):
+        # Simulate the equal-count boundary controller over the orbit
+        # with the cheap phase-1 probe (two passes: converge, then
+        # record), so the timed scan starts from converged boundaries
+        # and capacity sizes to the SIMULATED per-band maximum instead
+        # of a blind skew guess (frame-0 uniform-row imbalance can be
+        # 2-3x the mean and would saturate a 12%-headroom capacity).
+        def band_stats(s, c, br):
             clip = project_splats(
                 s.means, s.scales, s.quats, c, config, opacities=s.opacities
             )
             rects = splat_tile_rects(clip, config)
             packs = splat_row_packs(clip, rects, config)
-            cb = band_counts(rects, packs, band_rows0)
-            return jnp.max(jnp.sum((cb > 0).astype(jnp.int32), axis=1))
+            cb = band_counts(rects, packs, br)
+            return (
+                jnp.sum(cb, axis=1),
+                jnp.max(jnp.sum((cb > 0).astype(jnp.int32), axis=1)),
+            )
 
-        sprobe = jax.jit(count_band_splats)
-        max_band_splats = max(
-            int(np.asarray(sprobe(scene, jax.tree.map(lambda x: x[i], cam_stack))))
-            for i in range(args.frames)
-        )
+        sprobe = jax.jit(band_stats)
+        rows = jnp.asarray(uniform_band_rows(config))
+        max_band_pairs = 0
+        max_band_splats = 0
+        for it in range(2 * args.frames):
+            i = it % args.frames
+            totals, msplat = sprobe(
+                scene, jax.tree.map(lambda x: x[i], cam_stack), rows
+            )
+            if it >= args.frames:  # second (converged) pass
+                max_band_pairs = max(max_band_pairs, int(np.asarray(totals).max()))
+                max_band_splats = max(max_band_splats, int(msplat))
+            rows = jax.jit(
+                lambda r, t: rebalance_band_rows(r, t, config.tiles_y)
+            )(rows, totals)
+        band_rows0 = rows
+        capacity = -(-int(max_band_pairs * 1.08) * args.bands // grain) * grain
         grain_c = 1024 * args.bands
-        compact_capacity = -(-int(max_band_splats * 1.3) * args.bands // grain_c) * grain_c
+        compact_capacity = -(-int(max_band_splats * 1.25) * args.bands // grain_c) * grain_c
 
     # ---- headline: fused whole-frame throughput over the orbit ----
     def frames_body(salt, scene, cam_stack):
@@ -415,7 +431,7 @@ def main():
     ref_pairs_per_sec = 815_957 * 4.0 / 12.502574e-3
     pairs_per_sec = pairs_per_frame * fps
     result = {
-        "metric": f"fps_1024x1024_{args.n_splats // 1000}k_splats",
+        "metric": f"fps_{args.size}x{args.size}_{args.n_splats // 1000}k_splats",
         "value": round(fps, 2),
         "unit": "frames/s",
         # >1 means higher sorted-pair throughput than the reference.
