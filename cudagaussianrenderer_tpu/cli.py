@@ -90,9 +90,24 @@ def _build(args):
 def cmd_render(args):
     from .utils.png import write_png
 
-    renderer, camera, _, _ = _build(args)
+    renderer, camera, scene, config = _build(args)
     t0 = time.perf_counter()
-    image = renderer.render(camera)
+    if args.passes > 1:
+        # Multi-pass tile-row bands: effective capacity above the emit
+        # kernel's 2^24 pair ceiling (render.render_frame_multipass).
+        import numpy as np
+
+        from .render import render_frame_multipass
+
+        image, aux = render_frame_multipass(
+            renderer.scene, camera.camera_data(), config,
+            renderer.capacity // args.passes + 1024, args.passes,
+        )
+        image = np.asarray(image)
+        print(f"multipass x{args.passes}: {int(aux['num_pairs'])} pairs",
+              file=sys.stderr)
+    else:
+        image = renderer.render(camera)
     print(f"rendered in {(time.perf_counter() - t0) * 1e3:.1f} ms (incl. compile)",
           file=sys.stderr)
     write_png(args.output, image)
@@ -243,6 +258,10 @@ def main(argv=None):
     p = sub.add_parser("render", help="render one framed view to PNG")
     p.add_argument("scene", nargs="?", default=None)
     p.add_argument("-o", "--output", default="out.png")
+    p.add_argument(
+        "--passes", type=int, default=1,
+        help="render in N tile-row band passes (capacity-ceiling escape hatch)",
+    )
     _add_common(p)
     p.set_defaults(fn=cmd_render)
 
