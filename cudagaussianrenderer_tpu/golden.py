@@ -18,7 +18,6 @@ from typing import Optional
 import numpy as np
 
 from .config import RenderConfig
-from .models.scene import SH_C0
 from .utils.quantize import decode_quat_xyzw, quat_xyzw_to_rotation_matrix
 
 
