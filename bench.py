@@ -80,8 +80,24 @@ def main():
     ap.add_argument("--no-stages", dest="stages", action="store_false")
     args = ap.parse_args()
 
+    # The axon tunnel's failure mode changed from a fast RuntimeError
+    # (BENCH_r03.json) to an indefinite hang at backend init; bound it so
+    # the driver gets a clean non-zero exit instead of a stalled process.
+    import signal
+
+    def _init_timeout(signum, frame):
+        raise SystemExit(
+            "bench: backend init exceeded 900 s (axon tunnel down?) — aborting"
+        )
+
+    signal.signal(signal.SIGALRM, _init_timeout)
+    signal.alarm(900)
+
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend init under the alarm
+    signal.alarm(0)
 
     # Persistent compilation cache: the fused-frame program costs ~10+
     # minutes to compile through the tunnel; cache hits make re-runs
