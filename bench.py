@@ -213,6 +213,9 @@ def main():
             )
 
         sprobe = jax.jit(band_stats)
+        rebalance = jax.jit(
+            lambda r, t: rebalance_band_rows(r, t, config.tiles_y)
+        )
         rows = jnp.asarray(uniform_band_rows(config))
         max_band_pairs = 0
         max_band_splats = 0
@@ -224,9 +227,7 @@ def main():
             if it >= args.frames:  # second (converged) pass
                 max_band_pairs = max(max_band_pairs, int(np.asarray(totals).max()))
                 max_band_splats = max(max_band_splats, int(msplat))
-            rows = jax.jit(
-                lambda r, t: rebalance_band_rows(r, t, config.tiles_y)
-            )(rows, totals)
+            rows = rebalance(rows, totals)
         band_rows0 = rows
         capacity = -(-int(max_band_pairs * 1.08) * args.bands // grain) * grain
         grain_c = 1024 * args.bands

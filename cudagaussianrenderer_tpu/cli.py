@@ -99,13 +99,53 @@ def cmd_render(args):
 
         from .render import render_frame_multipass
 
-        image, aux = render_frame_multipass(
-            renderer.scene, camera.camera_data(), config,
-            renderer.capacity // args.passes + 1024, args.passes,
-        )
+        from .ops.expand import MAX_EXACT_I32
+        from .render import round_capacity
+
+        # The initial per-pass sizing assumes pairs spread evenly over
+        # tile-row slabs; center slabs can carry 2-3x the mean.  The
+        # flag exists to render EXACTLY, so on per-pass saturation
+        # retry once with the measured worst-pass requirement (the
+        # reference's grow-on-saturation, Demo.cpp:356-366, at
+        # pass granularity) and only then warn.
+        cap = renderer.capacity // args.passes + 1024
+        for _ in range(2):
+            image, aux = render_frame_multipass(
+                renderer.scene, camera.camera_data(), config,
+                cap, args.passes,
+            )
+            pc = np.asarray(aux["pass_candidates"])
+            pp = np.asarray(aux["pass_pairs"])
+            if not (pp < pc).any():
+                break
+            need = int(pc.max()) + int(pc.max()) // 50 + 1024
+            if need >= MAX_EXACT_I32 - 1024:
+                print(
+                    f"WARNING: a pass needs {int(pc.max())} pair slots, "
+                    f"past the per-pass 2^24 ceiling — output truncated; "
+                    f"re-run with more --passes",
+                    file=sys.stderr,
+                )
+                break
+            new_cap = round_capacity(need)
+            if new_cap <= cap:
+                break
+            print(
+                f"pass saturation ({int(pc.max())} candidates > {cap} "
+                f"slots): regrowing per-pass capacity to {new_cap}",
+                file=sys.stderr,
+            )
+            cap = new_cap
         image = np.asarray(image)
         print(f"multipass x{args.passes}: {int(aux['num_pairs'])} pairs",
               file=sys.stderr)
+        if (pp < pc).any():
+            print(
+                f"WARNING: pass(es) {np.flatnonzero(pp < pc).tolist()} "
+                f"still saturated — output is truncated; use more "
+                f"--passes or a larger --capacity-factor",
+                file=sys.stderr,
+            )
     else:
         image = renderer.render(camera)
     print(f"rendered in {(time.perf_counter() - t0) * 1e3:.1f} ms (incl. compile)",

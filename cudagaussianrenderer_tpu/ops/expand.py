@@ -944,7 +944,14 @@ def emit_pairs_banded(
     # ---- per-band prefixes (all exact int32, values < 2^24) ----
     p_cum = jnp.cumsum(counts_banded, axis=1)                  # [G, N]
     band_totals = p_cum[:, -1]
-    sel = counts_banded > 0
+    # A splat is selected only if at least one of its pairs lands below
+    # the band pair capacity.  Pair-dry splats (entire range clamped
+    # past cg — pair saturation) must be excluded from compaction like
+    # compact-saturated ones: a compacted-but-pair-dry splat would own
+    # a compact slot that matches nothing in the selection matmul,
+    # storing prefix 0 and breaking the monotone p_incl row pass 2's
+    # block-start histogram depends on (garbage pairs frame-wide).
+    sel = (counts_banded > 0) & (p_cum - counts_banded < cg)
     c_cum = jnp.cumsum(sel.astype(jnp.int32), axis=1)          # [G, N]
     band_splats = c_cum[:, -1]
     offs_c = (jnp.arange(n_bands, dtype=jnp.int32) * mc)[:, None]
@@ -959,11 +966,12 @@ def emit_pairs_banded(
     p_excl_v = jnp.where(
         kept, offs_p + jnp.minimum(p_cum - counts_banded, cg), p_incl_v
     )
-    # Pairs actually reachable per band: compact saturation (S_g > MC)
-    # drops trailing splats, so the pair end counts only pairs of
-    # compacted splats (and clamps at the band pair capacity).
+    # Pairs actually reachable per band: the pair end is the last kept
+    # splat's clamped p_incl (kept splats' pair ranges tile
+    # [0, pair_end) contiguously — pair-live splats form a prefix of
+    # the band's candidates and compact saturation drops a suffix).
     pair_end = offs_p[:, 0] + jnp.minimum(
-        jnp.sum(counts_banded * (c_cum <= mc), axis=1), cg
+        jnp.max(jnp.where(kept, p_cum, 0), axis=1), cg
     )
     iota_n = jax.lax.broadcasted_iota(jnp.int32, counts_banded.shape, 1)
     last_owner = jnp.max(jnp.where(sel, iota_n, 0), axis=1)

@@ -218,6 +218,15 @@ def render_frame(
     if banded:
         if band_rows is None:
             band_rows = jnp.asarray(uniform_band_rows(config))
+        band_rows = jnp.asarray(band_rows)
+        # The emit, sort and ranges stages each derive the band count
+        # independently; a mismatched band_rows would silently disagree
+        # on segment boundaries and corrupt the frame.
+        if band_rows.shape != (config.sort_bands + 1,):
+            raise ValueError(
+                f"band_rows must have sort_bands + 1 = "
+                f"{config.sort_bands + 1} entries, got {band_rows.shape}"
+            )
         pairs, band_totals, band_splats = build_tile_pairs_banded(
             clip, colors, scene.opacities, config, capacity, band_rows,
             compact_capacity=compact_capacity, interpret=interpret,
@@ -288,8 +297,8 @@ def render_frame_multipass(
     rows_per = config.tiles_y // n_passes
     band_tiles = rows_per * config.tiles_x
     images = []
-    num_candidates = jnp.int32(0)
-    num_pairs = jnp.int32(0)
+    pass_candidates = []
+    pass_pairs = []
     for p in range(n_passes):
         lo = p * rows_per
         pairs = build_tile_pairs(
@@ -313,10 +322,20 @@ def render_frame_multipass(
             interpret=interpret,
         )
         images.append(tiles_to_image(tiles, config))
-        num_candidates = num_candidates + pairs.num_candidates
-        num_pairs = num_pairs + pairs.num_pairs
+        pass_candidates.append(pairs.num_candidates)
+        pass_pairs.append(pairs.num_pairs)
     image = jnp.concatenate(images, axis=0)
-    return image, dict(num_candidates=num_candidates, num_pairs=num_pairs)
+    pass_candidates = jnp.stack(pass_candidates)
+    pass_pairs = jnp.stack(pass_pairs)
+    # Per-pass counts let callers detect PER-PASS saturation: tile-row
+    # slabs are rarely uniform (center bands carry 2-3x the mean), so a
+    # pass can saturate while the totals look fine.
+    return image, dict(
+        num_candidates=pass_candidates.sum(),
+        num_pairs=pass_pairs.sum(),
+        pass_candidates=pass_candidates,
+        pass_pairs=pass_pairs,
+    )
 
 
 # Stage names exactly as the reference prints them at exit

@@ -88,13 +88,21 @@ class ViewerState:
         self.running = True
 
     def set_input(self, data: dict) -> None:
+        # Validate HERE (the HTTP handler thread, where a bad payload
+        # becomes a 400) — a malformed state reaching the render loop
+        # would crash the loop thread and kill the whole viewer.
         if not isinstance(data, dict):
             raise TypeError("input payload must be a JSON object")
-        state = InputState(
-            pointer=tuple(float(x) for x in data.get("pointer", (0.0, 0.0))),
-            buttons=str(data.get("buttons", "none")),
-            move=tuple(float(x) for x in data.get("move", (0.0, 0.0, 0.0))),
-        )
+        pointer = tuple(float(x) for x in data.get("pointer", (0.0, 0.0)))
+        move = tuple(float(x) for x in data.get("move", (0.0, 0.0, 0.0)))
+        buttons = str(data.get("buttons", "none"))
+        if len(pointer) != 2:
+            raise ValueError("pointer must be [x, y]")
+        if len(move) != 3:
+            raise ValueError("move must be [x, y, z]")
+        if buttons not in ("none", "left", "middle", "right"):
+            raise ValueError(f"unknown buttons value {buttons!r}")
+        state = InputState(pointer=pointer, buttons=buttons, move=move)
         with self.lock:
             self.input = state
 

@@ -136,13 +136,37 @@ def test_banded_image_matches_flat_dynamic_bands(setup):
 
 @pytest.mark.slow
 def test_banded_saturation_truncates_per_band(setup):
+    """Pair saturation (band totals > capacity/G) must TRUNCATE: every
+    emitted pair is one of the flat pipeline's pairs (regression: kept
+    pair-dry splats used to break the compacted p_incl row's
+    monotonicity and fabricate garbage pairs frame-wide — the count
+    alone cannot catch that, the garbage fills it exactly)."""
     scene, cam = setup
+    cfgf = RenderConfig(screen_size=128)
     cfgb = RenderConfig(screen_size=128, sort_bands=4)
-    img, aux = render_frame(scene, cam, cfgb, 1024, interpret=True)
-    totals = np.asarray(aux["band_totals"])
+    clip = project_splats(
+        scene.means, scene.scales, scene.quats, cam, cfgb,
+        opacities=scene.opacities,
+    )
+    colors = _splat_colors(scene, cam)
+    pf = build_tile_pairs(
+        clip, colors, scene.opacities, cfgf, 8192, interpret=True
+    )
+    pb, totals, _ = build_tile_pairs_banded(
+        clip, colors, scene.opacities, cfgb, 1024,
+        jnp.asarray(uniform_band_rows(cfgb)),
+        compact_capacity=4 * scene.padded_count,  # no compact saturation
+        interpret=True,
+    )
     per_band = 1024 // 4
-    expected = np.minimum(totals, per_band).sum()
-    assert int(aux["num_pairs"]) == int(expected)
+    totals = np.asarray(totals)
+    assert (totals > per_band).any()  # the fixture saturates some band
+    mb, mf = _pair_multiset(pb), _pair_multiset(pf)
+    assert sum(mb.values()) == int(np.minimum(totals, per_band).sum())
+    assert mb <= mf  # truncation only — no fabricated pairs
+
+    img, aux = render_frame(scene, cam, cfgb, 1024, interpret=True)
+    assert int(aux["num_pairs"]) == sum(mb.values())
     assert np.asarray(img)[..., 3].max() == 255  # still renders
 
 
@@ -236,3 +260,16 @@ def test_banded_fuzz_matches_flat(seed):
     )
     assert int(np.asarray(totals).max()) <= cap // g, "fixture saturated"
     assert _pair_multiset(pf) == _pair_multiset(pb)
+
+
+def test_band_rows_length_validated(setup):
+    """A band_rows whose length disagrees with config.sort_bands would
+    silently desynchronize the emit/sort/ranges segmenting — it must
+    raise instead."""
+    scene, cam = setup
+    cfgb = RenderConfig(screen_size=128, sort_bands=8)
+    with pytest.raises(ValueError, match="band_rows"):
+        render_frame(
+            scene, cam, cfgb, 8192,
+            band_rows=jnp.asarray([0, 4, 8], jnp.int32), interpret=True,
+        )

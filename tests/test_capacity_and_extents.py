@@ -159,5 +159,11 @@ def test_multipass_matches_single_pass():
     )
     assert int(aux1["num_candidates"]) == total
     assert int(aux1["num_pairs"]) == total  # nothing truncated
+    # Per-pass counts expose per-slab saturation to callers (the CLI
+    # warns on pass_pairs < pass_candidates).
+    assert np.asarray(aux1["pass_candidates"]).sum() == total
+    np.testing.assert_array_equal(
+        np.asarray(aux1["pass_pairs"]), np.asarray(aux1["pass_candidates"])
+    )
     d = np.abs(np.asarray(img0).astype(int) - np.asarray(img1).astype(int))
     assert (d > 2).any(axis=-1).mean() == 0.0

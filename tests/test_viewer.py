@@ -100,3 +100,26 @@ def test_viewer_serves_and_responds_to_input():
     t.join(60)
     assert not t.is_alive()
     assert holder["state"].frame_id > 0
+
+
+def test_set_input_validates_payload():
+    """Malformed /input payloads must be rejected in the handler thread
+    (-> HTTP 400), never reach the render loop (where a bad buttons
+    string or short pointer tuple would crash the whole viewer)."""
+    from cudagaussianrenderer_tpu.viewer import ViewerState
+
+    state = ViewerState()
+    state.set_input({"pointer": [1, 2], "buttons": "left", "move": [0, 0, 1]})
+    assert state.get_input().buttons == "left"
+    for bad in (
+        {"buttons": "lefty"},
+        {"pointer": [1]},
+        {"pointer": [1, 2, 3]},
+        {"move": [1]},
+        {"pointer": ["x", "y"]},
+        [1, 2],
+    ):
+        with pytest.raises((ValueError, TypeError)):
+            state.set_input(bad)
+    # the last good state survives rejected payloads
+    assert state.get_input().buttons == "left"
