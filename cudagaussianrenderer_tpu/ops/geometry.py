@@ -74,12 +74,20 @@ def ellipse_rect_overlap(cx, cy, cos_t, sin_t, e0, e1,
 CENTER_SCALE = 65535.0
 
 # 12-bit positive minifloat = bf16 with the exponent re-biased to cover
-# [2^-5, 2^27): value bits (exp5|mant7) = (f32_bits >> 16) - MF12_K.
-# Conic terms for a visible splat live in ~[2.25, 9e6] (radius 3 sigma
-# in clip units from ~2 down to a quarter pixel), comfortably inside.
+# [2^-8, 2^24): value bits (exp5|mant7) = (f32_bits >> 16) - MF12_K.
+# Range bounds, from the pipeline's own invariants:
+#   top: the anti-shrink trace bump (projection.py:172) floors the clip
+#     covariance eigenvalues at (1/pi)(2/S)^2, so conic terms are
+#     <= pi (S/2)^2 — 1.3e7 at the 4080 px screen cap (config.py's
+#     255-tiles-per-axis rule), inside 2^24.
+#   bottom: a camera flown close to a huge splat (3-sigma extent tens
+#     of clip units) produces conics below the old 2^-5 floor; clamping
+#     up overstates the density exponent.  At the 2^-8 floor the
+#     worst-case per-splat density error is 1 - exp(-2^-8 * 8 / 2)
+#     = 1.6% at the far screen corner (was 11.7% at 2^-5).
 # Precision equals bf16 (7 mantissa bits) — the packing already used
 # bf16 halves for the conic before the operand squeeze.
-MF12_K = (127 - 5) << 7
+MF12_K = (127 - 8) << 7
 
 
 def pack_rgb_u32(colors: jnp.ndarray) -> jnp.ndarray:

@@ -468,6 +468,14 @@ def rasterize_tiles(
     tpc = config.tiles_per_cell
     pixels = config.pixels_per_tile
     chunk = config.raster_chunk
+    if t % tpc != 0:
+        # Truncating would leave the last t % tpc tiles' output block
+        # uninitialized (config validates total_tiles only; band slices
+        # from multipass / tile-row sharding must divide too).
+        raise ValueError(
+            f"num_tiles ({t}) must be a multiple of tiles_per_cell "
+            f"({tpc}); use a tiles_per_cell that divides the band slice"
+        )
     num_cells = t // tpc
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -288,6 +288,13 @@ def render_frame_multipass(
         )
     if config.sort_bands > 1:
         raise ValueError("use sort_bands OR multipass, not both")
+    band_tiles_ = (config.tiles_y // n_passes) * config.tiles_x
+    if band_tiles_ % config.tiles_per_cell != 0:
+        raise ValueError(
+            f"per-pass tile count ({band_tiles_}) must be a multiple of "
+            f"tiles_per_cell ({config.tiles_per_cell}) — use fewer passes "
+            f"or a smaller tiles_per_cell"
+        )
     capacity_per_pass = round_capacity(capacity_per_pass, interpret)
     colors = _splat_colors(scene, camera_data)
     clip = project_splats(

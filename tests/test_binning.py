@@ -295,7 +295,7 @@ def test_sorted_attrs_match_value_gather(pipeline_state):
     qy = (np.clip((cy + 1.0) * 0.5, 0, 1) * 65535.0 + 0.5).astype(np.uint32)
 
     # Independent numpy replica of geometry.pack_conic_u32 / pack_rgba_u32.
-    MF12_K = (127 - 5) << 7
+    MF12_K = (127 - 8) << 7  # minifloat window [2^-8, 2^24), geometry.py
 
     def mf12(x):
         bits = np.asarray(x, np.float32).view(np.uint32)

@@ -84,6 +84,14 @@ def main():
             cfg=dict(screen_size=1024, sort_bands=16), capacity=1048576,
             ccap=16 * 1024,
         )),
+        # Tightened-margin guard for the 1-limb transmittance scan
+        # (raster.SCAN_LIMBS=1 rounds log(1-alpha) to one bf16 limb,
+        # measured worst-case 4 output LSBs): a dedicated scene at
+        # pix_tol=5 so numerics drift stacked on the reduced margin
+        # fails HERE before it eats the suite-wide pix_tol=8 budget.
+        ("scan-limb margin 128px", dict(
+            n=350, seed=4, cfg=dict(screen_size=128), pix_tol=5,
+        )),
     ]
     for name, c in cases:
         config = RenderConfig(**c["cfg"])
@@ -108,7 +116,7 @@ def main():
             assert int(np.asarray(aux["band_splats"]).max()) <= ccap // g, (
                 name, "band compaction saturated — raise case ccap")
         want = golden_render(scene_to_numpy(scene), cam.camera_data(), config)
-        check(name, got, want)
+        check(name, got, want, pix_tol=c.get("pix_tol", 8))
 
     if FAILURES:
         print(f"FAILED: {FAILURES}")
