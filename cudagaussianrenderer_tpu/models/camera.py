@@ -239,9 +239,18 @@ class Camera:
         (CameraControls.cpp:132-146)."""
         bmin = np.asarray(bounds_min, np.float32)
         bmax = np.asarray(bounds_max, np.float32)
-        size = bmax - bmin
-        center = bmin + size * 0.5
+        with np.errstate(invalid="ignore"):  # inf bounds -> NaN, guarded below
+            size = bmax - bmin
+            center = bmin + size * 0.5
         max_size = float(size.max())
+        if not np.isfinite(max_size) or max_size <= 0.0:
+            # Degenerate bounds (single-splat scene, or inf/NaN bounds):
+            # view the center from unit distance instead of letting the
+            # zero offset normalize to a NaN pose.
+            max_size = 1.0
+            center = np.where(np.isfinite(center), center, 0.0).astype(
+                np.float32
+            )
         offset = np.array([0.0, max_size * 0.5, max_size * 0.5], np.float32)
         offset /= np.linalg.norm(offset)
         dist = np.sqrt(2.0) * max_size * 0.5 / np.tan(self.fov_y * 0.5)

@@ -76,6 +76,8 @@ def parse_header(stream) -> Tuple[List[str], int]:
                 vertex_count = int(words[2])
             except ValueError:
                 raise PlyError("Unexpected element count.") from None
+            if vertex_count < 0:
+                raise PlyError("Unexpected element count.")
         elif word == "property":
             if len(words) < 2 or words[1] != "float":
                 raise PlyError("Unexpected property format, expected float.")
@@ -107,9 +109,18 @@ def parse_ply_columns(path_or_stream) -> Tuple[Dict[str, np.ndarray], int]:
     try:
         properties, n = parse_header(stream)
         p = len(properties)
-        body = stream.read(4 * n * p)
-        if len(body) != 4 * n * p:
+        # Read until full: raw/pipe streams may return less than
+        # requested from a single read() on perfectly valid data.
+        want = 4 * n * p
+        body = bytearray()
+        while len(body) < want:
+            chunk = stream.read(want - len(body))
+            if not chunk:
+                break
+            body.extend(chunk)
+        if len(body) != want:
             raise PlyError("Truncated vertex data.")
+        body = bytes(body)
         data = np.frombuffer(body, dtype="<f4").reshape(n, p)
         return {name: np.ascontiguousarray(data[:, j]) for j, name in enumerate(properties)}, n
     finally:
@@ -182,6 +193,10 @@ def load_gaussian_ply(path_or_stream, *, use_native: bool = True) -> GaussianSce
     missing = [p for p in REQUIRED_PROPS if p not in cols]
     if missing:
         raise PlyError(f'Missing property "{missing[0]}".')
+    if n == 0:
+        # An empty scene has no bounds (downstream min/max over zero
+        # rows) — reject with a clear message, like the native loader.
+        raise PlyError("Empty vertex element.")
 
     # f_rest_* discovery, in index order, stopping at the first gap.
     extra = 0
@@ -193,7 +208,10 @@ def load_gaussian_ply(path_or_stream, *, use_native: bool = True) -> GaussianSce
     # rot_0 is the scalar (w) part (PlyParser.cpp:294-304).
     quats_wxyz = np.stack([cols[f"rot_{i}"] for i in range(4)], axis=1)
     norms = np.linalg.norm(quats_wxyz, axis=1, keepdims=True)
-    quats_wxyz = quats_wxyz / norms
+    # An all-zero rot row has no direction to normalize: leave it raw
+    # (quantizing zeros), matching the native loader's norm > 0 guard —
+    # 0/0 would propagate NaN into the packed rotation.
+    quats_wxyz = np.where(norms > 0, quats_wxyz / np.maximum(norms, 1e-30), quats_wxyz)
     quats_xyzw = quats_wxyz[:, [1, 2, 3, 0]]
 
     scales = np.exp(np.stack([cols[f"scale_{i}"] for i in range(3)], axis=1))

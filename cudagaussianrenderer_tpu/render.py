@@ -529,11 +529,22 @@ class Renderer:
                     self.compact_capacity = self._round_banded(
                         min(2 * self.compact_capacity, self.MAX_CAPACITY)
                     )
+                # Banded capacity saturates PER BAND at its share of the
+                # MAX_CAPACITY clamp; the global candidates check above
+                # cannot see a single hot band hitting that ceiling
+                # (rebalancing cannot split a band below one tile row).
+                ceiling_per_band = (
+                    self._round_banded(self.MAX_CAPACITY) // self.n_bands
+                )
                 if self.adaptive_capacity:
                     self.capacity = self._bucket_banded(band_max)
                     self.saturated = False
+                    if band_max > ceiling_per_band:
+                        self._warn_capacity_ceiling(band_max * self.n_bands)
                 else:
                     self.saturated = band_max >= self.capacity // self.n_bands
+                    if self.saturated and self.capacity // self.n_bands >= ceiling_per_band:
+                        self._warn_capacity_ceiling(band_max * self.n_bands)
                 self._rebalance_bands(totals)
             elif self.adaptive_capacity:
                 self.capacity = self._bucket(candidates)

@@ -10,6 +10,7 @@
 //
 // Exposed as a plain C API consumed via ctypes (no pybind11 dependency).
 
+#include <cerrno>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -38,6 +39,14 @@ bool parse_header(FILE* f, Header* h, char* err, size_t errlen) {
       snprintf(err, errlen, "Invalid header. End not found.");
       return false;
     }
+    // A line longer than the buffer (legal for comments) would leave its
+    // tail to be re-parsed as fresh header lines; consume it here so one
+    // file line is always one parsed line.
+    if (!strchr(line, '\n') && !feof(f)) {
+      int ch;
+      while ((ch = fgetc(f)) != EOF && ch != '\n') {
+      }
+    }
     char w0[64] = {0}, w1[256] = {0}, w2[256] = {0};
     int n = sscanf(line, "%63s %255s %255s", w0, w1, w2);
     if (n < 1) {
@@ -56,7 +65,16 @@ bool parse_header(FILE* f, Header* h, char* err, size_t errlen) {
         snprintf(err, errlen, "Unexpected element count.");
         return false;
       }
-      h->vertex_count = atol(w2);
+      // Strict parse: atol would silently map garbage to 0 and overflow
+      // to LONG_MAX (feeding unchecked allocation sizes downstream).
+      char* end = nullptr;
+      errno = 0;
+      long count = strtol(w2, &end, 10);
+      if (errno || end == w2 || *end != '\0' || count < 0) {
+        snprintf(err, errlen, "Unexpected element count.");
+        return false;
+      }
+      h->vertex_count = count;
     } else if (!strcmp(w0, "property")) {
       if (n < 2 || strcmp(w1, "float")) {
         snprintf(err, errlen, "Unexpected property format, expected float.");
@@ -140,6 +158,26 @@ int gsply_load(const char* path, GsplyScene* s) {
   const long n = h.vertex_count;
   const size_t props = h.properties.size();
 
+  // Bound the claimed count by what the file can actually hold BEFORE
+  // sizing any allocation (a hostile header can claim LONG_MAX vertices;
+  // sizeof(float) * 3 * n would wrap and malloc a tiny buffer).
+  if (fseek(f, 0, SEEK_END) != 0) {
+    snprintf(s->error, sizeof s->error, "cannot seek %s", path);
+    fclose(f);
+    return 1;
+  }
+  const long long file_size = ftell(f);
+  fseek(f, h.body_offset, SEEK_SET);
+  const unsigned long long body_bytes =
+      (unsigned long long)n * props * sizeof(float);
+  if (props == 0 || (unsigned long long)n > (1ull << 40) ||
+      body_bytes / props / sizeof(float) != (unsigned long long)n ||
+      body_bytes > (unsigned long long)(file_size - h.body_offset)) {
+    snprintf(s->error, sizeof s->error, "Truncated vertex data.");
+    fclose(f);
+    return 1;
+  }
+
   auto index_of = [&](const char* name) -> int {
     for (size_t i = 0; i < props; ++i)
       if (h.properties[i] == name) return (int)i;
@@ -157,6 +195,13 @@ int gsply_load(const char* path, GsplyScene* s) {
       fclose(f);
       return 1;
     }
+  }
+  // After the property diagnosis (same precedence as the Python
+  // importer): an empty scene has no bounds — reject it.
+  if (n == 0) {
+    snprintf(s->error, sizeof s->error, "Empty vertex element.");
+    fclose(f);
+    return 1;
   }
 
   // f_rest_* discovery (stop at the first gap), degree inference:
@@ -194,6 +239,13 @@ int gsply_load(const char* path, GsplyScene* s) {
   s->opacities = (float*)malloc(sizeof(float) * n);
   s->colors = (float*)malloc(sizeof(float) * 3 * n);
   s->sh = degree ? (float*)malloc(sizeof(float) * 3 * k * n) : nullptr;
+  if (!s->means || !s->scales || !s->quats || !s->opacities || !s->colors ||
+      (degree && !s->sh)) {
+    fclose(f);
+    gsply_release(s);
+    snprintf(s->error, sizeof s->error, "Out of memory (%ld vertices).", n);
+    return 1;
+  }
 
   float bmin[3] = {INFINITY, INFINITY, INFINITY};
   float bmax[3] = {-INFINITY, -INFINITY, -INFINITY};
@@ -205,9 +257,11 @@ int gsply_load(const char* path, GsplyScene* s) {
   while (done < n) {
     size_t take = (size_t)((n - done < (long)CHUNK) ? n - done : (long)CHUNK);
     if (fread(buf.data(), sizeof(float), take * props, f) != take * props) {
-      snprintf(s->error, sizeof s->error, "Truncated vertex data.");
       fclose(f);
+      // release memsets the whole struct — write the error AFTER it or
+      // the caller reads an empty message.
       gsply_release(s);
+      snprintf(s->error, sizeof s->error, "Truncated vertex data.");
       return 1;
     }
     for (size_t r = 0; r < take; ++r) {

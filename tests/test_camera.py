@@ -100,3 +100,20 @@ def test_release_returns_to_idle_anchor_tracking():
     c.update(InputState(pointer=(256.0, 256.0), buttons="left"), dt=0.016)
     c.update(InputState(pointer=(256.0, 256.0), buttons="none"), dt=0.016)
     assert c.mode == "none"
+
+
+def test_framed_degenerate_bounds_stays_finite():
+    """A single-splat scene (bounds_min == bounds_max) or inf bounds
+    must not produce a 0/0 NaN camera pose — framed() falls back to
+    viewing the center from unit distance."""
+    cam = Camera(aspect=1.0).framed([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])
+    assert np.isfinite(cam.position).all()
+    assert np.isfinite(cam.rotation).all()
+    d = cam.camera_data()
+    assert all(np.isfinite(np.asarray(v)).all() for v in d.values())
+
+    cam2 = Camera(aspect=1.0).framed(
+        [np.inf, np.inf, np.inf], [-np.inf, -np.inf, -np.inf]
+    )
+    assert np.isfinite(cam2.position).all()
+    assert np.isfinite(cam2.rotation).all()

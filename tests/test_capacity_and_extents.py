@@ -167,3 +167,34 @@ def test_multipass_matches_single_pass():
     )
     d = np.abs(np.asarray(img0).astype(int) - np.asarray(img1).astype(int))
     assert (d > 2).any(axis=-1).mean() == 0.0
+
+
+@pytest.mark.slow
+def test_banded_per_band_ceiling_warns(monkeypatch):
+    """Banded capacity saturates PER BAND at MAX_CAPACITY / G; a single
+    hot band hitting that ceiling must warn even when the GLOBAL
+    candidate count is below MAX_CAPACITY (regression: the global check
+    alone left per-band ceiling truncation permanently silent)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    scene = random_scene(400, seed=9)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    # Squash the splats into a thin horizontal stripe in one band's rows
+    # (the camera keeps the ORIGINAL framing): one band carries ~3x the
+    # other, and a band cannot be rebalanced below one tile row.
+    m = np.asarray(scene.means).copy()
+    m[1] = m[1] * 0.05 + 2.0
+    scene = dataclasses.replace(scene, means=jnp.asarray(m))
+
+    config = RenderConfig(screen_size=128, sort_bands=2)
+    monkeypatch.setattr(Renderer, "MAX_CAPACITY", 2560)
+    r = Renderer(scene, config)
+
+    with pytest.warns(RuntimeWarning, match="capacity ceiling"):
+        img = r.render(cam)
+    # The global count stays below the ceiling — only the per-band
+    # check can have fired — and the frame still renders (truncated).
+    assert r.last_candidates <= r.MAX_CAPACITY
+    assert img[..., 3].max() == 255

@@ -60,3 +60,74 @@ def test_native_error_messages(tmp_path):
     )
     with pytest.raises(PlyError, match="Missing property"):
         load_gaussian_ply(bad, use_native=True)
+
+
+@pytest.mark.skipif(not native_available(), reason="libgsply.so not built")
+def test_native_rejects_hostile_and_malformed_counts(scene_file, tmp_path):
+    """Header-count hardening: a claimed count the file cannot hold must
+    error cleanly BEFORE sizing any allocation (a LONG_MAX count used to
+    overflow sizeof(float)*3*n and write through a wild pointer), and
+    non-numeric / zero counts must error like the Python importer
+    instead of silently loading an empty scene."""
+    good = scene_file.read_bytes()
+    for count, match in [
+        (b"9223372036854775807", "Truncated vertex data"),
+        (b"99999999999999999999", "Unexpected element count"),  # > LONG_MAX
+        (b"garbage", "Unexpected element count"),
+        (b"-5", "Unexpected element count"),
+        (b"0", "Empty vertex element"),
+    ]:
+        bad = tmp_path / "bad_count.ply"
+        bad.write_bytes(good.replace(b"element vertex 64", b"element vertex " + count))
+        with pytest.raises(PlyError, match=match):
+            load_gaussian_ply(bad, use_native=True)
+
+
+@pytest.mark.skipif(not native_available(), reason="libgsply.so not built")
+def test_native_truncated_body_keeps_message(scene_file, tmp_path):
+    """Regression: the truncated-data error path used to release (memset)
+    the scene struct AFTER writing the message, raising an empty-string
+    PlyError for the most common malformed-file case."""
+    good = scene_file.read_bytes()
+    bad = tmp_path / "truncated.ply"
+    bad.write_bytes(good[: len(good) - 64])
+    with pytest.raises(PlyError, match="Truncated vertex data"):
+        load_gaussian_ply(bad, use_native=True)
+
+
+@pytest.mark.skipif(not native_available(), reason="libgsply.so not built")
+def test_native_long_comment_line(scene_file, tmp_path):
+    """A header line longer than the parser's 512-byte buffer (legal for
+    comments) must be consumed as ONE line — the tail used to be
+    re-parsed as fresh header lines (a tail starting 'element vertex 0'
+    silently overrode the real count)."""
+    good = scene_file.read_bytes()
+    marker = b"format binary_little_endian 1.0\n"
+    long_comment = b"comment " + b"y" * 600 + b"element vertex 0\n"
+    bad = tmp_path / "long_comment.ply"
+    bad.write_bytes(good.replace(marker, marker + long_comment))
+    scene = load_gaussian_ply(bad, use_native=True)
+    assert scene.count == 64  # the real count, not the comment's tail
+
+
+@pytest.mark.skipif(not native_available(), reason="libgsply.so not built")
+def test_zero_norm_quat_parity(tmp_path):
+    """An all-zero rot row has no direction: both loaders must leave it
+    raw (quantized zeros) rather than emit 0/0 NaN rotations."""
+    n = 4
+    rng = np.random.default_rng(3)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats[1] = 0.0
+    path = tmp_path / "zero_quat.ply"
+    write_gaussian_ply(
+        path,
+        rng.normal(size=(n, 3)).astype(np.float32),
+        rng.normal(size=(n, 3)).astype(np.float32),
+        quats,
+        rng.normal(size=n).astype(np.float32),
+        rng.normal(size=(n, 3)).astype(np.float32),
+        None,
+    )
+    native = load_gaussian_ply(path, use_native=True)
+    python = load_gaussian_ply(path, use_native=False)
+    np.testing.assert_array_equal(np.asarray(native.quats), np.asarray(python.quats))

@@ -154,3 +154,47 @@ def test_bad_sh_count_rejected():
     buf, _ = _make_scene_bytes(n=4, degree=0, extra=extra)
     with pytest.raises(PlyError, match="Expected degree"):
         load_gaussian_ply(buf)
+
+
+def test_header_rejects_negative_count():
+    data = (
+        b"ply\nformat binary_little_endian 1.0\nelement vertex -3\n"
+        b"property float x\nend_header\n"
+    )
+    with pytest.raises(PlyError, match="Unexpected element count"):
+        parse_header(io.BytesIO(data))
+
+
+def test_empty_vertex_element_rejected():
+    """An n=0 scene has no bounds; the typed importer rejects it with a
+    clear message (matching the native loader) instead of crashing on
+    an empty min/max downstream."""
+    buf, _ = _make_scene_bytes(n=1)
+    data = buf.getvalue().replace(b"element vertex 1", b"element vertex 0")
+    with pytest.raises(PlyError, match="Empty vertex element"):
+        load_gaussian_ply(io.BytesIO(data[: data.index(b"end_header\n") + 11]))
+
+
+class _DribbleStream(io.RawIOBase):
+    """read() returns at most 7 bytes per call — models raw/pipe streams
+    where one read() syscall returns less than requested."""
+
+    def __init__(self, data):
+        self._buf = io.BytesIO(data)
+
+    def read(self, n=-1):
+        return self._buf.read(min(n, 7) if n is not None and n >= 0 else 7)
+
+    def readline(self, *a):
+        return self._buf.readline(*a)
+
+
+def test_short_read_streams_load_fully():
+    """Regression: a single stream.read(4*n*p) was assumed complete; a
+    dribbling stream made valid files raise 'Truncated vertex data.'"""
+    buf, ref = _make_scene_bytes(n=16)
+    scene = load_gaussian_ply(_DribbleStream(buf.getvalue()))
+    assert scene.count == 16
+    np.testing.assert_allclose(
+        np.asarray(scene.means).T, ref["means"], rtol=1e-6
+    )
