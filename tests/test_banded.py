@@ -261,6 +261,25 @@ def test_banded_fuzz_matches_flat(seed):
     assert int(np.asarray(totals).max()) <= cap // g, "fixture saturated"
     assert _pair_multiset(pf) == _pair_multiset(pb)
 
+    # Saturated replay of the SAME random frame: a small pair capacity
+    # forces pair saturation in at least one band; emitted pairs must be
+    # a subset of the flat pipeline's pairs at the per-band clamped
+    # count (the round-4 corruption class: garbage pairs matching the
+    # count exactly).
+    grain = 128 * g
+    totals_np = np.asarray(totals)
+    small = max(grain, int(totals_np.max()) * g // 2 // grain * grain)
+    pb_s, totals_s, _ = build_tile_pairs_banded(
+        clip, colors, scene.opacities, cfgb, small, band_rows,
+        compact_capacity=g * scene.padded_count, interpret=True,
+    )
+    totals_s = np.asarray(totals_s)
+    np.testing.assert_array_equal(totals_s, totals_np)  # capacity-independent
+    assert (totals_s > small // g).any(), "saturated replay fixture too big"
+    mb = _pair_multiset(pb_s)
+    assert sum(mb.values()) == int(np.minimum(totals_s, small // g).sum())
+    assert mb <= _pair_multiset(pf)
+
 
 def test_band_rows_length_validated(setup):
     """A band_rows whose length disagrees with config.sort_bands would
