@@ -612,7 +612,8 @@ def _compact_kernel(
                        stage's block-start histogram)
     with E = nblocks + 1, G = n_bands.
     pfx rows: [0] c_incl (virtual compact-slot cumsum), [1] p_excl,
-    [2] p_incl.
+    [2] p_incl, [3] dup of p_incl (pads the sublane dim to the f32
+    DMA tile of 4).
     """
     step = pl.program_id(0)
     E = nblocks + 1
@@ -706,7 +707,8 @@ def _compact_kernel(
                     wait_dmas(slot, a0, g, wi)
 
                 win = win_buf[slot]   # [16, W] source rows (0-1 unused)
-                pfx = pfx_buf[slot]   # [3, W] c_incl / p_excl / p_incl
+                # [4, W]: c_incl / p_excl / p_incl / dup (DMA alignment)
+                pfx = pfx_buf[slot]
                 cinc = pfx[0:1, :].astype(jnp.int32)
                 has_pairs = pfx[1:2, :] != pfx[2:3, :]
                 match = ((j_sub == cinc - 1) & has_pairs).astype(jnp.bfloat16)
@@ -992,10 +994,14 @@ def emit_pairs_banded(
 
     # Tails: c_incl pads with its edge (monotone), the pair rows pad
     # with the band's final p_incl so pad columns have excl == incl.
+    # Row 3 duplicates row 2 purely for DMA alignment: Mosaic requires
+    # an HBM slice's sublane extent to be a multiple of the f32 tile
+    # (4); a [3, W] window DMA fails to compile on hardware.
     pfx = _stackk(
         [
             pad_band(c_incl_v, c_incl_v[:, -1:]),
             pad_band(p_excl_v, p_incl_v[:, -1:]),
+            pad_band(p_incl_v, p_incl_v[:, -1:]),
             pad_band(p_incl_v, p_incl_v[:, -1:]),
         ],
         interpret,
@@ -1049,7 +1055,7 @@ def emit_pairs_banded(
             ],
             scratch_shapes=[
                 pltpu.VMEM((6, 16, WINDOW), jnp.float32),
-                pltpu.VMEM((6, 3, WINDOW), jnp.float32),
+                pltpu.VMEM((6, 4, WINDOW), jnp.float32),
                 pltpu.SemaphoreType.DMA((6,)),
                 pltpu.SemaphoreType.DMA((6,)),
             ],
