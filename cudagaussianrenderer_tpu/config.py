@@ -67,13 +67,13 @@ class RenderConfig:
     stable_sort: bool = False
 
     # --- band-segmented sort ---
-    # G > 1 emits the pair list band-major over G tile-row bands and
-    # sorts it as a batched [G, capacity/G] lax.sort — far fewer bitonic
-    # passes than the flat sort (measured 2-4.7x cheaper per pair at
-    # G >= 64 segments, docs/PERF_NOTES.md).  Renderer rebalances band
-    # boundaries toward equal pair counts each frame and (optionally)
-    # re-orders splats by center tile row for emit-kernel window
-    # locality.  0/1 = flat sort (the reference's single cub dispatch,
+    # G > 1 emits the pair list band-major over G tile-row bands (via an
+    # in-frame MXU band compaction) and sorts it as a batched
+    # [G, capacity/G] lax.sort.  MEASURED NEGATIVE on hardware: the
+    # compaction pass costs ~7x the flat build and the banded frame runs
+    # 1.8-2.5x slower at every G (round-4 capture, docs/PERF_NOTES.md);
+    # retained as a correct, tested reference formulation.  0/1 = flat
+    # sort, the production default (the reference's single cub dispatch,
     # GaussianRender.cu:804-855).
     sort_bands: int = 0
 
