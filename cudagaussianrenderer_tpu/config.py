@@ -102,7 +102,10 @@ class RenderConfig:
     # jnp reference rasterizer (slow, for testing).
     use_pallas_raster: bool = True
     # Tiles processed per Pallas grid step (amortizes per-step overhead).
-    tiles_per_cell: int = 8
+    # None auto-selects the largest of 16/8/4/2/1 dividing the tile count
+    # (16 measured fastest at 1024^2: 6.40 vs 6.49 ms at 8, round-4
+    # hardware capture; tiny screens fall back gracefully).
+    tiles_per_cell: Optional[int] = None
 
     # --- numerics (reference: GaussianRender.cu:267-307) ---
     # Epsilon guarding the eigenvalue radius and conic inverse determinant.
@@ -128,15 +131,16 @@ class RenderConfig:
         # lexicographic (tile, depth) sort instead.
         if self.depth_bits == 19 and self.total_tiles > 8191:
             object.__setattr__(self, "depth_bits", 32)
-        if self.total_tiles % self.tiles_per_cell != 0:
-            raise ValueError("tiles_per_cell must divide the tile count")
+        if self.tiles_per_cell is not None:
+            if self.total_tiles % self.tiles_per_cell != 0:
+                raise ValueError("tiles_per_cell must divide the tile count")
         if (
             self.raster_chunk < 128
             or self.raster_chunk % 128 != 0
             or self.raster_chunk & (self.raster_chunk - 1)
         ):
             raise ValueError("raster_chunk must be a power-of-two multiple of 128")
-        if self.tiles_per_cell < 1:
+        if self.tiles_per_cell is not None and self.tiles_per_cell < 1:
             raise ValueError("tiles_per_cell must be >= 1")
         if self.sort_bands < 0 or self.sort_bands > self.tiles_y:
             raise ValueError("sort_bands must be in [0, tiles_y]")
@@ -174,6 +178,18 @@ class RenderConfig:
     def total_tiles(self) -> int:
         """Total tile count (reference: Consts.h:7)."""
         return self.tiles_x * self.tiles_y
+
+    def cell_tiles(self, num_tiles: Optional[int] = None) -> int:
+        """Raster tiles per Pallas grid step for a ``num_tiles`` grid
+        (default: the full screen).  An explicit ``tiles_per_cell`` is
+        honored strictly (callers validate divisibility and error);
+        the None default auto-selects the largest of 16/8/4/2/1 that
+        divides ``num_tiles``, so full frames, multipass band slices
+        and per-device tile-row shards each adapt independently."""
+        t = self.total_tiles if num_tiles is None else num_tiles
+        if self.tiles_per_cell is not None:
+            return self.tiles_per_cell
+        return next(d for d in (16, 8, 4, 2, 1) if t % d == 0)
 
     @property
     def pixels_per_tile(self) -> int:

@@ -140,8 +140,8 @@ def _raster_kernel(
     sems,          # DMA semaphores (2,)
     *,
     config: RenderConfig,
+    tpc: int,
 ):
-    tpc = config.tiles_per_cell
     chunk = config.raster_chunk
     tile_size = config.tile_size
     pixels = tile_size * tile_size
@@ -465,13 +465,15 @@ def rasterize_tiles(
     Returns [num_tiles, pixels_per_tile, 4] float32 (r, g, b, coverage).
     """
     t = num_tiles if num_tiles is not None else config.total_tiles
-    tpc = config.tiles_per_cell
+    tpc = config.cell_tiles(t)
     pixels = config.pixels_per_tile
     chunk = config.raster_chunk
     if t % tpc != 0:
         # Truncating would leave the last t % tpc tiles' output block
         # uninitialized (config validates total_tiles only; band slices
-        # from multipass / tile-row sharding must divide too).
+        # from multipass / tile-row sharding must divide too — only an
+        # EXPLICIT tiles_per_cell can reach here, the auto default
+        # always divides).
         raise ValueError(
             f"num_tiles ({t}) must be a multiple of tiles_per_cell "
             f"({tpc}); use a tiles_per_cell that divides the band slice"
@@ -483,7 +485,7 @@ def rasterize_tiles(
         tile_row_offset = 0
     rowoff = jnp.asarray(tile_row_offset, jnp.int32).reshape(1)
 
-    kernel = functools.partial(_raster_kernel, config=config)
+    kernel = functools.partial(_raster_kernel, config=config, tpc=tpc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # starts, counts, row offset live in SMEM
         grid=(num_cells,),

@@ -167,7 +167,9 @@ def _validate(config: RenderConfig, mesh: Mesh, axis: str, scene: GaussianScene)
             f"by the device count ({n_dev}) for tile-row sharding"
         )
     band_tiles = (config.tiles_y // n_dev) * config.tiles_x
-    if band_tiles % config.tiles_per_cell != 0:
+    if band_tiles % config.cell_tiles(band_tiles) != 0:
+        # Only reachable with an EXPLICIT tiles_per_cell (the auto
+        # default adapts to the per-device band).
         raise ValueError(
             f"per-device tile band ({band_tiles} tiles) must be divisible by "
             f"tiles_per_cell ({config.tiles_per_cell})"

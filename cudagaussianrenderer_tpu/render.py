@@ -289,7 +289,9 @@ def render_frame_multipass(
     if config.sort_bands > 1:
         raise ValueError("use sort_bands OR multipass, not both")
     band_tiles_ = (config.tiles_y // n_passes) * config.tiles_x
-    if band_tiles_ % config.tiles_per_cell != 0:
+    if band_tiles_ % config.cell_tiles(band_tiles_) != 0:
+        # Only reachable with an EXPLICIT tiles_per_cell (the auto
+        # default adapts to the pass slice).
         raise ValueError(
             f"per-pass tile count ({band_tiles_}) must be a multiple of "
             f"tiles_per_cell ({config.tiles_per_cell}) — use fewer passes "

@@ -51,7 +51,15 @@ def test_one_tile_screen():
 
 def test_tiles_per_cell_must_divide():
     with pytest.raises(ValueError):
-        RenderConfig(screen_size=16)  # default tiles_per_cell=8 > 1 tile
+        RenderConfig(screen_size=16, tiles_per_cell=8)  # 8 > 1 tile
+    # The default auto-selects the largest of 16/8/4/2/1 that divides
+    # the grid it rasterizes (hardware-measured optimum at 1024^2 is
+    # 16), per-context: full screens, multipass slices and per-device
+    # tile-row bands each resolve independently.
+    assert RenderConfig(screen_size=16).cell_tiles() == 1
+    assert RenderConfig(screen_size=1024).cell_tiles() == 16
+    assert RenderConfig(screen_size=128).cell_tiles(8) == 8  # 8-tile shard
+    assert RenderConfig(screen_size=128, tiles_per_cell=4).cell_tiles(8) == 4
 
 
 @pytest.mark.slow
