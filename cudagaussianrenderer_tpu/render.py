@@ -628,7 +628,11 @@ class Renderer:
         This is the analog of the reference's CudaTimer bracketing of every
         launch (Utilities.h:155-187, Demo.cpp:432-476); like the reference
         it serializes stage boundaries, so the total exceeds the fused
-        whole-frame time.
+        whole-frame time.  On a remote runtime each stage additionally
+        pays the dispatch round-trip (~30-40 ms through the axon tunnel)
+        — bench.py's scan-amortized stage table is the accurate per-stage
+        source; this report is for relative regressions and parity with
+        the reference's output format.
         """
         scene, cam = self.scene, camera.camera_data()
 
@@ -639,9 +643,14 @@ class Renderer:
         def timed(name, fn, *args):
             t0 = time.perf_counter()
             out = fn(*args)
-            # Materialize one leaf: block_until_ready alone is unreliable
-            # through remote runtimes.
-            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            # Materialize ONE element of one leaf: the slice dispatch
+            # queues behind the stage, so fetching it waits for the full
+            # stage to finish (block_until_ready alone is unreliable
+            # through remote runtimes) — while np.asarray of the whole
+            # leaf would pull megabytes through a remote tunnel and time
+            # the transfer instead of the stage.
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
             dt = (time.perf_counter() - t0) * 1e3
             stages[name] = stages.get(name, 0.0) + dt
             return out
