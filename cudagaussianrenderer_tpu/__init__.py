@@ -19,6 +19,7 @@ Quick start::
 """
 
 from .config import RenderConfig
+from .diff import DiffSplats, fit, from_scene, render_diff, to_scene
 from .models.camera import Camera, CameraController, InputState, orbit_cameras
 from .models.scene import GaussianScene, random_scene, scene_from_arrays
 from .ply import load_gaussian_ply, write_gaussian_ply
@@ -27,16 +28,21 @@ from .render import Renderer, render_frame, render_frame_multipass
 __all__ = [
     "Camera",
     "CameraController",
+    "DiffSplats",
     "GaussianScene",
     "InputState",
     "RenderConfig",
     "Renderer",
+    "fit",
+    "from_scene",
     "load_gaussian_ply",
     "orbit_cameras",
     "random_scene",
+    "render_diff",
     "render_frame",
     "render_frame_multipass",
     "scene_from_arrays",
+    "to_scene",
     "write_gaussian_ply",
 ]
 

@@ -273,6 +273,68 @@ def cmd_interactive(args):
     print(f"ran {frame} interactive frames -> {out}", file=sys.stderr)
 
 
+def cmd_fit(args):
+    """Fit a splat scene to rendered target views by gradient descent —
+    the differentiable-rendering demo (diff.py).  The CUDA reference is
+    forward-only; on TPU the backward pass comes from jax autodiff.
+
+    Targets are orbit views of the input scene rendered by the
+    PRODUCTION pipeline; the fit starts from random splats in the same
+    bounds and optimizes means/scales/rotations/opacities/colors.  The
+    fitted scene is written as a standard .ply (loadable by this CLI
+    and by the reference).
+    """
+    from . import diff
+    from .models.camera import orbit_cameras
+    from .render import Renderer, round_capacity
+    from .utils.png import write_png
+
+    renderer, camera, scene, config = _build(args)
+    cams = orbit_cameras(
+        scene.bounds_min, scene.bounds_max, args.views, aspect=config.aspect
+    )
+    print(f"rendering {args.views} target views...", file=sys.stderr)
+    targets = [renderer.render(c)[..., :3] for c in cams]
+    cam_data = [c.camera_data() for c in cams]
+
+    params = diff.random_init(
+        args.splats, scene.bounds_min, scene.bounds_max,
+        seed=args.seed, scale=args.init_scale,
+    )
+    capacity = round_capacity(args.capacity or 16 * args.splats)
+    if args.k_max:
+        k_max = args.k_max
+    else:
+        structure = diff.build_structure(
+            params, cam_data[0], config, capacity
+        )
+        k_max = max(128, 2 * diff.max_tile_count(structure))
+    print(
+        f"fitting {args.splats} splats, capacity {capacity}, "
+        f"k_max {k_max}, {args.steps} steps...",
+        file=sys.stderr,
+    )
+    t0 = time.perf_counter()
+    params, losses = diff.fit(
+        params, cam_data, targets, config,
+        capacity=capacity, k_max=k_max, steps=args.steps,
+        learning_rate=args.lr, log_every=max(1, args.steps // 10),
+    )
+    dt = time.perf_counter() - t0
+    print(
+        f"fit: loss {losses[0]:.5f} -> {losses[-1]:.5f} in {dt:.1f}s "
+        f"({1e3 * dt / args.steps:.1f} ms/step incl. compile)",
+        file=sys.stderr,
+    )
+
+    diff.write_fitted_ply(args.output, params)
+    print(f"wrote {args.output}", file=sys.stderr)
+    if args.preview:
+        img = Renderer(diff.to_scene(params), config).render(cams[0])
+        write_png(args.preview, img)
+        print(f"wrote {args.preview}", file=sys.stderr)
+
+
 def cmd_serve(args):
     """Live interactive viewer: the reference's GLFW window + event loop
     (Demo.cpp:196-237, 484-525) as a dependency-free HTTP server — open
@@ -331,6 +393,28 @@ def main(argv=None):
     p.add_argument("--realtime", action="store_true", help="sleep to the frame cap")
     _add_common(p)
     p.set_defaults(fn=cmd_interactive)
+
+    p = sub.add_parser(
+        "fit",
+        help="fit splats to rendered views by gradient descent (diff.py)",
+    )
+    p.add_argument("scene", nargs="?", default=None)
+    p.add_argument("-o", "--output", default="fitted.ply")
+    p.add_argument("--preview", default=None, metavar="PNG",
+                   help="also render the fitted scene to PNG")
+    p.add_argument("--splats", type=int, default=2000,
+                   help="splat count of the fitted model")
+    p.add_argument("--views", type=int, default=6,
+                   help="orbit target views")
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--capacity", type=int, default=None,
+                   help="pair-structure capacity (default 16x splats)")
+    p.add_argument("--k-max", type=int, default=None,
+                   help="static per-tile pair cap (default: probed)")
+    p.add_argument("--init-scale", type=float, default=0.1)
+    _add_common(p)
+    p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser(
         "serve",

@@ -1,0 +1,530 @@
+"""Differentiable rendering — gradients through the splat pipeline.
+
+The CUDA reference is a forward-only viewer; training a scene against it
+means hand-writing backward kernels (the upstream 3DGS codebase carries
+~2k lines of CUDA backward).  On TPU the framework is jax, so the
+backward pass is free: this module exposes the render as a function of
+raw splat parameters that `jax.grad` differentiates end-to-end, enabling
+scene fitting / 3DGS-style training against rendered targets — a
+capability the reference (/root/reference/src/GaussianRender.cu, forward
+only) does not have.
+
+Design — structure/value split (the standard 3DGS autodiff treatment,
+and the only one that makes sense under XLA's static shapes):
+
+- The pair STRUCTURE (which (tile, splat) pairs exist, their
+  front-to-back order, the per-tile ranges) is discrete; it comes from
+  the production pipeline — projection -> exact binning -> variadic
+  sort carrying the splat indices (`ops.sorting.sort_pairs(...,
+  with_values=True)`) -> histogram ranges — under `stop_gradient`.
+- The pair VALUES (clip center, conic, color, opacity per splat) are
+  recomputed differentiably at full f32 (none of the production sort
+  operand packing: geometry.py's 16/12/8-bit quantizers have no useful
+  gradients) and gathered per sorted pair.
+- Blending runs in the log domain (exclusive cumsum of log1p(-alpha)),
+  mirroring the production raster's log-domain scan (ops/raster.py) —
+  smooth, and its gradient is exact for alpha < 1 (alpha is clamped to
+  ``alpha_max`` so the 1/(1-alpha) backward term stays finite; the
+  forward-value deviation is below one 8-bit output level).
+
+Gradients flow to: means, scales, rotations (full-precision float
+quaternions — `project_splats(quat_components=...)` bypasses the
+reference's 8-bit packed decode), opacities, colors and SH coefficients.
+Binning truncation (which tiles a splat touches) and depth ORDER are
+treated as locally constant, exactly like the reference 3DGS backward.
+
+Parameters are carried unconstrained (`DiffSplats`: log-scales, opacity
+logits, unnormalized quaternions) so any optimizer step stays feasible;
+`from_scene` / `to_scene` convert to and from the production
+`GaussianScene` (and from there to .ply via ply.write_ply).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RenderConfig
+from .models.scene import GaussianScene, scene_from_arrays
+from .ops.binning import build_tile_pairs
+from .ops.projection import SplatClipData, project_splats
+from .ops.ranges import tile_ranges
+from .ops.sh import evaluate_sh_colors, num_sh_coeffs
+from .ops.sorting import sort_pairs
+from .utils.quantize import decode_quat_components
+
+
+class DiffSplats(NamedTuple):
+    """Unconstrained splat parameters (all leaves differentiable).
+
+    means:          [3, N] world centers (same planar layout as
+                    GaussianScene).
+    log_scales:     [3, N] log of the per-axis std-dev.
+    quats:          [4, N] UNNORMALIZED (x, y, z, w) rows; normalized in
+                    the forward pass (the production path deliberately
+                    skips normalization to match the reference,
+                    projection.py:106; here it is required so rotation
+                    gradients stay on the quaternion sphere).
+    opacity_logits: [N]; opacity = sigmoid(logits).
+    colors:         [3, N] raw; color = clip(colors, 0, 1).  Ignored
+                    when ``sh`` is present.
+    sh:             [3, K, N] SH coefficients or None; color =
+                    clip(basis . sh + 0.5, 0, 1) exactly like the
+                    production stage A (ops/sh.py).  The degree is
+                    derived from K (a static shape under jit).
+    """
+
+    means: jnp.ndarray
+    log_scales: jnp.ndarray
+    quats: jnp.ndarray
+    opacity_logits: jnp.ndarray
+    colors: jnp.ndarray
+    sh: Optional[jnp.ndarray] = None
+
+    @property
+    def sh_degree(self) -> int:
+        if self.sh is None:
+            return 0
+        return int(math.isqrt(self.sh.shape[1])) - 1
+
+
+class PairStructure(NamedTuple):
+    """Frozen (stop-gradient) pair structure for one camera.
+
+    sids:   [C] int32 splat index per sorted pair (-1 on sentinel slots).
+    starts: [T] int32 first pair slot of each tile.
+    counts: [T] int32 pairs per tile.
+    num_candidates: scalar int32 — exact candidate count (saturation
+        check: > C means the frame rendered with a truncated list).
+    """
+
+    sids: jnp.ndarray
+    starts: jnp.ndarray
+    counts: jnp.ndarray
+    num_candidates: jnp.ndarray
+
+
+def from_scene(scene: GaussianScene, *, min_scale: float = 1e-8) -> DiffSplats:
+    """GaussianScene -> unconstrained parameters (inverse activations)."""
+    qx, qy, qz, qw = decode_quat_components(scene.quats, xp=jnp)
+    op = jnp.clip(scene.opacities, 1e-4, 1.0 - 1e-4)
+    return DiffSplats(
+        means=scene.means,
+        log_scales=jnp.log(jnp.maximum(scene.scales, min_scale)),
+        quats=jnp.stack([qx, qy, qz, qw]),
+        opacity_logits=jnp.log(op) - jnp.log1p(-op),
+        colors=scene.colors,
+        sh=scene.sh,
+    )
+
+
+def to_scene(params: DiffSplats) -> GaussianScene:
+    """Parameters -> production GaussianScene (quantizes rotations to the
+    packed uint32 representation like the reference importer)."""
+    n = params.means.shape[-1]
+    scales, (qx, qy, qz, qw), opac = _activate(params)
+    quats = np.stack(
+        [np.asarray(qx), np.asarray(qy), np.asarray(qz), np.asarray(qw)],
+        axis=-1,
+    )
+    colors = np.clip(np.asarray(params.colors).T, 0.0, 1.0)
+    sh = params.sh
+    return scene_from_arrays(
+        np.asarray(params.means).T,
+        np.asarray(scales).T,
+        quats,
+        np.asarray(opac),
+        colors,
+        None if sh is None else np.transpose(np.asarray(sh), (2, 1, 0)),
+        params.sh_degree,
+    )
+
+
+def _activate(params: DiffSplats):
+    """Unconstrained -> model quantities: (scales [3,N],
+    (qx, qy, qz, qw) unit rows, opacities [N])."""
+    scales = jnp.exp(params.log_scales)
+    q = params.quats
+    inv = 1.0 / jnp.maximum(jnp.sqrt(jnp.sum(q * q, axis=0)), 1e-12)
+    opac = jax.nn.sigmoid(params.opacity_logits)
+    return scales, (q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv), opac
+
+
+def _diff_colors(params: DiffSplats, camera_position) -> jnp.ndarray:
+    """Stage A, differentiable: [3, N] colors in [0, 1]."""
+    if params.sh is not None and params.sh_degree > 0:
+        return evaluate_sh_colors(
+            params.means, params.sh, camera_position, params.sh_degree
+        )
+    if params.sh is not None:
+        # Degree 0: DC band only, same affine map as the importer.
+        return jnp.clip(params.sh[:, 0] * 0.28209479177387814 + 0.5, 0.0, 1.0)
+    return jnp.clip(params.colors, 0.0, 1.0)
+
+
+def _project(params: DiffSplats, camera_data: dict, config: RenderConfig):
+    scales, qc, opac = _activate(params)
+    clip = project_splats(
+        params.means, scales, None, camera_data, config,
+        opacities=opac, quat_components=qc,
+    )
+    return clip, opac
+
+
+def build_structure(
+    params: DiffSplats,
+    camera_data: dict,
+    config: RenderConfig,
+    capacity: int,
+    *,
+    interpret=None,
+) -> PairStructure:
+    """Freeze the pair structure for one camera via the production
+    pipeline (stop-gradient; jittable, capacity static).
+
+    Runs stage B/C/D/E exactly as render_frame does, but the sort
+    additionally carries the splat indices (`with_values=True`, which
+    forces the stable sort — front-to-back ties resolve by emission
+    order, matching the golden oracle).
+    """
+    from .render import round_capacity
+
+    capacity = round_capacity(capacity, interpret)
+    p = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+    clip, opac = _project(p, camera_data, config)
+    colors = _diff_colors(p, camera_data["position"])
+    pairs = build_tile_pairs(
+        clip, colors, opac, config, capacity, interpret=interpret
+    )
+    keys, sids, _ = sort_pairs(pairs, with_values=True)
+    starts, counts = tile_ranges(keys, config, interpret=interpret)
+    return PairStructure(
+        sids=sids,
+        starts=starts.astype(jnp.int32),
+        counts=counts.astype(jnp.int32),
+        num_candidates=pairs.num_candidates,
+    )
+
+
+def max_tile_count(structure: PairStructure) -> int:
+    """Host-side helper: the largest per-tile pair count (use to pick a
+    static ``k_max``)."""
+    return int(np.asarray(jnp.max(structure.counts)))
+
+
+def rasterize_diff(
+    clip: SplatClipData,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    structure: PairStructure,
+    config: RenderConfig,
+    k_max: int,
+    *,
+    tile_batch: int = 64,
+    alpha_max: float = 0.9995,
+) -> jnp.ndarray:
+    """Differentiable rasterizer.  Returns [H, W, 4] float32 in [0, 1].
+
+    Per tile, gathers its first ``k_max`` sorted pairs (front-to-back)
+    and alpha-blends them in the log domain with the production
+    semantics (golden.py:249-274): alpha = opacity * clip(density, 0, 1),
+    color += c * T * alpha, T *= 1 - alpha, with the chunk-granular
+    saturation exit (a tile whose every pixel has T <= transmittance_eps
+    after a chunk contributes nothing further — reproduced exactly, as a
+    multiplicative mask, so forward values match the production raster).
+
+    ``k_max`` is a static cap on pairs per tile; tiles with more pairs
+    truncate their tail (those pairs sit behind accumulated opacity —
+    pick k_max >= max_tile_count(structure) for exactness).
+    ``alpha_max`` bounds alpha away from 1 so the log-domain backward
+    term 1/(1 - alpha) stays finite; the forward deviation is below one
+    8-bit output level.
+    """
+    ts = config.tile_size
+    ntx, nty = config.tiles_x, config.tiles_y
+    t_total = config.total_tiles
+    chunk = min(config.raster_chunk, max(8, k_max))
+    n_chunks = max(1, -(-k_max // chunk))
+    cap = structure.sids.shape[0]
+    p_tile = ts * ts
+    gauss = config.falloff == "gaussian"
+    log_eps = float(np.log(config.transmittance_eps))
+
+    if t_total % tile_batch != 0:
+        tile_batch = next(
+            d for d in (32, 16, 8, 4, 2, 1) if t_total % d == 0
+        )
+    n_batches = t_total // tile_batch
+
+    # Pixel clip coordinates per tile (golden.py:256-257: pixel corner,
+    # not center — parity with the production raster).
+    all_tids = jnp.arange(t_total, dtype=jnp.int32)
+    col = jnp.arange(ts, dtype=jnp.float32)
+    sx, sy = 2.0 / config.screen_w, 2.0 / config.screen_h
+
+    sids = jnp.maximum(structure.sids, 0)
+    valid_sid = structure.sids >= 0
+
+    def tile_block(tids):
+        """Render ``tile_batch`` tiles -> [TB, p_tile, 4]."""
+        tx = (tids % ntx).astype(jnp.float32)
+        ty = (tids // ntx).astype(jnp.float32)
+        px = (tx[:, None] * ts + col[None, :]) * sx - 1.0  # [TB, ts]
+        py = (ty[:, None] * ts + col[None, :]) * sy - 1.0
+        # Flattened pixel index r * ts + c (image row-major).
+        pxf = jnp.tile(px, (1, ts))                        # [TB, p]
+        pyf = jnp.repeat(py, ts, axis=1)
+        starts = structure.starts[tids]                    # [TB]
+        counts = structure.counts[tids]
+
+        def body(carry, k0):
+            rgb, log_t = carry
+            k = k0 + jnp.arange(chunk, dtype=jnp.int32)    # [chunk]
+            idx = starts[:, None] + k[None, :]             # [TB, chunk]
+            live = k[None, :] < counts[:, None]
+            idx = jnp.clip(idx, 0, cap - 1)
+            sid = sids[idx]                                # [TB, chunk]
+            live = live & valid_sid[idx]
+            # Saturation exit at chunk granularity (golden.py:271-272).
+            active = jnp.any(log_t > log_eps, axis=-1)     # [TB]
+            live = live & active[:, None]
+
+            cx = clip.cx[sid]
+            cy = clip.cy[sid]
+            ca = clip.con_a[sid]
+            cb = clip.con_b[sid]
+            cc = clip.con_c[sid]
+            op = opacities[sid]
+            cr = colors[0][sid]
+            cg = colors[1][sid]
+            cbl = colors[2][sid]
+
+            dx = pxf[:, :, None] - cx[:, None, :]          # [TB, p, chunk]
+            dy = pyf[:, :, None] - cy[:, None, :]
+            dpow = (
+                ca[:, None, :] * dx * dx
+                + cc[:, None, :] * dy * dy
+                + 2.0 * cb[:, None, :] * dx * dy
+            )
+            if gauss:
+                density = jnp.exp(-0.5 * dpow)
+            else:
+                density = 1.0 - dpow * (1.0 / 7.0)
+            alpha = op[:, None, :] * jnp.clip(density, 0.0, 1.0)
+            alpha = jnp.minimum(alpha, alpha_max)
+            alpha = jnp.where(live[:, None, :], alpha, 0.0)
+
+            l1m = jnp.log1p(-alpha)                        # [TB, p, chunk]
+            cum = jnp.cumsum(l1m, axis=-1)
+            log_t_k = log_t[:, :, None] + (cum - l1m)      # exclusive
+            w = jnp.exp(log_t_k) * alpha                   # [TB, p, chunk]
+            rgb = rgb + jnp.stack(
+                [
+                    jnp.sum(w * cr[:, None, :], axis=-1),
+                    jnp.sum(w * cg[:, None, :], axis=-1),
+                    jnp.sum(w * cbl[:, None, :], axis=-1),
+                ],
+                axis=-1,
+            )
+            return (rgb, log_t + cum[:, :, -1]), None
+
+        rgb0 = jnp.zeros((tids.shape[0], p_tile, 3), jnp.float32)
+        lt0 = jnp.zeros((tids.shape[0], p_tile), jnp.float32)
+        (rgb, _), _ = jax.lax.scan(
+            body, (rgb0, lt0),
+            jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
+        )
+        a = jnp.broadcast_to(
+            (counts > 0).astype(jnp.float32)[:, None], (tids.shape[0], p_tile)
+        )
+        return jnp.concatenate([rgb, a[:, :, None]], axis=-1)
+
+    tiles = jax.lax.map(tile_block, all_tids.reshape(n_batches, tile_batch))
+    tiles = tiles.reshape(nty, ntx, ts, ts, 4)
+    image = tiles.transpose(0, 2, 1, 3, 4).reshape(
+        config.screen_h, config.screen_w, 4
+    )
+    return jnp.clip(image, 0.0, 1.0)
+
+
+def render_diff(
+    params: DiffSplats,
+    camera_data: dict,
+    config: RenderConfig,
+    capacity: int,
+    k_max: int,
+    *,
+    structure: Optional[PairStructure] = None,
+    tile_batch: int = 64,
+    alpha_max: float = 0.9995,
+    interpret=None,
+) -> Tuple[jnp.ndarray, PairStructure]:
+    """Differentiable frame render.  Jittable (config, capacity, k_max
+    static); gradients flow to every DiffSplats leaf.
+
+    Returns (image [H, W, 4] float32, structure).  Pass ``structure``
+    to reuse a frozen one (e.g. several gradient steps per camera);
+    by default it is rebuilt for this camera under stop_gradient.
+    """
+    if structure is None:
+        structure = build_structure(
+            params, camera_data, config, capacity, interpret=interpret
+        )
+    clip, opac = _project(params, camera_data, config)
+    colors = _diff_colors(params, camera_data["position"])
+    image = rasterize_diff(
+        clip, colors, opac, structure, config, k_max,
+        tile_batch=tile_batch, alpha_max=alpha_max,
+    )
+    return image, structure
+
+
+# ---------------------------------------------------------------------------
+# Scene fitting (training loop)
+# ---------------------------------------------------------------------------
+
+
+def fit(
+    params: DiffSplats,
+    cameras_data,
+    targets,
+    config: RenderConfig,
+    *,
+    capacity: int,
+    k_max: int,
+    steps: int = 200,
+    learning_rate: float = 5e-3,
+    tx=None,
+    l1_weight: float = 0.0,
+    interpret=None,
+    log_every: int = 0,
+):
+    """Fit splat parameters to target images by gradient descent.
+
+    cameras_data: list of camera_data pytrees (models.camera.Camera
+    .camera_data()), cycled round-robin; targets: matching list/array of
+    [H, W, >=3] images (uint8 or float in [0, 1]; only RGB is fitted).
+    The pair structure is rebuilt EVERY step for the step's camera
+    (binning follows the splats as they move), inside the jitted step.
+
+    Returns (params, losses: np.ndarray [steps]).  ``tx`` overrides the
+    default optax.adam(learning_rate).
+    """
+    import optax
+
+    if tx is None:
+        tx = optax.adam(learning_rate)
+
+    tgts = [
+        jnp.asarray(np.asarray(t)[..., :3], jnp.float32)
+        / (255.0 if np.asarray(t).dtype == np.uint8 else 1.0)
+        for t in targets
+    ]
+
+    def loss_fn(p, cam, target):
+        image, structure = render_diff(
+            p, cam, config, capacity, k_max, interpret=interpret
+        )
+        err = image[..., :3] - target
+        loss = jnp.mean(err * err)
+        if l1_weight:
+            loss = loss + l1_weight * jnp.mean(jnp.abs(err))
+        return loss, structure.num_candidates
+
+    @jax.jit
+    def step(p, opt_state, cam, target):
+        (loss, cand), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, cam, target
+        )
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss, cand
+
+    opt_state = tx.init(params)
+    losses = np.zeros(steps, np.float32)
+    sat_warned = False
+    for i in range(steps):
+        f = i % len(cameras_data)
+        params, opt_state, loss, cand = step(
+            params, opt_state, cameras_data[f], tgts[f]
+        )
+        losses[i] = float(loss)
+        if not sat_warned and int(cand) > capacity:
+            import warnings
+
+            warnings.warn(
+                f"fit step {i}: {int(cand)} candidate pairs exceed the "
+                f"structure capacity ({capacity}); frames render with a "
+                "truncated pair list — raise `capacity`.",
+                RuntimeWarning,
+            )
+            sat_warned = True
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            print(f"step {i:5d}  loss {float(loss):.6f}", flush=True)
+    return params, losses
+
+
+def write_fitted_ply(path_or_stream, params: DiffSplats) -> None:
+    """Write fitted parameters as a standard raw .ply (the reference's
+    storage format, PlyParser.cpp) — DiffSplats already IS the raw
+    pre-activation parametrization (log-scales, logit-opacities,
+    unnormalized quaternions), so this is a direct field mapping."""
+    from .ply import write_gaussian_ply
+
+    q = np.asarray(params.quats)  # [4, N] xyzw -> [N, 4] wxyz
+    quats_wxyz = np.stack([q[3], q[0], q[1], q[2]], axis=-1)
+    if params.sh is not None:
+        sh = np.asarray(params.sh)  # [3, K, N]
+        f_dc = sh[:, 0].T
+        f_rest = (
+            np.transpose(sh[:, 1:], (2, 0, 1)) if sh.shape[1] > 1 else None
+        )
+    else:
+        colors = np.clip(np.asarray(params.colors), 0.0, 1.0)
+        f_dc = ((colors - 0.5) / 0.28209479177387814).T
+        f_rest = None
+    write_gaussian_ply(
+        path_or_stream,
+        np.asarray(params.means).T,
+        np.asarray(params.log_scales).T,
+        quats_wxyz,
+        np.asarray(params.opacity_logits),
+        f_dc,
+        f_rest,
+    )
+
+
+def random_init(
+    count: int,
+    bounds_min,
+    bounds_max,
+    *,
+    seed: int = 0,
+    scale: float = 0.1,
+    opacity: float = 0.5,
+    sh_degree: int = 0,
+) -> DiffSplats:
+    """Random initialization inside a world AABB (fitting from scratch)."""
+    rng = np.random.default_rng(seed)
+    lo = np.asarray(bounds_min, np.float32)
+    hi = np.asarray(bounds_max, np.float32)
+    means = rng.uniform(lo, hi, (count, 3)).astype(np.float32).T
+    q = rng.normal(size=(4, count)).astype(np.float32)
+    op = np.float32(np.log(opacity) - np.log1p(-opacity))
+    sh = None
+    colors = rng.uniform(0.2, 0.8, (3, count)).astype(np.float32)
+    if sh_degree > 0:
+        k = num_sh_coeffs(sh_degree)
+        sh = np.zeros((3, k, count), np.float32)
+        sh[:, 0] = (colors - 0.5) / 0.28209479177387814
+    return DiffSplats(
+        means=jnp.asarray(means),
+        log_scales=jnp.full((3, count), np.log(scale), jnp.float32),
+        quats=jnp.asarray(q),
+        opacity_logits=jnp.full((count,), op, jnp.float32),
+        colors=jnp.asarray(colors),
+        sh=None if sh is None else jnp.asarray(sh),
+    )

@@ -81,6 +81,7 @@ def project_splats(
     camera: dict,
     config: RenderConfig,
     opacities: jnp.ndarray = None,
+    quat_components=None,
 ) -> SplatClipData:
     """Project splats into clip space.
 
@@ -93,6 +94,13 @@ def project_splats(
     shrunk to the radius where alpha * density falls below the 8-bit
     output floor (see RenderConfig).  Omitting it keeps the reference's
     exact fixed-sigma extents (GaussianRender.cu:295-302).
+
+    ``quat_components`` ((qx, qy, qz, qw) [N] float rows, optional)
+    bypasses the 8-bit packed-quaternion decode — the differentiable
+    path (diff.py) feeds full-precision quaternions here so rotation
+    gradients exist; the production path keeps the reference's
+    quantized representation (PlyParser.cpp:330).  When given,
+    ``quats_packed`` is ignored (pass None).
     """
     eps = config.epsilon
     view = camera["view"]
@@ -104,7 +112,10 @@ def project_splats(
 
     # --- rotation matrix from the quantized quaternion (cu:209-224) ---
     # glm::mat3_cast form, intentionally NOT re-normalized.
-    qx, qy, qz, qw = decode_quat_components(quats_packed, xp=jnp)
+    if quat_components is not None:
+        qx, qy, qz, qw = quat_components
+    else:
+        qx, qy, qz, qw = decode_quat_components(quats_packed, xp=jnp)
     xx, yy, zz = qx * qx, qy * qy, qz * qz
     xy, xz, yz = qx * qy, qx * qz, qy * qz
     wx, wy, wz = qw * qx, qw * qy, qw * qz

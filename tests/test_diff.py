@@ -1,0 +1,275 @@
+"""Differentiable rendering path (diff.py).
+
+The CUDA reference is forward-only; this subsystem is a beyond-reference
+capability, so its oracle is (a) the golden NumPy renderer for forward
+values and (b) finite differences for gradients.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cudagaussianrenderer_tpu import diff
+from cudagaussianrenderer_tpu.config import RenderConfig
+from cudagaussianrenderer_tpu.golden import golden_render, scene_to_numpy
+from cudagaussianrenderer_tpu.models.camera import Camera
+from cudagaussianrenderer_tpu.models.scene import random_scene
+from cudagaussianrenderer_tpu.render import Renderer
+
+
+def _structure_and_kmax(params, cam_data, config, capacity):
+    structure = diff.build_structure(params, cam_data, config, capacity)
+    k_max = max(8, diff.max_tile_count(structure))
+    return structure, k_max
+
+
+def test_forward_matches_golden():
+    """Full-precision diff forward vs the f64 oracle.
+
+    The diff path skips the production attribute quantization entirely,
+    so it should sit CLOSER to the oracle than the production renderer's
+    own tolerance (pix_tol=8, 2%).  The only diff-specific deviations:
+    re-normalized (still 8-bit-decoded) quaternions and the alpha_max
+    clamp — both sub-LSB at these opacities."""
+    scene = random_scene(300, seed=2)
+    config = RenderConfig(screen_size=128)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cam_data = cam.camera_data()
+
+    params = diff.from_scene(scene)
+    structure, k_max = _structure_and_kmax(params, cam_data, config, 4096)
+    image, _ = diff.render_diff(
+        params, cam_data, config, 4096, k_max, structure=structure
+    )
+    got = np.asarray(image[..., :3] * 255.0 + 0.5).astype(np.int32)
+
+    want = golden_render(scene_to_numpy(scene), cam_data, config)[
+        ..., :3
+    ].astype(np.int32)
+
+    bad = (np.abs(got - want) > 8).any(axis=-1).mean()
+    assert bad <= 0.02, f"{bad:.4f} of pixels differ by more than 8 levels"
+    # Something actually rendered.
+    assert got.max() > 32
+
+
+def test_forward_epanechnikov_matches_golden():
+    scene = random_scene(200, seed=5)
+    config = RenderConfig(screen_size=64, falloff="epanechnikov")
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cam_data = cam.camera_data()
+    params = diff.from_scene(scene)
+    structure, k_max = _structure_and_kmax(params, cam_data, config, 4096)
+    image, _ = diff.render_diff(
+        params, cam_data, config, 4096, k_max, structure=structure
+    )
+    got = np.asarray(image[..., :3] * 255.0 + 0.5).astype(np.int32)
+    want = golden_render(scene_to_numpy(scene), cam_data, config)[
+        ..., :3
+    ].astype(np.int32)
+    bad = (np.abs(got - want) > 8).any(axis=-1).mean()
+    assert bad <= 0.02
+
+
+def test_forward_sh_matches_golden():
+    """View-dependent SH colors flow through the diff path (and will
+    therefore receive gradients)."""
+    scene = random_scene(150, seed=7, sh_degree=2)
+    config = RenderConfig(screen_size=64)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cam_data = cam.camera_data()
+    params = diff.from_scene(scene)
+    assert params.sh is not None and params.sh_degree == 2
+    structure, k_max = _structure_and_kmax(params, cam_data, config, 4096)
+    image, _ = diff.render_diff(
+        params, cam_data, config, 4096, k_max, structure=structure
+    )
+    got = np.asarray(image[..., :3] * 255.0 + 0.5).astype(np.int32)
+    want = golden_render(scene_to_numpy(scene), cam_data, config)[
+        ..., :3
+    ].astype(np.int32)
+    bad = (np.abs(got - want) > 8).any(axis=-1).mean()
+    assert bad <= 0.02
+
+
+def _tiny_setup(sh_degree=0):
+    """A smooth test point: mid-range opacities and colors, no pixel at
+    the [0,1] clip, structure frozen — the loss is differentiable there
+    and finite differences are meaningful."""
+    rng = np.random.default_rng(11)
+    n = 8
+    means = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+    scales = rng.uniform(0.2, 0.5, (n, 3)).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    opac = rng.uniform(0.3, 0.6, n).astype(np.float32)
+    colors = rng.uniform(0.2, 0.7, (n, 3)).astype(np.float32)
+    sh = None
+    if sh_degree:
+        k = (sh_degree + 1) ** 2
+        sh = np.zeros((n, k, 3), np.float32)
+        sh[:, 0] = (colors - 0.5) / 0.28209479177387814
+        sh[:, 1:] = rng.normal(scale=0.05, size=(n, k - 1, 3))
+
+    params = diff.DiffSplats(
+        means=jnp.asarray(means.T),
+        log_scales=jnp.asarray(np.log(scales).T),
+        quats=jnp.asarray(q.T),
+        opacity_logits=jnp.asarray(np.log(opac) - np.log1p(-opac)),
+        colors=jnp.asarray(colors.T),
+        sh=None if sh is None else jnp.asarray(np.transpose(sh, (2, 1, 0))),
+    )
+    config = RenderConfig(screen_size=32)
+    cam = Camera(aspect=1.0).framed((-1.0,) * 3, (1.0,) * 3)
+    cam_data = cam.camera_data()
+    structure, k_max = _structure_and_kmax(params, cam_data, config, 1024)
+    # Fixed random projection of the image -> a scalar, so every pixel's
+    # gradient participates.
+    w = jnp.asarray(
+        rng.normal(size=(config.screen_h, config.screen_w, 3)).astype(
+            np.float32
+        )
+    )
+
+    def loss(p):
+        img, _ = diff.render_diff(
+            p, cam_data, config, 1024, k_max, structure=structure
+        )
+        return jnp.sum(img[..., :3] * w)
+
+    return params, loss
+
+
+@pytest.mark.parametrize("sh_degree", [0, 1])
+def test_gradients_match_finite_differences(sh_degree):
+    params, loss = _tiny_setup(sh_degree)
+    grads = jax.jit(jax.grad(loss))(params)
+    loss_j = jax.jit(loss)
+    base_leaves = params._asdict()
+
+    rng = np.random.default_rng(3)
+    checked = 0
+    for name, leaf in base_leaves.items():
+        if leaf is None:
+            continue
+        g = np.asarray(getattr(grads, name))
+        arr = np.asarray(leaf)
+        flat_idx = rng.choice(arr.size, size=min(4, arr.size), replace=False)
+        for fi in flat_idx:
+            idx = np.unravel_index(fi, arr.shape)
+            eps = 3e-3
+            plus = arr.copy()
+            plus[idx] += eps
+            minus = arr.copy()
+            minus[idx] -= eps
+            lp = float(loss_j(params._replace(**{name: jnp.asarray(plus)})))
+            lm = float(loss_j(params._replace(**{name: jnp.asarray(minus)})))
+            fd = (lp - lm) / (2 * eps)
+            ad = float(g[idx])
+            scale = max(1.0, abs(fd), abs(ad))
+            assert abs(fd - ad) <= 2e-2 * scale, (
+                f"{name}{idx}: fd={fd:.5f} ad={ad:.5f}"
+            )
+            checked += 1
+    assert checked >= 20
+
+
+def test_gradients_finite_everywhere():
+    """No NaN/inf in any gradient leaf, including splats that are culled,
+    saturated tiles and zero-count tiles."""
+    scene = random_scene(100, seed=9)
+    config = RenderConfig(screen_size=64)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cam_data = cam.camera_data()
+    params = diff.from_scene(scene)
+    structure, k_max = _structure_and_kmax(params, cam_data, config, 4096)
+
+    def loss(p):
+        img, _ = diff.render_diff(
+            p, cam_data, config, 4096, k_max, structure=structure
+        )
+        return jnp.mean(img[..., :3] ** 2)
+
+    grads = jax.jit(jax.grad(loss))(params)
+    for name, g in grads._asdict().items():
+        if g is None:
+            continue
+        assert np.isfinite(np.asarray(g)).all(), f"non-finite grads in {name}"
+
+
+@pytest.mark.slow
+def test_fit_reduces_loss():
+    """End-to-end training smoke: recover a perturbed scene against a
+    rendered target; the loss must drop by well over half."""
+    scene = random_scene(60, seed=4, min_scale=0.1, max_scale=0.4)
+    config = RenderConfig(screen_size=64)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cam_data = cam.camera_data()
+
+    truth = diff.from_scene(scene)
+    structure, k_max = _structure_and_kmax(truth, cam_data, config, 8192)
+    target, _ = diff.render_diff(
+        truth, cam_data, config, 8192, k_max, structure=structure
+    )
+
+    rng = np.random.default_rng(0)
+    noisy = truth._replace(
+        means=truth.means + jnp.asarray(
+            rng.normal(scale=0.15, size=truth.means.shape).astype(np.float32)
+        ),
+        colors=jnp.asarray(
+            rng.uniform(0.2, 0.8, truth.colors.shape).astype(np.float32)
+        ),
+    )
+
+    fitted, losses = diff.fit(
+        noisy, [cam_data], [np.asarray(target[..., :3])], config,
+        capacity=8192, k_max=max(k_max, 64), steps=60, learning_rate=1e-2,
+    )
+    assert losses[-1] < 0.4 * losses[0], (losses[0], losses[-1])
+    assert np.isfinite(losses).all()
+
+
+def test_to_scene_roundtrip_renders_close():
+    """from_scene -> to_scene only loses the 8-bit rotation requantization;
+    the production render of the round-tripped scene matches."""
+    scene = random_scene(200, seed=6)
+    config = RenderConfig(screen_size=64)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+
+    back = diff.to_scene(diff.from_scene(scene))
+    a = Renderer(scene, config).render(cam)
+    b = Renderer(back, config).render(cam)
+    bad = (
+        (np.abs(a.astype(np.int32) - b.astype(np.int32)) > 8)
+        .any(axis=-1)
+        .mean()
+    )
+    assert bad <= 0.02
+
+
+def test_k_max_truncation_is_prefix():
+    """k_max below the max tile count truncates the BACK of each tile's
+    list (the front-to-back prefix still blends)."""
+    scene = random_scene(300, seed=2)
+    config = RenderConfig(screen_size=64)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cam_data = cam.camera_data()
+    params = diff.from_scene(scene)
+    structure, k_max = _structure_and_kmax(params, cam_data, config, 4096)
+    full, _ = diff.render_diff(
+        params, cam_data, config, 4096, k_max, structure=structure
+    )
+    half, _ = diff.render_diff(
+        params, cam_data, config, 4096, max(8, k_max // 2),
+        structure=structure,
+    )
+    # Truncated image loses only far-behind contributions: it never
+    # exceeds the full image's accumulated color by more than float fuzz
+    # ... in the log-domain both are exact prefixes, so per-pixel
+    # half <= full + eps on every channel is the invariant.
+    assert np.all(
+        np.asarray(half[..., :3]) <= np.asarray(full[..., :3]) + 1e-4
+    )

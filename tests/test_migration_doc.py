@@ -47,7 +47,7 @@ CONFIG_FIELDS = [
 CAMERA_DATA_KEYS = {"view", "position", "fov_cotangent", "depth_scale_bias",
                     "aspect"}
 
-CLI_SUBCOMMANDS = {"render", "orbit", "bench", "interactive", "serve"}
+CLI_SUBCOMMANDS = {"render", "orbit", "bench", "interactive", "serve", "fit"}
 
 
 @pytest.mark.parametrize("module,name", SYMBOLS)
