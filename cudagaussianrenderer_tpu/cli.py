@@ -319,7 +319,14 @@ def cmd_fit(args):
         params, cam_data, targets, config,
         capacity=capacity, k_max=k_max, steps=args.steps,
         learning_rate=args.lr, log_every=max(1, args.steps // 10),
+        densify_every=args.densify_every,
     )
+    if args.densify_every:
+        print(
+            f"density control: {args.splats} -> "
+            f"{params.means.shape[-1]} splats",
+            file=sys.stderr,
+        )
     dt = time.perf_counter() - t0
     print(
         f"fit: loss {losses[0]:.5f} -> {losses[-1]:.5f} in {dt:.1f}s "
@@ -413,6 +420,9 @@ def main(argv=None):
     p.add_argument("--k-max", type=int, default=None,
                    help="static per-tile pair cap (default: probed)")
     p.add_argument("--init-scale", type=float, default=0.1)
+    p.add_argument("--densify-every", type=int, default=0, metavar="K",
+                   help="adaptive density control (clone/split/prune) "
+                        "every K steps for the first half of training")
     _add_common(p)
     p.set_defaults(fn=cmd_fit)
 

@@ -384,6 +384,128 @@ def render_diff(
 
 
 # ---------------------------------------------------------------------------
+# Adaptive density control (3DGS clone / split / prune)
+# ---------------------------------------------------------------------------
+
+
+def densify_and_prune(
+    params: DiffSplats,
+    mean_grad_norm: np.ndarray,
+    *,
+    grad_threshold: float = 2e-4,
+    dense_scale: float = 0.01,
+    scene_extent: float = 1.0,
+    split_factor: float = 1.6,
+    prune_opacity: float = 1.0 / 255.0,
+    max_splats: Optional[int] = None,
+    seed: int = 0,
+) -> DiffSplats:
+    """One adaptive-density step (host-side; the splat count changes, so
+    jitted programs recompile on the next call — run it BETWEEN training
+    phases, the standard 3DGS schedule).
+
+    Rules (the original 3DGS density control):
+    - Splats whose accumulated mean positional-gradient norm exceeds
+      ``grad_threshold`` are under-reconstructing.  Small ones (max
+      scale < dense_scale * scene_extent) are CLONED in place — the
+      optimizer pulls the copies apart; large ones are SPLIT into two
+      samples drawn from their own distribution with scales divided by
+      ``split_factor``.
+    - Splats whose opacity fell below ``prune_opacity`` (the 8-bit
+      output floor — they cannot contribute a level) are PRUNED.
+
+    ``mean_grad_norm``: [N] per-splat average |d loss / d mean| over the
+    steps since the last call (fit(densify_every=...) maintains it).
+    ``max_splats`` caps growth (highest-gradient splats win).
+    """
+    rng = np.random.default_rng(seed)
+    n = params.means.shape[-1]
+    g = np.asarray(mean_grad_norm, np.float32)
+    if g.shape != (n,):
+        raise ValueError(f"mean_grad_norm must be [{n}], got {g.shape}")
+
+    means = np.asarray(params.means)
+    log_scales = np.asarray(params.log_scales)
+    quats = np.asarray(params.quats)
+    logits = np.asarray(params.opacity_logits)
+    colors = np.asarray(params.colors)
+    sh = None if params.sh is None else np.asarray(params.sh)
+
+    opac = 1.0 / (1.0 + np.exp(-logits))
+    keep = opac >= prune_opacity
+
+    scales = np.exp(log_scales)
+    big = scales.max(axis=0) >= dense_scale * scene_extent
+    hot = (g >= grad_threshold) & keep
+    clone = hot & ~big
+    split = hot & big
+    if max_splats is not None:
+        budget = max(0, max_splats - int(keep.sum()))
+        grow = np.flatnonzero(clone | split)
+        if grow.size > budget:
+            # Highest-gradient splats win the budget.
+            order = grow[np.argsort(-g[grow])]
+            drop = order[budget:]
+            clone[drop] = False
+            split[drop] = False
+
+    def gather(a, mask):
+        return a[..., mask]
+
+    pieces = []
+
+    def emit(sel_means, sel_ls, sel_q, sel_lo, sel_c, sel_sh):
+        pieces.append((sel_means, sel_ls, sel_q, sel_lo, sel_c, sel_sh))
+
+    # Survivors (split parents are replaced by their two children, the
+    # paper's behavior; clone parents stay).
+    surv = keep & ~split
+    emit(
+        gather(means, surv), gather(log_scales, surv), gather(quats, surv),
+        logits[surv], gather(colors, surv),
+        None if sh is None else gather(sh, surv),
+    )
+    # Clones: exact copies.
+    if clone.any():
+        emit(
+            gather(means, clone), gather(log_scales, clone),
+            gather(quats, clone), logits[clone], gather(colors, clone),
+            None if sh is None else gather(sh, clone),
+        )
+    # Splits: two samples from the parent's own gaussian, shrunk.
+    if split.any():
+        idx = np.flatnonzero(split)
+        q = quats[:, idx].T.astype(np.float64)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        from .utils.quantize import quat_xyzw_to_rotation_matrix
+
+        rot = quat_xyzw_to_rotation_matrix(q, xp=np)  # [M, 3, 3]
+        s = scales[:, idx].T  # [M, 3]
+        for _ in range(2):
+            z = rng.normal(size=s.shape).astype(np.float32) * s
+            offs = np.einsum("mij,mj->mi", rot, z).astype(np.float32)
+            emit(
+                means[:, idx] + offs.T,
+                log_scales[:, idx] - np.float32(np.log(split_factor)),
+                quats[:, idx], logits[idx], colors[:, idx],
+                None if sh is None else sh[..., idx],
+            )
+
+    cat = lambda i: np.concatenate([p[i] for p in pieces], axis=-1)
+    new_sh = None
+    if sh is not None:
+        new_sh = jnp.asarray(cat(5))
+    return DiffSplats(
+        means=jnp.asarray(cat(0)),
+        log_scales=jnp.asarray(cat(1)),
+        quats=jnp.asarray(cat(2)),
+        opacity_logits=jnp.asarray(cat(3)),
+        colors=jnp.asarray(cat(4)),
+        sh=new_sh,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scene fitting (training loop)
 # ---------------------------------------------------------------------------
 
@@ -400,6 +522,9 @@ def fit(
     learning_rate: float = 5e-3,
     tx=None,
     l1_weight: float = 0.0,
+    densify_every: int = 0,
+    densify_until: Optional[int] = None,
+    densify_args: Optional[dict] = None,
     interpret=None,
     log_every: int = 0,
 ):
@@ -411,6 +536,13 @@ def fit(
     The pair structure is rebuilt EVERY step for the step's camera
     (binning follows the splats as they move), inside the jitted step.
 
+    ``densify_every`` > 0 enables adaptive density control: every that
+    many steps (until step ``densify_until``, default steps // 2) the
+    accumulated positional-gradient norms drive densify_and_prune
+    (clone / split / prune; ``densify_args`` forwards its keyword
+    arguments), the optimizer state resets and the step recompiles for
+    the new splat count — the standard 3DGS schedule.
+
     Returns (params, losses: np.ndarray [steps]).  ``tx`` overrides the
     default optax.adam(learning_rate).
     """
@@ -418,6 +550,8 @@ def fit(
 
     if tx is None:
         tx = optax.adam(learning_rate)
+    if densify_until is None:
+        densify_until = steps // 2
 
     tgts = [
         jnp.asarray(np.asarray(t)[..., :3], jnp.float32)
@@ -440,18 +574,28 @@ def fit(
         (loss, cand), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             p, cam, target
         )
+        gnorm = jnp.sqrt(jnp.sum(grads.means * grads.means, axis=0))
         updates, opt_state = tx.update(grads, opt_state, p)
-        return optax.apply_updates(p, updates), opt_state, loss, cand
+        return optax.apply_updates(p, updates), opt_state, loss, cand, gnorm
+
+    if densify_every:
+        lo = np.asarray(params.means).min(axis=1)
+        hi = np.asarray(params.means).max(axis=1)
+        scene_extent = float(np.linalg.norm(hi - lo)) or 1.0
 
     opt_state = tx.init(params)
     losses = np.zeros(steps, np.float32)
     sat_warned = False
+    gacc = np.zeros(params.means.shape[-1], np.float64)
+    gcnt = 0
     for i in range(steps):
         f = i % len(cameras_data)
-        params, opt_state, loss, cand = step(
+        params, opt_state, loss, cand, gnorm = step(
             params, opt_state, cameras_data[f], tgts[f]
         )
         losses[i] = float(loss)
+        gacc += np.asarray(gnorm, np.float64)
+        gcnt += 1
         if not sat_warned and int(cand) > capacity:
             import warnings
 
@@ -462,6 +606,26 @@ def fit(
                 RuntimeWarning,
             )
             sat_warned = True
+        if (
+            densify_every
+            and i < densify_until
+            and (i + 1) % densify_every == 0
+        ):
+            n0 = params.means.shape[-1]
+            params = densify_and_prune(
+                params, (gacc / max(1, gcnt)).astype(np.float32),
+                scene_extent=scene_extent, seed=i,
+                **(densify_args or {}),
+            )
+            opt_state = tx.init(params)
+            gacc = np.zeros(params.means.shape[-1], np.float64)
+            gcnt = 0
+            if log_every:
+                print(
+                    f"step {i:5d}  densify: {n0} -> "
+                    f"{params.means.shape[-1]} splats",
+                    flush=True,
+                )
         if log_every and (i % log_every == 0 or i == steps - 1):
             print(f"step {i:5d}  loss {float(loss):.6f}", flush=True)
     return params, losses

@@ -250,6 +250,73 @@ def test_to_scene_roundtrip_renders_close():
     assert bad <= 0.02
 
 
+def test_densify_and_prune_rules():
+    """Clone small hot splats, split large hot ones (into two shrunk
+    samples, parent removed), prune sub-floor opacities."""
+    n = 6
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(4, n)).astype(np.float32)
+    params = diff.DiffSplats(
+        means=jnp.zeros((3, n), jnp.float32),
+        log_scales=jnp.asarray(
+            np.log(
+                np.array(
+                    [[0.01, 0.01, 0.5, 0.5, 0.01, 0.01]] * 3, np.float32
+                )
+            )
+        ),
+        quats=jnp.asarray(q),
+        # splat 4 is below the 1/255 prune floor; others mid-range.
+        opacity_logits=jnp.asarray(
+            np.array([0.0, 0.0, 0.0, 0.0, -8.0, 0.0], np.float32)
+        ),
+        colors=jnp.full((3, n), 0.5, jnp.float32),
+    )
+    # hot: 0 (small -> clone), 2 (large -> split); 4 is hot but pruned.
+    g = np.array([1.0, 0.0, 1.0, 0.0, 1.0, 0.0], np.float32)
+    out = diff.densify_and_prune(
+        params, g, grad_threshold=0.5, dense_scale=0.1, scene_extent=1.0
+    )
+    # survivors: 0,1,3,5 (4 pruned, 2 replaced) + clone of 0 + 2 children.
+    assert out.means.shape[-1] == 4 + 1 + 2
+    ls = np.asarray(out.log_scales)
+    # the two children carry the parent's scale / 1.6
+    child = np.isclose(ls[0], np.log(0.5) - np.log(1.6), atol=1e-5)
+    assert child.sum() == 2
+    # growth respects max_splats: budget 0 cancels the clone AND the
+    # split (whose parent then survives unsplit) -> the 5 keepers only.
+    capped = diff.densify_and_prune(
+        params, g, grad_threshold=0.5, dense_scale=0.1, scene_extent=1.0,
+        max_splats=4,
+    )
+    assert capped.means.shape[-1] == 5
+
+
+@pytest.mark.slow
+def test_fit_with_densification_grows_and_converges():
+    scene = random_scene(80, seed=4, min_scale=0.1, max_scale=0.4)
+    config = RenderConfig(screen_size=64)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cam_data = cam.camera_data()
+    truth = diff.from_scene(scene)
+    structure, k_max = _structure_and_kmax(truth, cam_data, config, 8192)
+    target, _ = diff.render_diff(
+        truth, cam_data, config, 8192, k_max, structure=structure
+    )
+    start = diff.random_init(
+        20, scene.bounds_min, scene.bounds_max, seed=1, scale=0.3
+    )
+    fitted, losses = diff.fit(
+        start, [cam_data], [np.asarray(target[..., :3])], config,
+        capacity=8192, k_max=max(k_max, 128), steps=40,
+        learning_rate=1e-2, densify_every=10,
+        densify_args=dict(grad_threshold=1e-5, dense_scale=0.05),
+    )
+    assert fitted.means.shape[-1] > 20  # densification actually grew it
+    assert losses[-1] < 0.7 * losses[0]
+    assert np.isfinite(losses).all()
+
+
 def test_k_max_truncation_is_prefix():
     """k_max below the max tile count truncates the BACK of each tile's
     list (the front-to-back prefix still blends)."""
