@@ -384,6 +384,53 @@ def render_diff(
 
 
 # ---------------------------------------------------------------------------
+# Training losses
+# ---------------------------------------------------------------------------
+
+
+def ssim(a: jnp.ndarray, b: jnp.ndarray, *, window: int = 11,
+         sigma: float = 1.5, c1: float = 0.01 ** 2, c2: float = 0.03 ** 2
+         ) -> jnp.ndarray:
+    """Mean SSIM between two [H, W, C] images in [0, 1] (differentiable).
+
+    The standard Wang et al. formulation with a gaussian window,
+    evaluated as separable depthwise convolutions — the same statistic
+    the 3DGS training loss uses (1 - SSIM as D-SSIM)."""
+    r = window // 2
+    x = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    g = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    g = g / jnp.sum(g)
+
+    def blur(img):  # [C, H, W] gaussian filter, SAME padding
+        c = img.shape[0]
+        img = img[:, None]  # [C, 1, H, W]
+        kh = jnp.broadcast_to(g[None, None, :, None], (1, 1, window, 1))
+        kw = jnp.broadcast_to(g[None, None, None, :], (1, 1, 1, window))
+        dn = jax.lax.conv_dimension_numbers(
+            img.shape, kh.shape, ("NCHW", "OIHW", "NCHW")
+        )
+        out = jax.lax.conv_general_dilated(
+            img, kh, (1, 1), [(r, r), (0, 0)], dimension_numbers=dn,
+            feature_group_count=1,
+        )
+        out = jax.lax.conv_general_dilated(
+            out, kw, (1, 1), [(0, 0), (r, r)], dimension_numbers=dn,
+            feature_group_count=1,
+        )
+        return out[:, 0]
+
+    ac = jnp.transpose(a, (2, 0, 1)).astype(jnp.float32)
+    bc = jnp.transpose(b, (2, 0, 1)).astype(jnp.float32)
+    mu_a, mu_b = blur(ac), blur(bc)
+    var_a = blur(ac * ac) - mu_a * mu_a
+    var_b = blur(bc * bc) - mu_b * mu_b
+    cov = blur(ac * bc) - mu_a * mu_b
+    num = (2.0 * mu_a * mu_b + c1) * (2.0 * cov + c2)
+    den = (mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2)
+    return jnp.mean(num / den)
+
+
+# ---------------------------------------------------------------------------
 # Adaptive density control (3DGS clone / split / prune)
 # ---------------------------------------------------------------------------
 
@@ -522,6 +569,7 @@ def fit(
     learning_rate: float = 5e-3,
     tx=None,
     l1_weight: float = 0.0,
+    ssim_weight: float = 0.0,
     densify_every: int = 0,
     densify_until: Optional[int] = None,
     densify_args: Optional[dict] = None,
@@ -567,6 +615,10 @@ def fit(
         loss = jnp.mean(err * err)
         if l1_weight:
             loss = loss + l1_weight * jnp.mean(jnp.abs(err))
+        if ssim_weight:
+            # The 3DGS D-SSIM term (1 - SSIM); the paper's full loss is
+            # l1_weight=0.8, ssim_weight=0.2 with the L2 term dropped.
+            loss = loss + ssim_weight * (1.0 - ssim(image[..., :3], target))
         return loss, structure.num_candidates
 
     @jax.jit

@@ -250,6 +250,23 @@ def test_to_scene_roundtrip_renders_close():
     assert bad <= 0.02
 
 
+def test_ssim_properties():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+    assert float(diff.ssim(a, a)) == pytest.approx(1.0, abs=1e-5)
+    s_ab = float(diff.ssim(a, b))
+    assert s_ab < 0.5  # independent noise
+    assert s_ab == pytest.approx(float(diff.ssim(b, a)), abs=1e-6)
+    # A mild blur-like perturbation scores higher than independent noise.
+    c = jnp.clip(a + 0.05, 0.0, 1.0)
+    assert float(diff.ssim(a, c)) > s_ab
+    # Differentiable and finite.
+    g = jax.grad(lambda x: diff.ssim(x, b))(a)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
 def test_densify_and_prune_rules():
     """Clone small hot splats, split large hot ones (into two shrunk
     samples, parent removed), prune sub-floor opacities."""
