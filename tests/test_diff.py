@@ -250,6 +250,67 @@ def test_to_scene_roundtrip_renders_close():
     assert bad <= 0.02
 
 
+def test_empty_frame_renders_black_with_finite_grads():
+    """A camera looking away from every splat: zero pairs, black image,
+    and gradients are all-zero but FINITE (no NaN from the culled
+    branches)."""
+    scene = random_scene(50, seed=1)
+    config = RenderConfig(screen_size=32)
+    cam = Camera(aspect=1.0, position=np.array([500.0, 500.0, 500.0]))
+    cam_data = cam.camera_data()
+    params = diff.from_scene(scene)
+    structure = diff.build_structure(params, cam_data, config, 1024)
+    assert diff.max_tile_count(structure) == 0
+
+    def loss(p):
+        img, _ = diff.render_diff(
+            p, cam_data, config, 1024, 8, structure=structure
+        )
+        return jnp.sum(img[..., :3])
+
+    val = float(jax.jit(loss)(params))
+    assert val == 0.0
+    grads = jax.jit(jax.grad(loss))(params)
+    for name, g in grads._asdict().items():
+        if g is None:
+            continue
+        a = np.asarray(g)
+        assert np.isfinite(a).all(), name
+        assert np.abs(a).max() == 0.0, name
+
+
+def test_fit_warns_on_capacity_saturation():
+    scene = random_scene(200, seed=2)
+    config = RenderConfig(screen_size=64)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cam_data = cam.camera_data()
+    params = diff.from_scene(scene)
+    target = np.zeros((64, 64, 3), np.float32)
+    with pytest.warns(RuntimeWarning, match="candidate pairs exceed"):
+        diff.fit(
+            params, [cam_data], [target], config,
+            capacity=128, k_max=32, steps=2, learning_rate=1e-3,
+        )
+
+
+def test_degree0_sh_params_render():
+    """DiffSplats with a K=1 SH tensor uses the DC-band affine map."""
+    scene = random_scene(100, seed=3)
+    config = RenderConfig(screen_size=64)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cam_data = cam.camera_data()
+    p0 = diff.from_scene(scene)
+    sh = ((np.clip(np.asarray(p0.colors), 0, 1) - 0.5)
+          / 0.28209479177387814)[:, None]
+    p1 = p0._replace(sh=jnp.asarray(sh))
+    assert p1.sh_degree == 0
+    st = diff.build_structure(p1, cam_data, config, 4096)
+    k = max(8, diff.max_tile_count(st))
+    a, _ = diff.render_diff(p0, cam_data, config, 4096, k, structure=st)
+    b, _ = diff.render_diff(p1, cam_data, config, 4096, k, structure=st)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_ssim_properties():
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
