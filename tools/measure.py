@@ -15,6 +15,7 @@ Method (docs/PERF_NOTES.md "benchmarking rules"):
 
 Usage: python tools/measure.py <subcommand> [...]
   sort      flat vs batched pair-sort shapes + operand-count sweep
+  gather    2-op (key, idx) sort + post-sort payload gather vs 4-op
   reorder   splat re-order cost (band-sort prerequisite) + cumsum costs
   extents   opacity-aware extents A/B: candidates + frame time
   emit      emit kernel A/B (window / blocks-per-step / limb probe)
@@ -144,6 +145,90 @@ def cmd_sort(capacity=BENCH_CAPACITY):
 
         m = timed(f"batched [{g},{seg}] 4-op", scanned(body), k2, *p2)
         print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# gather: 2-op (key, idx) sort + post-sort payload gather vs 4-op sort
+# ---------------------------------------------------------------------------
+
+
+def cmd_gather(capacity=BENCH_CAPACITY):
+    """The one sort formulation round 3 rejected on reasoning alone
+    ("general permutation has no TPU primitive"): sort only (key, pair
+    index) — 2 operands instead of 4 — then apply the permutation to the
+    3 packed attribute operands with an XLA gather.  Wins only if the
+    4.59M-random-index gather costs less than the ~2 payload operands it
+    removes from the sort (~3-4 ms by the round-3 operand cost model).
+    Measured pieces: production 4-op sort, 2-op sort, the gather alone,
+    and the fused 2-op + gather body; plus an i32-vs-u32 key-type probe
+    (cost expected identical — comparison-network sort).
+    """
+    rng = np.random.default_rng(0)
+    key = jnp.asarray(rng.integers(0, 1 << 31, capacity, dtype=np.uint32))
+    payloads = [
+        jnp.asarray(rng.integers(0, 1 << 32, capacity, dtype=np.uint32))
+        for _ in range(3)
+    ]
+    idx = jnp.arange(capacity, dtype=jnp.uint32)
+    base = dispatch_baseline()
+
+    def net(ms):
+        return ms - base if (ms is not None and base is not None) else float("nan")
+
+    def flat4(s, k, *ps):
+        out = jax.lax.sort(
+            (k ^ s.astype(jnp.uint32), *ps), num_keys=1, is_stable=False
+        )
+        return sum(o[0].astype(jnp.float32) * 1e-9 for o in out)
+
+    m = timed(f"flat 4-op sort @{capacity}", scanned(flat4), key, *payloads)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    def flat2(s, k, i):
+        out = jax.lax.sort(
+            (k ^ s.astype(jnp.uint32), i), num_keys=1, is_stable=False
+        )
+        return sum(o[0].astype(jnp.float32) * 1e-9 for o in out)
+
+    m = timed("flat 2-op (key, idx) sort", scanned(flat2), key, idx)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    # Gather alone: a random permutation applied to 3 u32 rows.  The
+    # permutation is data (pre-shuffled), salted by a cheap index rotate
+    # so the runtime can't memoize while indices stay in-range.
+    perm = jnp.asarray(rng.permutation(capacity).astype(np.int32))
+
+    def gather3(s, pm, *ps):
+        pm = (pm + s.astype(jnp.int32)) % capacity
+        return sum(p[pm][0].astype(jnp.float32) * 1e-9 for p in ps)
+
+    m = timed("gather 3 u32 rows by random perm", scanned(gather3), perm, *payloads)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    def sort2_gather(s, k, i, *ps):
+        sk, si = jax.lax.sort(
+            (k ^ s.astype(jnp.uint32), i), num_keys=1, is_stable=False
+        )
+        g = si.astype(jnp.int32)
+        return sk[0].astype(jnp.float32) * 1e-9 + sum(
+            p[g][0].astype(jnp.float32) * 1e-9 for p in ps
+        )
+
+    m = timed("2-op sort + 3-row gather (fused)", scanned(sort2_gather),
+              key, idx, *payloads)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
+
+    # Key-dtype probe: i32 vs u32 keys (same bits, reinterpreted).
+    key_i = jax.lax.bitcast_convert_type(key >> 1, jnp.int32)
+
+    def flat4_i(s, k, *ps):
+        out = jax.lax.sort(
+            (k ^ s.astype(jnp.int32), *ps), num_keys=1, is_stable=False
+        )
+        return sum(o[0].astype(jnp.float32) * 1e-9 for o in out)
+
+    m = timed("flat 4-op sort, i32 key", scanned(flat4_i), key_i, *payloads)
+    print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
 
 
 # ---------------------------------------------------------------------------
@@ -519,6 +604,7 @@ if __name__ == "__main__":
     print("backend:", jax.default_backend(), flush=True)
     cmds = {
         "sort": cmd_sort,
+        "gather": cmd_gather,
         "reorder": cmd_reorder,
         "extents": cmd_extents,
         "emit": cmd_emit,
