@@ -51,9 +51,8 @@ def setup():
     return scene, cam.camera_data()
 
 
-@pytest.mark.parametrize(
-    "depth_bits", [19, pytest.param(32, marks=pytest.mark.slow)]
-)
+@pytest.mark.slow
+@pytest.mark.parametrize("depth_bits", [19, 32])
 def test_banded_pairs_match_flat_exactly(setup, depth_bits):
     scene, cam = setup
     cfgf = RenderConfig(screen_size=128, depth_bits=depth_bits)

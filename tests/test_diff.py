@@ -55,6 +55,7 @@ def test_forward_matches_golden():
     assert got.max() > 32
 
 
+@pytest.mark.slow
 def test_forward_epanechnikov_matches_golden():
     scene = random_scene(200, seed=5)
     config = RenderConfig(screen_size=64, falloff="epanechnikov")
@@ -73,6 +74,7 @@ def test_forward_epanechnikov_matches_golden():
     assert bad <= 0.02
 
 
+@pytest.mark.slow
 def test_forward_sh_matches_golden():
     """View-dependent SH colors flow through the diff path (and will
     therefore receive gradients)."""
@@ -142,7 +144,9 @@ def _tiny_setup(sh_degree=0):
     return params, loss
 
 
-@pytest.mark.parametrize("sh_degree", [0, 1])
+@pytest.mark.parametrize(
+    "sh_degree", [0, pytest.param(1, marks=pytest.mark.slow)]
+)
 def test_gradients_match_finite_differences(sh_degree):
     params, loss = _tiny_setup(sh_degree)
     grads = jax.jit(jax.grad(loss))(params)
@@ -176,6 +180,7 @@ def test_gradients_match_finite_differences(sh_degree):
     assert checked >= 20
 
 
+@pytest.mark.slow
 def test_gradients_finite_everywhere():
     """No NaN/inf in any gradient leaf, including splats that are culled,
     saturated tiles and zero-count tiles."""
@@ -232,6 +237,7 @@ def test_fit_reduces_loss():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_to_scene_roundtrip_renders_close():
     """from_scene -> to_scene only loses the 8-bit rotation requantization;
     the production render of the round-tripped scene matches."""
@@ -250,6 +256,7 @@ def test_to_scene_roundtrip_renders_close():
     assert bad <= 0.02
 
 
+@pytest.mark.slow
 def test_empty_frame_renders_black_with_finite_grads():
     """A camera looking away from every splat: zero pairs, black image,
     and gradients are all-zero but FINITE (no NaN from the culled
@@ -279,6 +286,7 @@ def test_empty_frame_renders_black_with_finite_grads():
         assert np.abs(a).max() == 0.0, name
 
 
+@pytest.mark.slow
 def test_fit_warns_on_capacity_saturation():
     scene = random_scene(200, seed=2)
     config = RenderConfig(screen_size=64)
@@ -293,6 +301,7 @@ def test_fit_warns_on_capacity_saturation():
         )
 
 
+@pytest.mark.slow
 def test_degree0_sh_params_render():
     """DiffSplats with a K=1 SH tensor uses the DC-band affine map."""
     scene = random_scene(100, seed=3)
@@ -395,6 +404,7 @@ def test_fit_with_densification_grows_and_converges():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_k_max_truncation_is_prefix():
     """k_max below the max tile count truncates the BACK of each tile's
     list (the front-to-back prefix still blends)."""

@@ -129,6 +129,7 @@ def test_distributed_renderer_render_batch_2d():
     assert imgs.shape == (4, 128, 128, 4)
 
 
+@pytest.mark.slow  # the driver itself exercises this entry every round
 def test_graft_entry_multichip():
     import importlib.util
 
