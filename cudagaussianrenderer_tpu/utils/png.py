@@ -22,8 +22,14 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(image: np.ndarray) -> bytes:
-    """Encode [H, W], [H, W, 3] or [H, W, 4] uint8 into PNG bytes."""
+def encode_png(image: np.ndarray, *, level: int = 6) -> bytes:
+    """Encode [H, W], [H, W, 3] or [H, W, 4] uint8 into PNG bytes.
+
+    ``level`` is the zlib effort: 6 (default) for files, 1 for live
+    streaming — measured 138 -> 48 ms per 512^2 frame on the viewer
+    host for +2% bytes, the difference between ~5 and ~8 FPS on the
+    interactive loop (docs/PERF_NOTES.md round 4).
+    """
     image = np.asarray(image)
     if image.dtype != np.uint8:
         raise ValueError("encode_png expects uint8")
@@ -42,7 +48,7 @@ def encode_png(image: np.ndarray) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", header)
-        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IDAT", zlib.compress(raw, level))
         + _chunk(b"IEND", b"")
     )
 
