@@ -52,8 +52,8 @@ def _build(args):
     from .config import RenderConfig
     from .models.camera import Camera
     from .models.scene import random_scene
-    from .ply import load_gaussian_ply
     from .render import Renderer
+    from .splatfile import load_scene
 
     kwargs = dict(
         screen_size=args.size,
@@ -73,9 +73,9 @@ def _build(args):
     if args.procedural is not None:
         scene = random_scene(args.procedural, seed=args.seed, sh_degree=args.sh_degree)
     elif args.scene:
-        scene = load_gaussian_ply(args.scene)
+        scene = load_scene(args.scene)
     else:
-        raise SystemExit("provide a scene .ply or --procedural N")
+        raise SystemExit("provide a scene .ply/.splat or --procedural N")
 
     print(
         f"scene: {scene.count} splats, SH degree {scene.sh_degree}, "
@@ -360,6 +360,59 @@ def cmd_serve(args):
     )
 
 
+def cmd_convert(args):
+    """Convert between scene formats by extension (.ply <-> .splat).
+
+    .splat drops SH bands beyond the baked base color (the format has no
+    field for them); .ply output stores the raw pre-activation values the
+    importer expects (log scales, logit opacity, PlyParser.cpp:317-327).
+    """
+    import numpy as np
+
+    from .models.scene import SH_C0
+    from .ply import write_gaussian_ply
+    from .splatfile import load_scene, write_splat
+    from .utils.quantize import decode_quat_xyzw
+
+    scene = load_scene(args.input)
+    out = str(args.output)
+    if out.lower().endswith(".splat"):
+        write_splat(out, scene)
+    elif out.lower().endswith(".ply"):
+        n = scene.count
+        means = np.asarray(scene.means)[:, :n].T
+        scales = np.asarray(scene.scales)[:, :n].T
+        # Invert the importer's activations; clamp away the infinities
+        # at exactly 0/1 (log/logit poles).
+        scales_log = np.log(np.maximum(scales, 1e-30))
+        op = np.clip(np.asarray(scene.opacities)[:n], 1e-6, 1.0 - 1e-6)
+        opacity_logit = np.log(op / (1.0 - op))
+        f_dc = (np.asarray(scene.colors)[:, :n].T - 0.5) / SH_C0
+        q = decode_quat_xyzw(np.asarray(scene.quats)[:n])  # xyzw
+        quats_wxyz = q[:, [3, 0, 1, 2]]
+        f_rest = None
+        if scene.sh is not None:
+            sh = np.asarray(scene.sh)[:, :, :n]  # [3, K, N]
+            f_dc = sh[:, 0, :].T  # exact DC, not the re-derived bake
+            f_rest = np.transpose(sh[:, 1:, :], (2, 0, 1))  # [N, 3, K-1]
+        write_gaussian_ply(
+            out,
+            means.astype(np.float32),
+            scales_log.astype(np.float32),
+            quats_wxyz.astype(np.float32),
+            opacity_logit.astype(np.float32),
+            f_dc.astype(np.float32),
+            f_rest,
+        )
+    else:
+        raise SystemExit(f"unknown output format: {out} (use .ply or .splat)")
+    print(
+        f"wrote {out}: {scene.count} splats, SH degree "
+        f"{scene.sh_degree if out.lower().endswith('.ply') else 0}",
+        file=sys.stderr,
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="cudagaussianrenderer_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -437,6 +490,13 @@ def main(argv=None):
     p.add_argument("--max-frames", type=int, default=0, help="stop after N frames (0 = run)")
     _add_common(p)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "convert", help="convert scene files by extension (.ply <-> .splat)"
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_convert)
 
     args = parser.parse_args(argv)
     args.fn(args)
