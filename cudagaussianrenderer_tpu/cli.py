@@ -413,6 +413,43 @@ def cmd_convert(args):
     )
 
 
+def cmd_compare(args):
+    """Image-parity metrics between two PNGs: per-channel max |delta|,
+    mean |delta|, PSNR and SSIM.  The tool for checking a migration
+    against reference-rendered frames (or any A/B of this renderer's
+    own outputs); exits non-zero when --max-delta is exceeded."""
+    import json as _json
+
+    import numpy as np
+
+    from .utils.png import read_png
+
+    a = read_png(args.a).astype(np.float32)
+    b = read_png(args.b).astype(np.float32)
+    if a.shape != b.shape:
+        raise SystemExit(f"shape mismatch: {a.shape} vs {b.shape}")
+    c = min(a.shape[2], 3)
+    a, b = a[..., :c], b[..., :c]
+    delta = np.abs(a - b)
+    mse = float(np.mean((a - b) ** 2))
+    psnr = float("inf") if mse == 0 else 10.0 * np.log10(255.0 ** 2 / mse)
+
+    from .diff import ssim
+
+    s = float(np.asarray(ssim(a / 255.0, b / 255.0)))
+    out = {
+        "max_delta": int(delta.max()),
+        "mean_delta": round(float(delta.mean()), 4),
+        "psnr_db": round(psnr, 2) if np.isfinite(psnr) else "inf",
+        "ssim": round(s, 5),
+    }
+    print(_json.dumps(out))
+    if args.max_delta is not None and out["max_delta"] > args.max_delta:
+        raise SystemExit(
+            f"max delta {out['max_delta']} exceeds --max-delta {args.max_delta}"
+        )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="cudagaussianrenderer_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -497,6 +534,17 @@ def main(argv=None):
     p.add_argument("input")
     p.add_argument("output")
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser(
+        "compare", help="image parity metrics between two PNGs (PSNR/SSIM)"
+    )
+    p.add_argument("a")
+    p.add_argument("b")
+    p.add_argument(
+        "--max-delta", type=int, default=None,
+        help="exit non-zero if any pixel differs by more than this",
+    )
+    p.set_defaults(fn=cmd_compare)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -78,3 +78,28 @@ def test_cli_interactive_replay_is_deterministic(tmp_path):
         np.testing.assert_array_equal(fa, fb)
     # The camera moved: first and last frames differ.
     assert (outs[0][0] != outs[0][-1]).any()
+
+
+def test_cli_compare_metrics(tmp_path, capsys):
+    import json
+
+    from cudagaussianrenderer_tpu.utils.png import write_png
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    b = a.copy()
+    b[0, 0, 0] ^= 4
+    pa, pb = tmp_path / "a.png", tmp_path / "b.png"
+    write_png(pa, a)
+    write_png(pb, b)
+
+    main(["compare", str(pa), str(pa)])
+    out = json.loads(capsys.readouterr().out)
+    assert out["max_delta"] == 0 and out["ssim"] == 1.0
+
+    main(["compare", str(pa), str(pb)])
+    out = json.loads(capsys.readouterr().out)
+    assert out["max_delta"] == 4 and out["psnr_db"] > 40
+
+    with pytest.raises(SystemExit, match="exceeds"):
+        main(["compare", str(pa), str(pb), "--max-delta", "2"])
