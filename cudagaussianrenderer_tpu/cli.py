@@ -37,6 +37,11 @@ def _add_common(p):
     p.add_argument("--capacity-factor", type=int, default=8)
     p.add_argument("--gamma", type=float, default=None)
     p.add_argument(
+        "--background", default=None, metavar="COLOR",
+        help='opaque background: "white", "black", or "R,G,B" in [0,1] '
+        "(default: reference-exact transparent-black clear)",
+    )
+    p.add_argument(
         "--procedural",
         type=int,
         default=None,
@@ -45,6 +50,18 @@ def _add_common(p):
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sh-degree", type=int, default=0, help="SH degree for procedural scenes")
+
+
+def _parse_background(spec):
+    if spec is None:
+        return None
+    named = {"white": (1.0, 1.0, 1.0), "black": (0.0, 0.0, 0.0)}
+    if spec in named:
+        return named[spec]
+    try:
+        return tuple(float(c) for c in spec.split(","))
+    except ValueError:
+        raise SystemExit(f'bad --background {spec!r}: use "white", "black" or R,G,B')
 
 
 def _build(args):
@@ -63,6 +80,7 @@ def _build(args):
         capacity_factor=args.capacity_factor,
         gamma=args.gamma,
         sort_bands=args.bands,
+        background=_parse_background(args.background),
     )
     if args.raster_chunk is not None:
         kwargs["raster_chunk"] = args.raster_chunk

@@ -98,9 +98,15 @@ class RenderConfig:
     # Optional gamma on output (the reference ships it commented out,
     # GaussianRender.cu:1001-1005).
     gamma: Optional[float] = None
-    # Use the Pallas kernel for rasterization; False falls back to the pure
-    # jnp reference rasterizer (slow, for testing).
-    use_pallas_raster: bool = True
+    # Optional opaque background color (r, g, b) in [0, 1], composited
+    # under the blended splats with the pixel's remaining transmittance:
+    # out = rgb + T * background.  None reproduces the reference exactly
+    # (black frame clear, Demo.cpp:399; alpha 255 only on covered
+    # tiles).  The 3DGS evaluation protocol renders over white/black —
+    # (1, 1, 1) gives the white variant.  Saturation-exited pixels carry
+    # T <= transmittance_eps, so background leakage there is below the
+    # same 2% the reference's early exit accepts.
+    background: Optional[tuple] = None
     # Tiles processed per Pallas grid step (amortizes per-step overhead).
     # None auto-selects the largest of 16/8/4/2/1 dividing the tile count
     # (16 measured fastest at 1024^2: 6.40 vs 6.49 ms at 8, round-4
@@ -122,6 +128,11 @@ class RenderConfig:
             raise ValueError("screens larger than 255 tiles per axis unsupported")
         if self.falloff not in ("gaussian", "epanechnikov"):
             raise ValueError(f"unknown falloff kernel {self.falloff!r}")
+        if self.background is not None:
+            bg = tuple(float(c) for c in self.background)
+            if len(bg) != 3 or not all(0.0 <= c <= 1.0 for c in bg):
+                raise ValueError("background must be 3 floats in [0, 1]")
+            object.__setattr__(self, "background", bg)
         if self.depth_bits not in (19, 32):
             raise ValueError("depth_bits must be 19 (packed u32) or 32 (lex)")
         # The packed single-u32 key is (tile_id << 19) | depth19; the max

@@ -334,13 +334,23 @@ def rasterize_diff(
 
         rgb0 = jnp.zeros((tids.shape[0], p_tile, 3), jnp.float32)
         lt0 = jnp.zeros((tids.shape[0], p_tile), jnp.float32)
-        (rgb, _), _ = jax.lax.scan(
+        (rgb, log_t_f), _ = jax.lax.scan(
             body, (rgb0, lt0),
             jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
         )
-        a = jnp.broadcast_to(
-            (counts > 0).astype(jnp.float32)[:, None], (tids.shape[0], p_tile)
-        )
+        if config.background is not None:
+            # Same semantics as the production raster + tiles_to_image:
+            # composite the opaque background with the remaining
+            # transmittance (differentiable — gradients reach the
+            # occluding alphas through log_t_f).
+            bg = jnp.asarray(config.background, jnp.float32)
+            rgb = rgb + jnp.exp(log_t_f)[:, :, None] * bg[None, None, :]
+            a = jnp.ones((tids.shape[0], p_tile), jnp.float32)
+        else:
+            a = jnp.broadcast_to(
+                (counts > 0).astype(jnp.float32)[:, None],
+                (tids.shape[0], p_tile),
+            )
         return jnp.concatenate([rgb, a[:, :, None]], axis=-1)
 
     tiles = jax.lax.map(tile_block, all_tids.reshape(n_batches, tile_batch))

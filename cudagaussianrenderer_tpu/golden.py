@@ -247,6 +247,11 @@ def golden_render(
                     tile_lists[gy * ntx + gx].append((int(q), i))
 
     img = np.zeros((h, w, 4), np.float64)
+    bg = None if config.background is None else np.asarray(config.background)
+    if bg is not None:
+        # Empty tiles show the opaque background instead of the clear.
+        img[..., :3] = bg
+        img[..., 3] = 1.0
     gauss = config.falloff == "gaussian"
     for t, entries in enumerate(tile_lists):
         if not entries:
@@ -270,6 +275,8 @@ def golden_render(
                 trans *= 1.0 - alpha
             if np.all(trans <= config.transmittance_eps):
                 break
+        if bg is not None:
+            color = color + trans[..., None] * bg
         img[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts, :3] = color
         img[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts, 3] = 1.0
 

@@ -441,9 +441,18 @@ def _raster_kernel(
                     final_c + d,
                 ).wait()
 
-        covered = (count > 0).astype(jnp.float32)
         out_ref[ti, :, 0:3] = state[:, 0:3]
-        out_ref[ti, :, 3:4] = jnp.full((pixels, 1), covered, jnp.float32)
+        if config.background is None:
+            # Reference semantics: channel 3 is tile coverage (cu:1013
+            # writes alpha 255; untouched tiles keep the frame clear).
+            covered = (count > 0).astype(jnp.float32)
+            out_ref[ti, :, 3:4] = jnp.full((pixels, 1), covered, jnp.float32)
+        else:
+            # Background compositing needs the pixel's remaining
+            # transmittance instead (empty tiles hold the init value,
+            # T = 1 -> pure background).
+            t_col = state[:, 3:4]
+            out_ref[ti, :, 3:4] = jnp.exp(t_col) if logf else t_col
 
 
 def rasterize_tiles(
@@ -519,7 +528,15 @@ def tiles_to_image(tile_rgba: jnp.ndarray, config: RenderConfig) -> jnp.ndarray:
     img = tile_rgba.reshape(rows, tx, ts, ts, 4)
     img = img.transpose(0, 2, 1, 3, 4).reshape(rows * ts, tx * ts, 4)
     rgb = img[..., :3]
+    alpha = img[..., 3:4]
+    if config.background is not None:
+        # Channel 3 carries per-pixel transmittance in this mode (see
+        # the kernel's output write): composite the opaque background
+        # under the blended splats.
+        bg = jnp.asarray(config.background, jnp.float32)
+        rgb = rgb + alpha * bg
+        alpha = jnp.ones_like(alpha)
     if config.gamma is not None:
         rgb = jnp.power(jnp.clip(rgb, 0.0, 1.0), config.gamma)
-    rgba = jnp.concatenate([rgb, img[..., 3:4]], axis=-1)
+    rgba = jnp.concatenate([rgb, alpha], axis=-1)
     return (jnp.clip(rgba, 0.0, 1.0) * 255.0).astype(jnp.uint8)
