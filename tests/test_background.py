@@ -29,6 +29,7 @@ def _image_close(got, want, *, pix_tol=8, frac=0.02, msg=""):
     assert bad <= frac, f"{msg}: {bad:.4f} of pixels differ by more than {pix_tol}"
 
 
+@pytest.mark.slow
 def test_white_background_matches_golden():
     scene = random_scene(300, seed=2)
     config = RenderConfig(screen_size=128, background=WHITE)
@@ -45,7 +46,7 @@ def test_white_background_matches_golden():
 def test_colored_background_fills_empty_view():
     scene = random_scene(50, seed=4)
     bg = (0.2, 0.5, 0.8)
-    config = RenderConfig(screen_size=128, background=bg)
+    config = RenderConfig(screen_size=64, background=bg)
     cam = Camera(position=np.array([0.0, 0.0, -500.0], np.float32), aspect=1.0)
     img = Renderer(scene, config).render(cam)
     want = np.array([round(c * 255) for c in bg] + [255], np.int32)
@@ -57,8 +58,8 @@ def test_background_none_is_reference_exact():
     # present-but-None (trace-time gate).
     scene = random_scene(200, seed=9)
     cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
-    a = Renderer(scene, RenderConfig(screen_size=128)).render(cam)
-    b = Renderer(scene, RenderConfig(screen_size=128, background=None)).render(cam)
+    a = Renderer(scene, RenderConfig(screen_size=64)).render(cam)
+    b = Renderer(scene, RenderConfig(screen_size=64, background=None)).render(cam)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

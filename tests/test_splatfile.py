@@ -99,6 +99,7 @@ def test_rejects_malformed_input():
         load_splat(io.BytesIO(bad.tobytes()))
 
 
+@pytest.mark.slow
 def test_render_parity_with_direct_scene(tmp_path):
     """A scene written to .splat and reloaded renders ~identically:
     only the 8-bit color/opacity/rotation re-quantization may move
