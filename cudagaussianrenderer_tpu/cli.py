@@ -64,13 +64,8 @@ def _parse_background(spec):
         raise SystemExit(f'bad --background {spec!r}: use "white", "black" or R,G,B')
 
 
-def _build(args):
-    # Import late so --help stays fast.
+def _config_from_args(args):
     from .config import RenderConfig
-    from .models.camera import Camera
-    from .models.scene import random_scene
-    from .render import Renderer
-    from .splatfile import load_scene
 
     kwargs = dict(
         screen_size=args.size,
@@ -86,7 +81,17 @@ def _build(args):
         kwargs["raster_chunk"] = args.raster_chunk
     if args.tiles_per_cell is not None:
         kwargs["tiles_per_cell"] = args.tiles_per_cell
-    config = RenderConfig(**kwargs)
+    return RenderConfig(**kwargs)
+
+
+def _build(args):
+    # Import late so --help stays fast.
+    from .models.camera import Camera
+    from .models.scene import random_scene
+    from .render import Renderer
+    from .splatfile import load_scene
+
+    config = _config_from_args(args)
 
     if args.procedural is not None:
         scene = random_scene(args.procedural, seed=args.seed, sh_degree=args.sh_degree)
@@ -182,9 +187,16 @@ def cmd_orbit(args):
     cams = orbit_cameras(
         scene.bounds_min, scene.bounds_max, args.frames, aspect=config.aspect
     )
+    names = []
     for i, cam in enumerate(cams):
         image = renderer.render(cam)
-        write_png(out / f"frame_{i:04d}.png", image)
+        names.append(f"frame_{i:04d}.png")
+        write_png(out / names[-1], image)
+    if args.transforms:
+        from .dataset import write_transforms
+
+        write_transforms(out / "transforms.json", cams, names)
+        print(f"wrote {out / 'transforms.json'}", file=sys.stderr)
     print(f"wrote {args.frames} frames to {out}", file=sys.stderr)
 
 
@@ -307,16 +319,40 @@ def cmd_fit(args):
     from .render import Renderer, round_capacity
     from .utils.png import write_png
 
-    renderer, camera, scene, config = _build(args)
-    cams = orbit_cameras(
-        scene.bounds_min, scene.bounds_max, args.views, aspect=config.aspect
-    )
-    print(f"rendering {args.views} target views...", file=sys.stderr)
-    targets = [renderer.render(c)[..., :3] for c in cams]
+    if args.dataset:
+        # Posed-image dataset (NeRF-synthetic transforms.json): targets
+        # are captured views, splat-init bounds come from the camera rig.
+        from .dataset import init_bounds_from_cameras, load_dataset
+
+        cams, images = load_dataset(
+            args.dataset,
+            downscale=args.downscale,
+            background=_parse_background(args.background),
+            max_frames=args.views or 0,
+        )
+        h, w = images.shape[1:3]
+        args.size, args.height = w, h
+        config = _config_from_args(args)
+        bounds_min, bounds_max = init_bounds_from_cameras(cams)
+        targets = list(images)
+        print(
+            f"dataset: {len(cams)} views at {w}x{h}, init bounds "
+            f"{np.round(bounds_min, 3)}..{np.round(bounds_max, 3)}",
+            file=sys.stderr,
+        )
+    else:
+        renderer, camera, scene, config = _build(args)
+        bounds_min, bounds_max = scene.bounds_min, scene.bounds_max
+        views = args.views or 6
+        cams = orbit_cameras(
+            bounds_min, bounds_max, views, aspect=config.aspect
+        )
+        print(f"rendering {views} target views...", file=sys.stderr)
+        targets = [renderer.render(c)[..., :3] for c in cams]
     cam_data = [c.camera_data() for c in cams]
 
     params = diff.random_init(
-        args.splats, scene.bounds_min, scene.bounds_max,
+        args.splats, bounds_min, bounds_max,
         seed=args.seed, scale=args.init_scale,
     )
     capacity = round_capacity(args.capacity or 16 * args.splats)
@@ -487,6 +523,9 @@ def main(argv=None):
     p.add_argument("scene", nargs="?", default=None)
     p.add_argument("-o", "--output", default="frames")
     p.add_argument("-n", "--frames", type=int, default=60)
+    p.add_argument("--transforms", action="store_true",
+                   help="also write transforms.json (NeRF-synthetic "
+                        "dataset layout, consumable by fit --dataset)")
     _add_common(p)
     p.set_defaults(fn=cmd_orbit)
 
@@ -520,8 +559,15 @@ def main(argv=None):
                    help="also render the fitted scene to PNG")
     p.add_argument("--splats", type=int, default=2000,
                    help="splat count of the fitted model")
-    p.add_argument("--views", type=int, default=6,
-                   help="orbit target views")
+    p.add_argument("--views", type=int, default=None,
+                   help="orbit target views (default 6); with --dataset, "
+                        "cap on frames used (default all)")
+    p.add_argument("--dataset", default=None, metavar="DIR",
+                   help="fit against a posed-image dataset "
+                        "(transforms.json + PNGs) instead of orbit views "
+                        "of an input scene")
+    p.add_argument("--downscale", type=int, default=1, metavar="F",
+                   help="block-average dataset images by an integer factor")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--lr", type=float, default=5e-3)
     p.add_argument("--capacity", type=int, default=None,
