@@ -394,6 +394,32 @@ def cmd_fit(args):
         img = Renderer(diff.to_scene(params), config).render(cams[0])
         write_png(args.preview, img)
         print(f"wrote {args.preview}", file=sys.stderr)
+    if args.eval_dataset:
+        # Held-out evaluation (the 3DGS protocol: PSNR/SSIM on test
+        # views the fit never saw).  Targets composite like training
+        # ones; the production render is already over the same
+        # background (opaque when --background is set, black when not).
+        from .dataset import load_dataset
+
+        ecams, etargets = load_dataset(
+            args.eval_dataset,
+            downscale=args.downscale,
+            background=_parse_background(args.background),
+        )
+        h, w = etargets.shape[1:3]
+        args.size, args.height = w, h
+        er = Renderer(diff.to_scene(params), _config_from_args(args))
+        psnrs, ssims = [], []
+        for cam, tgt in zip(ecams, etargets):
+            rgb = np.asarray(er.render(cam))[..., :3].astype(np.float32) / 255.0
+            mse = float(np.mean((rgb - tgt) ** 2))
+            psnrs.append(float("inf") if mse == 0 else -10.0 * np.log10(mse))
+            ssims.append(float(np.asarray(diff.ssim(rgb, tgt))))
+        print(
+            f"eval ({len(ecams)} held-out views): "
+            f"PSNR {np.mean(psnrs):.2f} dB, SSIM {np.mean(ssims):.4f}",
+            file=sys.stderr,
+        )
 
 
 def cmd_serve(args):
@@ -568,6 +594,9 @@ def main(argv=None):
                         "of an input scene")
     p.add_argument("--downscale", type=int, default=1, metavar="F",
                    help="block-average dataset images by an integer factor")
+    p.add_argument("--eval-dataset", default=None, metavar="DIR",
+                   help="after fitting, report PSNR/SSIM on this held-out "
+                        "posed-image dataset (3DGS eval protocol)")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--lr", type=float, default=5e-3)
     p.add_argument("--capacity", type=int, default=None,

@@ -419,22 +419,36 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, *, window: int = 11,
         dn = jax.lax.conv_dimension_numbers(
             img.shape, kh.shape, ("NCHW", "OIHW", "NCHW")
         )
+        # Precision HIGHEST is load-bearing: with the default precision
+        # the TPU MXU runs these convs in bf16, and the moment estimate
+        # blur(a*a) - mu*mu picks up ~1e-3 cancellation error on flat
+        # regions — enough to flip the SSIM denominator sign (c2 is only
+        # 9e-4) and drive the training loss below its true 0 floor.
         out = jax.lax.conv_general_dilated(
             img, kh, (1, 1), [(r, r), (0, 0)], dimension_numbers=dn,
-            feature_group_count=1,
+            feature_group_count=1, precision=jax.lax.Precision.HIGHEST,
         )
         out = jax.lax.conv_general_dilated(
             out, kw, (1, 1), [(0, 0), (r, r)], dimension_numbers=dn,
-            feature_group_count=1,
+            feature_group_count=1, precision=jax.lax.Precision.HIGHEST,
         )
         return out[:, 0]
 
     ac = jnp.transpose(a, (2, 0, 1)).astype(jnp.float32)
     bc = jnp.transpose(b, (2, 0, 1)).astype(jnp.float32)
     mu_a, mu_b = blur(ac), blur(bc)
-    var_a = blur(ac * ac) - mu_a * mu_a
-    var_b = blur(bc * bc) - mu_b * mu_b
+    # Enforce the moment invariants (true variance >= 0 and
+    # |cov| <= sqrt(var_a * var_b)) against residual floating-point
+    # cancellation; together they pin SSIM to its mathematical [-1, 1]
+    # range on any backend, so 1 - SSIM (the D-SSIM loss term) can
+    # never go negative.
+    var_a = jnp.maximum(blur(ac * ac) - mu_a * mu_a, 0.0)
+    var_b = jnp.maximum(blur(bc * bc) - mu_b * mu_b, 0.0)
     cov = blur(ac * bc) - mu_a * mu_b
+    # stop_gradient: the bound is a numerical guard, not an objective
+    # term, and d(sqrt)/d(var) blows up at var = 0 (flat patches).
+    cov_bound = jax.lax.stop_gradient(jnp.sqrt(var_a * var_b))
+    cov = jnp.clip(cov, -cov_bound, cov_bound)
     num = (2.0 * mu_a * mu_b + c1) * (2.0 * cov + c2)
     den = (mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2)
     return jnp.mean(num / den)

@@ -158,9 +158,10 @@ def test_export_then_load_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
-def test_cli_fit_from_dataset(tmp_path):
+def test_cli_fit_from_dataset(tmp_path, capsys):
     """End-to-end: orbit --transforms exports a dataset, fit --dataset
-    trains against it and writes a loadable .ply."""
+    trains against it, evaluates held-out views and writes a loadable
+    .ply."""
     from cudagaussianrenderer_tpu.cli import main
     from cudagaussianrenderer_tpu.splatfile import load_scene
 
@@ -178,7 +179,10 @@ def test_cli_fit_from_dataset(tmp_path):
         [
             "fit", "--dataset", str(ds), "-o", str(out),
             "--splats", "20", "--steps", "2", "--k-max", "64",
+            "--eval-dataset", str(ds),
         ]
     )
+    err = capsys.readouterr().err
+    assert "PSNR" in err and "SSIM" in err
     fitted = load_scene(out)
     assert fitted.count == 20

@@ -337,6 +337,32 @@ def test_ssim_properties():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_ssim_flat_images_bounded_and_differentiable():
+    """Degenerate flat patches (zero true variance) are where the
+    moment cancellation lives: on the TPU MXU the default-precision
+    convs run in bf16 and blur(a*a) - mu^2 picks up ~1e-3 error —
+    enough to flip the SSIM denominator sign (c2 = 9e-4) and drive
+    the D-SSIM training loss below 0 (seen live at fit step 540).
+    ssim now forces f32 conv precision and clamps the moments to
+    their invariants (var >= 0, |cov| <= sqrt(var_a var_b)), which
+    pins SSIM into [-1, 1] on every backend.  The clamp's sqrt hits
+    var = 0 exactly here, so this also guards the stop_gradient
+    against d(sqrt)/dx -> inf at 0."""
+    rng = np.random.default_rng(3)
+    flat = jnp.full((64, 64, 3), 0.5, jnp.float32)
+    noisy = jnp.asarray(
+        np.clip(
+            0.5 + 0.05 * rng.standard_normal((64, 64, 3)), 0.0, 1.0
+        ).astype(np.float32)
+    )
+    for x, y in [(flat, flat), (flat, noisy), (flat, 1.0 - flat)]:
+        s = float(diff.ssim(x, y))
+        assert -1.0 <= s <= 1.0
+        g = jax.grad(lambda im: diff.ssim(im, y))(x)
+        assert np.isfinite(np.asarray(g)).all()
+    assert float(diff.ssim(flat, flat)) == pytest.approx(1.0, abs=1e-5)
+
+
 def test_densify_and_prune_rules():
     """Clone small hot splats, split large hot ones (into two shrunk
     samples, parent removed), prune sub-floor opacities."""
