@@ -368,11 +368,23 @@ def cmd_fit(args):
         f"k_max {k_max}, {args.steps} steps...",
         file=sys.stderr,
     )
+    tx = None
+    if args.optimizer == "3dgs":
+        extent = float(
+            np.linalg.norm(
+                np.asarray(bounds_max, np.float64)
+                - np.asarray(bounds_min, np.float64)
+            )
+        ) or 1.0
+        tx = diff.tx_3dgs(extent, args.steps)
     t0 = time.perf_counter()
     params, losses = diff.fit(
         params, cam_data, targets, config,
         capacity=capacity, k_max=k_max, steps=args.steps,
-        learning_rate=args.lr, log_every=max(1, args.steps // 10),
+        learning_rate=args.lr, tx=tx,
+        l1_weight=args.l1_weight, ssim_weight=args.ssim_weight,
+        l2_weight=args.l2_weight,
+        log_every=max(1, args.steps // 10),
         densify_every=args.densify_every,
     )
     if args.densify_every:
@@ -598,7 +610,18 @@ def main(argv=None):
                    help="after fitting, report PSNR/SSIM on this held-out "
                         "posed-image dataset (3DGS eval protocol)")
     p.add_argument("--steps", type=int, default=300)
-    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--lr", type=float, default=5e-3,
+                   help="adam learning rate (--optimizer adam only)")
+    p.add_argument("--optimizer", choices=("adam", "3dgs"), default="adam",
+                   help="adam: one global rate (--lr); 3dgs: the paper's "
+                        "per-parameter schedule (positions extent-scaled "
+                        "and decayed, opacities hot, SH rest bands /20)")
+    p.add_argument("--l1-weight", type=float, default=0.8,
+                   help="L1 term weight (3DGS loss default)")
+    p.add_argument("--ssim-weight", type=float, default=0.2,
+                   help="D-SSIM term weight (3DGS loss default)")
+    p.add_argument("--l2-weight", type=float, default=0.0,
+                   help="MSE term weight (0 in the 3DGS loss)")
     p.add_argument("--capacity", type=int, default=None,
                    help="pair-structure capacity (default 16x splats)")
     p.add_argument("--k-max", type=int, default=None,

@@ -454,6 +454,73 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, *, window: int = 11,
     return jnp.mean(num / den)
 
 
+def tx_3dgs(
+    scene_extent: float,
+    total_steps: int,
+    *,
+    lr_scale: float = 1.0,
+    position_lr: float = 1.6e-4,
+    position_lr_final_ratio: float = 0.01,
+    scale_lr: float = 5e-3,
+    quat_lr: float = 1e-3,
+    opacity_lr: float = 5e-2,
+    color_lr: float = 2.5e-3,
+    sh_rest_div: float = 20.0,
+    eps: float = 1e-15,
+):
+    """The 3DGS per-parameter Adam schedule as an optax transformation.
+
+    A single global learning rate couples parameters whose natural step
+    sizes differ by orders of magnitude (a world-space mean vs an
+    opacity logit); the original 3DGS trainer therefore runs Adam with
+    per-group rates — positions at ``position_lr * scene_extent``
+    exponentially decayed by ``position_lr_final_ratio`` over the run,
+    opacity logits hot (5e-2), rotations cool (1e-3), and the SH rest
+    bands at 1/20 of the DC band.  This reproduces that schedule over
+    the DiffSplats leaves (means / log_scales / quats / opacity_logits
+    / colors / sh); pass the result as ``fit(tx=...)``.
+
+    ``scene_extent`` should be the world diagonal of the splat cloud
+    (fit() computes the same quantity for density control).  The decay
+    clock restarts when fit() re-inits the optimizer after a densify
+    step; with the standard densify_until = steps/2 schedule the
+    position rate rejoins the envelope in the homestretch.
+    """
+    import optax
+
+    adam = optax.scale_by_adam(eps=eps)
+    lo = float(position_lr_final_ratio)
+
+    def init(params):
+        return (adam.init(params), jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params=None):
+        inner, count = state
+        upd, inner = adam.update(grads, inner, params)
+        t = jnp.clip(
+            count.astype(jnp.float32) / float(max(1, total_steps)), 0.0, 1.0
+        )
+        pos_lr = position_lr * scene_extent * jnp.power(lo, t)
+        s = -lr_scale
+        sh = upd.sh
+        if sh is not None:
+            k = sh.shape[1]
+            mult = jnp.full((1, k, 1), color_lr / sh_rest_div, sh.dtype)
+            mult = mult.at[:, 0].set(color_lr)
+            sh = sh * (s * mult)
+        new = DiffSplats(
+            means=upd.means * (s * pos_lr),
+            log_scales=upd.log_scales * (s * scale_lr),
+            quats=upd.quats * (s * quat_lr),
+            opacity_logits=upd.opacity_logits * (s * opacity_lr),
+            colors=upd.colors * (s * color_lr),
+            sh=sh,
+        )
+        return new, (inner, count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
 # ---------------------------------------------------------------------------
 # Adaptive density control (3DGS clone / split / prune)
 # ---------------------------------------------------------------------------
@@ -594,6 +661,7 @@ def fit(
     tx=None,
     l1_weight: float = 0.0,
     ssim_weight: float = 0.0,
+    l2_weight: float = 1.0,
     densify_every: int = 0,
     densify_until: Optional[int] = None,
     densify_args: Optional[dict] = None,
@@ -636,12 +704,12 @@ def fit(
             p, cam, config, capacity, k_max, interpret=interpret
         )
         err = image[..., :3] - target
-        loss = jnp.mean(err * err)
+        loss = l2_weight * jnp.mean(err * err) if l2_weight else 0.0
         if l1_weight:
             loss = loss + l1_weight * jnp.mean(jnp.abs(err))
         if ssim_weight:
-            # The 3DGS D-SSIM term (1 - SSIM); the paper's full loss is
-            # l1_weight=0.8, ssim_weight=0.2 with the L2 term dropped.
+            # The 3DGS D-SSIM term (1 - SSIM); the paper's loss is
+            # l1_weight=0.8, ssim_weight=0.2, l2_weight=0.
             loss = loss + ssim_weight * (1.0 - ssim(image[..., :3], target))
         return loss, structure.num_candidates
 

@@ -237,6 +237,97 @@ def test_fit_reduces_loss():
     assert np.isfinite(losses).all()
 
 
+def test_tx_3dgs_per_parameter_rates():
+    """The 3DGS optimizer steps each parameter group at its own rate:
+    with identical unit-RMS gradients the first-step magnitudes must
+    reproduce the schedule's ratios (positions extent-scaled, opacity
+    hot at 5e-2, quats cool at 1e-3, SH rest bands = DC/20), and the
+    position rate must decay toward final_ratio x by the last step."""
+    import optax
+
+    n, k, extent, steps = 8, 4, 10.0, 100
+    params = diff.DiffSplats(
+        means=jnp.zeros((3, n)),
+        log_scales=jnp.zeros((3, n)),
+        quats=jnp.zeros((4, n)),
+        opacity_logits=jnp.zeros((n,)),
+        colors=jnp.zeros((3, n)),
+        sh=jnp.zeros((3, k, n)),
+    )
+    ones = jax.tree_util.tree_map(jnp.ones_like, params)
+    tx = diff.tx_3dgs(extent, steps)
+    state = tx.init(params)
+    upd, state = tx.update(ones, state, params)
+    # Adam with constant unit gradients normalizes to ~1 (bias-corrected
+    # m/sqrt(v) = 1 exactly on step 1), so |update| == the group rate.
+    assert float(jnp.abs(upd.means).max()) == pytest.approx(
+        1.6e-4 * extent, rel=1e-4
+    )
+    assert float(jnp.abs(upd.opacity_logits).max()) == pytest.approx(
+        5e-2, rel=1e-4
+    )
+    assert float(jnp.abs(upd.quats).max()) == pytest.approx(1e-3, rel=1e-4)
+    assert float(jnp.abs(upd.log_scales).max()) == pytest.approx(
+        5e-3, rel=1e-4
+    )
+    assert float(jnp.abs(upd.colors).max()) == pytest.approx(2.5e-3, rel=1e-4)
+    sh = np.abs(np.asarray(upd.sh))
+    assert sh[:, 0].max() == pytest.approx(2.5e-3, rel=1e-4)
+    assert sh[:, 1:].max() == pytest.approx(2.5e-3 / 20.0, rel=1e-4)
+    # All updates are descent-signed.
+    assert float(upd.means.max()) < 0
+    # Position rate decays ~x100 across the run (the other groups hold).
+    for _ in range(steps):
+        upd, state = tx.update(ones, state, params)
+    assert float(jnp.abs(upd.means).max()) == pytest.approx(
+        1.6e-4 * extent * 0.01, rel=1e-3
+    )
+    assert float(jnp.abs(upd.opacity_logits).max()) == pytest.approx(
+        5e-2, rel=1e-4
+    )
+    # And it drives fit() end to end (sh=None branch included).
+    params2 = params._replace(sh=None, colors=jnp.full((3, n), 0.5))
+    tx2 = diff.tx_3dgs(extent, 3)
+    assert isinstance(tx2, optax.GradientTransformation)
+
+
+@pytest.mark.slow
+def test_fit_3dgs_optimizer_reduces_loss():
+    """fit(tx=tx_3dgs(...)) with the paper loss (L1+D-SSIM, no L2)
+    trains: same recovery setup as test_fit_reduces_loss."""
+    scene = random_scene(60, seed=4, min_scale=0.1, max_scale=0.4)
+    config = RenderConfig(screen_size=64)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cam_data = cam.camera_data()
+
+    truth = diff.from_scene(scene)
+    structure, k_max = _structure_and_kmax(truth, cam_data, config, 8192)
+    target, _ = diff.render_diff(
+        truth, cam_data, config, 8192, k_max, structure=structure
+    )
+
+    rng = np.random.default_rng(0)
+    noisy = truth._replace(
+        means=truth.means + jnp.asarray(
+            rng.normal(scale=0.15, size=truth.means.shape).astype(np.float32)
+        ),
+        colors=jnp.asarray(
+            rng.uniform(0.2, 0.8, truth.colors.shape).astype(np.float32)
+        ),
+    )
+    extent = float(np.linalg.norm(
+        np.asarray(scene.bounds_max) - np.asarray(scene.bounds_min)
+    ))
+    fitted, losses = diff.fit(
+        noisy, [cam_data], [np.asarray(target[..., :3])], config,
+        capacity=8192, k_max=max(k_max, 64), steps=60,
+        tx=diff.tx_3dgs(extent, 60),
+        l1_weight=0.8, ssim_weight=0.2, l2_weight=0.0,
+    )
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+    assert np.isfinite(losses).all()
+
+
 @pytest.mark.slow
 def test_to_scene_roundtrip_renders_close():
     """from_scene -> to_scene only loses the 8-bit rotation requantization;

@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--densify-every", type=int, default=0)
     ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--optimizer", choices=("adam", "3dgs"), default="adam")
     ap.add_argument("--out", default="artifacts")
     ap.add_argument("--dataset-dir", default="/tmp/fit_dataset")
     args = ap.parse_args()
@@ -91,11 +92,16 @@ def main():
     k_max = max(256, 2 * diff.max_tile_count(structure))
     print(f"fitting {args.fit_splats} splats, capacity {capacity}, "
           f"k_max {k_max}, {args.steps} steps", file=sys.stderr)
+    tx = None
+    if args.optimizer == "3dgs":
+        extent = float(np.linalg.norm(np.asarray(hi) - np.asarray(lo)))
+        tx = diff.tx_3dgs(extent, args.steps)
     t0 = time.perf_counter()
     params, losses = diff.fit(
         params, cam_data, targets, config,
         capacity=capacity, k_max=k_max, steps=args.steps,
-        learning_rate=args.lr, l1_weight=0.8, ssim_weight=0.2,
+        learning_rate=args.lr, tx=tx,
+        l1_weight=0.8, ssim_weight=0.2, l2_weight=0.0,
         densify_every=args.densify_every,
         log_every=max(1, args.steps // 10),
     )
@@ -114,6 +120,7 @@ def main():
         "size": args.size,
         "steps": args.steps,
         "densify_every": args.densify_every,
+        "optimizer": args.optimizer,
         "loss_first": round(float(losses[0]), 5),
         "loss_last": round(float(losses[-1]), 5),
         "psnr_init_db": round(psnr_init, 2),
