@@ -319,24 +319,34 @@ def cmd_fit(args):
     from .render import Renderer, round_capacity
     from .utils.png import write_png
 
+    points_xyz = points_rgb = None
     if args.dataset:
-        # Posed-image dataset (NeRF-synthetic transforms.json): targets
-        # are captured views, splat-init bounds come from the camera rig.
-        from .dataset import init_bounds_from_cameras, load_dataset
+        # Posed-image dataset (COLMAP workspace or NeRF-synthetic
+        # transforms.json — dispatched by layout): targets are captured
+        # views; splat init comes from the SfM point cloud when the
+        # layout has one, else random inside rig-derived bounds.
+        from .dataset import init_bounds_from_cameras, load_posed
 
-        cams, images = load_dataset(
+        ds = load_posed(
             args.dataset,
             downscale=args.downscale,
             background=_parse_background(args.background),
             max_frames=args.views or 0,
         )
+        cams, images = ds.cameras, ds.images
+        if ds.points_xyz.shape[0] and args.init != "random":
+            points_xyz, points_rgb = ds.points_xyz, ds.points_rgb
+        elif args.init == "points":
+            raise SystemExit(
+                "--init points: the dataset has no SfM point cloud")
         h, w = images.shape[1:3]
         args.size, args.height = w, h
         config = _config_from_args(args)
         bounds_min, bounds_max = init_bounds_from_cameras(cams)
         targets = list(images)
         print(
-            f"dataset: {len(cams)} views at {w}x{h}, init bounds "
+            f"dataset: {len(cams)} views at {w}x{h}, "
+            f"{ds.points_xyz.shape[0]} SfM points, init bounds "
             f"{np.round(bounds_min, 3)}..{np.round(bounds_max, 3)}",
             file=sys.stderr,
         )
@@ -351,11 +361,23 @@ def cmd_fit(args):
         targets = [renderer.render(c)[..., :3] for c in cams]
     cam_data = [c.camera_data() for c in cams]
 
-    params = diff.random_init(
-        args.splats, bounds_min, bounds_max,
-        seed=args.seed, scale=args.init_scale,
-    )
-    capacity = round_capacity(args.capacity or 16 * args.splats)
+    if points_xyz is not None:
+        params = diff.init_from_points(
+            points_xyz, points_rgb,
+            max_points=args.max_init_points, seed=args.seed,
+        )
+        print(
+            f"init: {params.means.shape[-1]} splats from the SfM point "
+            f"cloud (3DGS recipe)",
+            file=sys.stderr,
+        )
+    else:
+        params = diff.random_init(
+            args.splats, bounds_min, bounds_max,
+            seed=args.seed, scale=args.init_scale,
+        )
+    n_splats = int(params.means.shape[-1])
+    capacity = round_capacity(args.capacity or 16 * n_splats)
     if args.k_max:
         k_max = args.k_max
     else:
@@ -364,7 +386,7 @@ def cmd_fit(args):
         )
         k_max = max(128, 2 * diff.max_tile_count(structure))
     print(
-        f"fitting {args.splats} splats, capacity {capacity}, "
+        f"fitting {n_splats} splats, capacity {capacity}, "
         f"k_max {k_max}, {args.steps} steps...",
         file=sys.stderr,
     )
@@ -389,7 +411,7 @@ def cmd_fit(args):
     )
     if args.densify_every:
         print(
-            f"density control: {args.splats} -> "
+            f"density control: {n_splats} -> "
             f"{params.means.shape[-1]} splats",
             file=sys.stderr,
         )
@@ -411,13 +433,13 @@ def cmd_fit(args):
         # views the fit never saw).  Targets composite like training
         # ones; the production render is already over the same
         # background (opaque when --background is set, black when not).
-        from .dataset import load_dataset
+        from .dataset import load_posed
 
-        ecams, etargets = load_dataset(
+        ecams, etargets = load_posed(
             args.eval_dataset,
             downscale=args.downscale,
             background=_parse_background(args.background),
-        )
+        )[:2]
         h, w = etargets.shape[1:3]
         args.size, args.height = w, h
         er = Renderer(diff.to_scene(params), _config_from_args(args))
@@ -601,9 +623,17 @@ def main(argv=None):
                    help="orbit target views (default 6); with --dataset, "
                         "cap on frames used (default all)")
     p.add_argument("--dataset", default=None, metavar="DIR",
-                   help="fit against a posed-image dataset "
-                        "(transforms.json + PNGs) instead of orbit views "
-                        "of an input scene")
+                   help="fit against a posed-image dataset — a COLMAP "
+                        "workspace (sparse/0 + images/) or NeRF-synthetic "
+                        "(transforms.json + PNGs) — instead of orbit "
+                        "views of an input scene")
+    p.add_argument("--init", choices=("auto", "random", "points"),
+                   default="auto",
+                   help="splat init: the dataset's SfM point cloud when "
+                        "it has one (auto/points) or random in rig "
+                        "bounds (random)")
+    p.add_argument("--max-init-points", type=int, default=0, metavar="N",
+                   help="subsample the SfM cloud to N splats (0 = all)")
     p.add_argument("--downscale", type=int, default=1, metavar="F",
                    help="block-average dataset images by an integer factor")
     p.add_argument("--eval-dataset", default=None, metavar="DIR",

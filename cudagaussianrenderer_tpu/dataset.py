@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import math
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -207,6 +207,49 @@ def export_dataset(
     tpath = out / "transforms.json"
     write_transforms(tpath, cameras, names)
     return tpath
+
+
+class PosedDataset(NamedTuple):
+    """A posed-image dataset in either ecosystem layout, ready to fit.
+
+    cameras: per-frame models.camera.Camera.
+    images:  [N, H, W, 3] float32 targets in [0, 1], background
+             composited.
+    points_xyz / points_rgb: the SfM point cloud ([P, 3] each, P = 0
+             for layouts without one) — feeds diff.init_from_points.
+    """
+
+    cameras: List[Camera]
+    images: np.ndarray
+    points_xyz: np.ndarray
+    points_rgb: np.ndarray
+
+
+def load_posed(
+    path,
+    *,
+    downscale: int = 1,
+    background: Optional[Tuple[float, float, float]] = None,
+    max_frames: int = 0,
+) -> PosedDataset:
+    """Front door for ``fit --dataset``: load a posed-image dataset of
+    either supported layout — a COLMAP workspace (``sparse/0`` +
+    ``images/``, the real-capture 3DGS input) or NeRF-synthetic
+    (``transforms.json`` + PNGs).  Dispatch is by on-disk layout."""
+    from . import colmap
+
+    if colmap.find_sparse_dir(path) is not None:
+        cams, images, xyz, rgb = colmap.load_dataset(
+            path, downscale=downscale, background=background,
+            max_frames=max_frames,
+        )
+        return PosedDataset(cams, images, xyz, rgb)
+    cams, images = load_dataset(
+        path, downscale=downscale, background=background,
+        max_frames=max_frames,
+    )
+    empty = np.zeros((0, 3), np.float32)
+    return PosedDataset(cams, images, empty, empty)
 
 
 def init_bounds_from_cameras(

@@ -836,3 +836,76 @@ def random_init(
         colors=jnp.asarray(colors),
         sh=None if sh is None else jnp.asarray(sh),
     )
+
+
+def _knn_mean_dist(points: np.ndarray, k: int = 3) -> np.ndarray:
+    """Mean distance from each point to its ``k`` nearest neighbors
+    (exclusive of self).  cKDTree when scipy is present, chunked
+    brute-force otherwise."""
+    n = points.shape[0]
+    if n <= 1:
+        return np.ones(n, np.float32)
+    k = min(k, n - 1)
+    try:
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(points).query(points, k=k + 1, workers=-1)
+        return d[:, 1:].mean(axis=1).astype(np.float32)
+    except ImportError:  # pragma: no cover - scipy is in the image
+        out = np.empty(n, np.float32)
+        for s in range(0, n, 4096):
+            blk = points[s:s + 4096]
+            d2 = ((blk[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+            part = np.partition(d2, k, axis=1)[:, 1:k + 1]
+            out[s:s + 4096] = np.sqrt(np.maximum(part, 0.0)).mean(axis=1)
+        return out
+
+
+def init_from_points(
+    points_xyz: np.ndarray,
+    points_rgb: np.ndarray,
+    *,
+    opacity: float = 0.1,
+    sh_degree: int = 0,
+    max_points: int = 0,
+    seed: int = 0,
+) -> DiffSplats:
+    """SfM point-cloud initialization — the canonical 3DGS recipe: one
+    isotropic splat per point, scale = mean distance to the 3 nearest
+    neighbors (floored so coincident points stay renderable), opacity
+    0.1, color from the point's RGB (as the SH DC term when
+    ``sh_degree`` > 0).  ``max_points`` > 0 subsamples uniformly (fit
+    memory is O(count)).  The CUDA reference has no training path;
+    the feeding formats are colmap.load_dataset's points."""
+    xyz = np.asarray(points_xyz, np.float32).reshape(-1, 3)
+    rgb = np.clip(np.asarray(points_rgb, np.float32).reshape(-1, 3), 0, 1)
+    if xyz.shape[0] == 0:
+        raise ValueError("empty point cloud")
+    if rgb.shape[0] != xyz.shape[0]:
+        raise ValueError(
+            f"{xyz.shape[0]} points but {rgb.shape[0]} colors")
+    if max_points > 0 and xyz.shape[0] > max_points:
+        idx = np.random.default_rng(seed).choice(
+            xyz.shape[0], max_points, replace=False)
+        idx.sort()
+        xyz, rgb = xyz[idx], rgb[idx]
+    n = xyz.shape[0]
+    dist = np.maximum(_knn_mean_dist(xyz), 1e-4)
+    quats = np.zeros((4, n), np.float32)
+    quats[3] = 1.0  # identity in this module's (x, y, z, w) row order
+    op = float(np.clip(opacity, 1e-4, 1.0 - 1e-4))
+    op_logit = np.float32(np.log(op) - np.log1p(-op))
+    colors = rgb.T.copy()
+    sh = None
+    if sh_degree > 0:
+        sh = np.zeros((3, num_sh_coeffs(sh_degree), n), np.float32)
+        sh[:, 0] = (colors - 0.5) / 0.28209479177387814
+    return DiffSplats(
+        means=jnp.asarray(xyz.T),
+        log_scales=jnp.asarray(
+            np.broadcast_to(np.log(dist), (3, n)).copy()),
+        quats=jnp.asarray(quats),
+        opacity_logits=jnp.full((n,), op_logit, jnp.float32),
+        colors=jnp.asarray(colors),
+        sh=None if sh is None else jnp.asarray(sh),
+    )
