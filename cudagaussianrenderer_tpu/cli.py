@@ -49,7 +49,8 @@ def _add_common(p):
         help="use N random splats instead of a .ply scene (Demo.cpp:256-269)",
     )
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--sh-degree", type=int, default=0, help="SH degree for procedural scenes")
+    p.add_argument("--sh-degree", type=int, default=0,
+                   help="SH degree for procedural scenes and fitted models")
 
 
 def _parse_background(spec):
@@ -365,6 +366,7 @@ def cmd_fit(args):
         params = diff.init_from_points(
             points_xyz, points_rgb,
             max_points=args.max_init_points, seed=args.seed,
+            sh_degree=args.sh_degree,
         )
         print(
             f"init: {params.means.shape[-1]} splats from the SfM point "
@@ -375,6 +377,7 @@ def cmd_fit(args):
         params = diff.random_init(
             args.splats, bounds_min, bounds_max,
             seed=args.seed, scale=args.init_scale,
+            sh_degree=args.sh_degree,
         )
     n_splats = int(params.means.shape[-1])
     capacity = round_capacity(args.capacity or 16 * n_splats)

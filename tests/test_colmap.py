@@ -374,10 +374,11 @@ def test_cli_fit_from_colmap(tmp_path, capsys):
     main(
         [
             "fit", "--dataset", str(root), "-o", str(out),
-            "--steps", "2", "--k-max", "64",
+            "--steps", "2", "--k-max", "64", "--sh-degree", "1",
         ]
     )
     err = capsys.readouterr().err
     assert "SfM point" in err
     fitted = load_scene(out)
     assert fitted.count == scene.count  # one splat per SfM point
+    assert fitted.sh_degree == 1  # --sh-degree reaches the fitted model
