@@ -403,7 +403,7 @@ def cmd_fit(args):
         ) or 1.0
         tx = diff.tx_3dgs(extent, args.steps)
     t0 = time.perf_counter()
-    params, losses = diff.fit(
+    fit_out = diff.fit(
         params, cam_data, targets, config,
         capacity=capacity, k_max=k_max, steps=args.steps,
         learning_rate=args.lr, tx=tx,
@@ -411,7 +411,33 @@ def cmd_fit(args):
         l2_weight=args.l2_weight,
         log_every=max(1, args.steps // 10),
         densify_every=args.densify_every,
+        optimize_cameras=args.refine_poses, camera_lr=args.camera_lr,
     )
+    if args.refine_poses:
+        params, losses, deltas = fit_out
+        dr = np.asarray(deltas.dr)
+        dt_corr = np.asarray(deltas.dt)
+        cams = [
+            diff.refined_camera(c, dr[i], dt_corr[i])
+            for i, c in enumerate(cams)
+        ]
+        print(
+            f"pose refinement: max rotation "
+            f"{np.degrees(np.linalg.norm(dr, axis=1).max()):.3f} deg, "
+            f"max translation "
+            f"{np.linalg.norm(dt_corr, axis=1).max():.4f}",
+            file=sys.stderr,
+        )
+        if args.export_poses:
+            from .dataset import write_transforms
+
+            write_transforms(
+                args.export_poses, cams,
+                [f"frame_{i:04d}.png" for i in range(len(cams))],
+            )
+            print(f"wrote {args.export_poses}", file=sys.stderr)
+    else:
+        params, losses = fit_out
     if args.densify_every:
         print(
             f"density control: {n_splats} -> "
@@ -660,6 +686,14 @@ def main(argv=None):
     p.add_argument("--k-max", type=int, default=None,
                    help="static per-tile pair cap (default: probed)")
     p.add_argument("--init-scale", type=float, default=0.1)
+    p.add_argument("--refine-poses", action="store_true",
+                   help="jointly learn per-view SE(3) pose corrections "
+                        "(for noisy captured poses)")
+    p.add_argument("--camera-lr", type=float, default=1e-4,
+                   help="pose-correction learning rate (--refine-poses)")
+    p.add_argument("--export-poses", default=None, metavar="JSON",
+                   help="write the refined poses as a transforms.json "
+                        "(--refine-poses)")
     p.add_argument("--densify-every", type=int, default=0, metavar="K",
                    help="adaptive density control (clone/split/prune) "
                         "every K steps for the first half of training")

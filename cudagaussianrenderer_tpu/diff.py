@@ -195,6 +195,12 @@ def build_structure(
 
     capacity = round_capacity(capacity, interpret)
     p = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+    # The camera may carry pose-refinement tangents (fit
+    # optimize_cameras); the frozen structure must not differentiate
+    # through the Pallas emit/sort stages any more than the params do.
+    camera_data = jax.tree_util.tree_map(
+        jax.lax.stop_gradient, dict(camera_data)
+    )
     clip, opac = _project(p, camera_data, config)
     colors = _diff_colors(p, camera_data["position"])
     pairs = build_tile_pairs(
@@ -207,6 +213,96 @@ def build_structure(
         starts=starts.astype(jnp.int32),
         counts=counts.astype(jnp.int32),
         num_candidates=pairs.num_candidates,
+    )
+
+
+class CameraDeltas(NamedTuple):
+    """Learnable per-view pose corrections (fit(optimize_cameras=True)).
+
+    dr: [V, 3] rotation vectors (radians, camera-frame, Rodrigues).
+    dt: [V, 3] translations (camera-frame: x right, y up, z backward —
+        the OpenGL axes the view matrix maps into).
+    """
+
+    dr: jnp.ndarray
+    dt: jnp.ndarray
+
+
+def zero_camera_deltas(num_views: int) -> CameraDeltas:
+    return CameraDeltas(
+        dr=jnp.zeros((num_views, 3), jnp.float32),
+        dt=jnp.zeros((num_views, 3), jnp.float32),
+    )
+
+
+def _rodrigues(r: jnp.ndarray) -> jnp.ndarray:
+    """[3] rotation vector -> [3, 3] rotation matrix, differentiable at
+    the identity (Taylor branches keep the gradient finite at ||r||=0)."""
+    theta2 = jnp.sum(r * r)
+    small = theta2 < 1e-12
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(
+        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe
+    )
+    z = jnp.zeros((), r.dtype)
+    k = jnp.stack([
+        jnp.stack([z, -r[2], r[1]]),
+        jnp.stack([r[2], z, -r[0]]),
+        jnp.stack([-r[1], r[0], z]),
+    ])
+    return jnp.eye(3, dtype=r.dtype) + a * k + b * (k @ k)
+
+
+def apply_camera_delta(
+    camera_data: dict, dr: jnp.ndarray, dt: jnp.ndarray
+) -> dict:
+    """Right-multiply the camera-to-world pose by the small SE(3)
+    correction (R(dr), dt) — i.e. a correction expressed in the camera's
+    own frame — and return the updated camera_data pytree.  Only the
+    ``view`` matrix and ``position`` change; intrinsics stay.
+
+    With M = camera-to-world = inv(view) and A = [[R, t], [0, 1]]:
+    M' = M @ A, so view' = inv(A) @ view and position' = position +
+    Mᵣ @ t (Mᵣ = view rotation block transposed).  Differentiable in
+    (dr, dt); zero deltas are exactly the identity.
+    """
+    rot = _rodrigues(dr)
+    view = camera_data["view"]
+    r3 = view[:3, :3]
+    t3 = view[:3, 3:4]
+    inv_r = rot.T
+    new_top = jnp.concatenate(
+        [inv_r @ r3, inv_r @ t3 - (inv_r @ dt)[:, None]], axis=1
+    )
+    new_view = jnp.concatenate([new_top, view[3:4, :]], axis=0)
+    new_pos = camera_data["position"] + r3.T @ dt
+    out = dict(camera_data)
+    out["view"] = new_view
+    out["position"] = new_pos
+    return out
+
+
+def refined_camera(camera, dr, dt):
+    """Host-side: bake a fitted pose correction into a models.camera
+    .Camera (for exporting refined datasets).  Matches
+    apply_camera_delta: camera_data(refined_camera(c, dr, dt)) ==
+    apply_camera_delta(c.camera_data(), dr, dt)."""
+    import dataclasses
+
+    from .models.camera import quat_from_matrix, quat_to_matrix
+
+    dr = np.asarray(dr, np.float64)
+    dt = np.asarray(dt, np.float64)
+    rot = np.asarray(_rodrigues(jnp.asarray(dr)), np.float64)
+    r_c2w = quat_to_matrix(camera.rotation).astype(np.float64)
+    return dataclasses.replace(
+        camera,
+        position=(
+            np.asarray(camera.position, np.float64) + r_c2w @ dt
+        ).astype(np.float32),
+        rotation=quat_from_matrix((r_c2w @ rot).astype(np.float32)),
     )
 
 
@@ -665,6 +761,8 @@ def fit(
     densify_every: int = 0,
     densify_until: Optional[int] = None,
     densify_args: Optional[dict] = None,
+    optimize_cameras: bool = False,
+    camera_lr: float = 1e-4,
     interpret=None,
     log_every: int = 0,
 ):
@@ -683,8 +781,15 @@ def fit(
     arguments), the optimizer state resets and the step recompiles for
     the new splat count — the standard 3DGS schedule.
 
-    Returns (params, losses: np.ndarray [steps]).  ``tx`` overrides the
-    default optax.adam(learning_rate).
+    ``optimize_cameras=True`` additionally learns a per-view SE(3) pose
+    correction (CameraDeltas, its own adam at ``camera_lr``) — gradients
+    reach the pose through the projection/SH math, and the per-step
+    structure rebuild keeps binning consistent with the corrected
+    camera.  Standard for real captures whose COLMAP poses are noisy.
+
+    Returns (params, losses: np.ndarray [steps]), plus the fitted
+    CameraDeltas as a third element when ``optimize_cameras``.  ``tx``
+    overrides the default optax.adam(learning_rate).
     """
     import optax
 
@@ -722,6 +827,33 @@ def fit(
         updates, opt_state = tx.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss, cand, gnorm
 
+    if optimize_cameras:
+        tx_cam = optax.adam(camera_lr)
+        deltas = zero_camera_deltas(len(cameras_data))
+        cam_state = tx_cam.init(deltas)
+
+        @jax.jit
+        def step_posed(p, d, opt_state, cam_state, cam, target, idx):
+            def posed_loss(p, d):
+                cam2 = apply_camera_delta(cam, d.dr[idx], d.dt[idx])
+                return loss_fn(p, cam2, target)
+
+            (loss, cand), (gp, gd) = jax.value_and_grad(
+                posed_loss, argnums=(0, 1), has_aux=True
+            )(p, d)
+            gnorm = jnp.sqrt(jnp.sum(gp.means * gp.means, axis=0))
+            updates, opt_state = tx.update(gp, opt_state, p)
+            cam_updates, cam_state = tx_cam.update(gd, cam_state, d)
+            return (
+                optax.apply_updates(p, updates),
+                optax.apply_updates(d, cam_updates),
+                opt_state,
+                cam_state,
+                loss,
+                cand,
+                gnorm,
+            )
+
     if densify_every:
         lo = np.asarray(params.means).min(axis=1)
         hi = np.asarray(params.means).max(axis=1)
@@ -734,9 +866,16 @@ def fit(
     gcnt = 0
     for i in range(steps):
         f = i % len(cameras_data)
-        params, opt_state, loss, cand, gnorm = step(
-            params, opt_state, cameras_data[f], tgts[f]
-        )
+        if optimize_cameras:
+            (params, deltas, opt_state, cam_state, loss, cand,
+             gnorm) = step_posed(
+                params, deltas, opt_state, cam_state,
+                cameras_data[f], tgts[f], jnp.int32(f),
+            )
+        else:
+            params, opt_state, loss, cand, gnorm = step(
+                params, opt_state, cameras_data[f], tgts[f]
+            )
         losses[i] = float(loss)
         gacc += np.asarray(gnorm, np.float64)
         gcnt += 1
@@ -772,6 +911,8 @@ def fit(
                 )
         if log_every and (i % log_every == 0 or i == steps - 1):
             print(f"step {i:5d}  loss {float(loss):.6f}", flush=True)
+    if optimize_cameras:
+        return params, losses, deltas
     return params, losses
 
 
