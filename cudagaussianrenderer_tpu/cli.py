@@ -379,6 +379,34 @@ def cmd_fit(args):
             seed=args.seed, scale=args.init_scale,
             sh_degree=args.sh_degree,
         )
+    tx = None
+    if args.optimizer == "3dgs":
+        extent = float(
+            np.linalg.norm(
+                np.asarray(bounds_max, np.float64)
+                - np.asarray(bounds_min, np.float64)
+            )
+        ) or 1.0
+        tx = diff.tx_3dgs(extent, args.steps)
+    resume_kw = {}
+    if args.resume:
+        if not args.checkpoint:
+            raise SystemExit("--resume needs --checkpoint PATH")
+        import optax
+
+        tx_for_state = tx if tx is not None else optax.adam(args.lr)
+        ck = diff.load_checkpoint(args.checkpoint, tx=tx_for_state)
+        params = ck["params"]
+        resume_kw = dict(
+            start_step=ck["step"],
+            opt_state=ck["opt_state"],
+            camera_deltas=ck["camera_deltas"],
+        )
+        print(
+            f"resumed {args.checkpoint} at step {ck['step']} "
+            f"({params.means.shape[-1]} splats)",
+            file=sys.stderr,
+        )
     n_splats = int(params.means.shape[-1])
     capacity = round_capacity(args.capacity or 16 * n_splats)
     if args.k_max:
@@ -393,15 +421,6 @@ def cmd_fit(args):
         f"k_max {k_max}, {args.steps} steps...",
         file=sys.stderr,
     )
-    tx = None
-    if args.optimizer == "3dgs":
-        extent = float(
-            np.linalg.norm(
-                np.asarray(bounds_max, np.float64)
-                - np.asarray(bounds_min, np.float64)
-            )
-        ) or 1.0
-        tx = diff.tx_3dgs(extent, args.steps)
     t0 = time.perf_counter()
     fit_out = diff.fit(
         params, cam_data, targets, config,
@@ -412,6 +431,12 @@ def cmd_fit(args):
         log_every=max(1, args.steps // 10),
         densify_every=args.densify_every,
         optimize_cameras=args.refine_poses, camera_lr=args.camera_lr,
+        checkpoint_every=(
+            args.checkpoint_every
+            or (args.steps if args.checkpoint else 0)
+        ),
+        checkpoint_path=args.checkpoint,
+        **resume_kw,
     )
     if args.refine_poses:
         params, losses, deltas = fit_out
@@ -445,9 +470,11 @@ def cmd_fit(args):
             file=sys.stderr,
         )
     dt = time.perf_counter() - t0
+    first = resume_kw.get("start_step", 0)
+    steps_run = max(1, args.steps - first)
     print(
-        f"fit: loss {losses[0]:.5f} -> {losses[-1]:.5f} in {dt:.1f}s "
-        f"({1e3 * dt / args.steps:.1f} ms/step incl. compile)",
+        f"fit: loss {losses[first]:.5f} -> {losses[-1]:.5f} in {dt:.1f}s "
+        f"({1e3 * dt / steps_run:.1f} ms/step incl. compile)",
         file=sys.stderr,
     )
 
@@ -694,6 +721,13 @@ def main(argv=None):
     p.add_argument("--export-poses", default=None, metavar="JSON",
                    help="write the refined poses as a transforms.json "
                         "(--refine-poses)")
+    p.add_argument("--checkpoint", default=None, metavar="NPZ",
+                   help="training checkpoint path (written every "
+                        "--checkpoint-every steps and at the end)")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="K")
+    p.add_argument("--resume", action="store_true",
+                   help="continue a fit from --checkpoint (params, "
+                        "optimizer state, pose deltas, step counter)")
     p.add_argument("--densify-every", type=int, default=0, metavar="K",
                    help="adaptive density control (clone/split/prune) "
                         "every K steps for the first half of training")

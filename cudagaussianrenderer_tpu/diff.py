@@ -763,6 +763,11 @@ def fit(
     densify_args: Optional[dict] = None,
     optimize_cameras: bool = False,
     camera_lr: float = 1e-4,
+    checkpoint_every: int = 0,
+    checkpoint_path=None,
+    start_step: int = 0,
+    opt_state=None,
+    camera_deltas: Optional[CameraDeltas] = None,
     interpret=None,
     log_every: int = 0,
 ):
@@ -786,6 +791,13 @@ def fit(
     reach the pose through the projection/SH math, and the per-step
     structure rebuild keeps binning consistent with the corrected
     camera.  Standard for real captures whose COLMAP poses are noisy.
+
+    Checkpoint/resume: ``checkpoint_every`` > 0 writes
+    save_checkpoint(``checkpoint_path``) every that many steps (and at
+    the end); resume by passing load_checkpoint's ``params``, ``step``
+    (as ``start_step``), ``opt_state`` and ``camera_deltas`` back in —
+    the camera rotation, densify schedule and loss indexing continue
+    where they left off, bit-exactly when the same ``tx`` is used.
 
     Returns (params, losses: np.ndarray [steps]), plus the fitted
     CameraDeltas as a third element when ``optimize_cameras``.  ``tx``
@@ -829,7 +841,13 @@ def fit(
 
     if optimize_cameras:
         tx_cam = optax.adam(camera_lr)
-        deltas = zero_camera_deltas(len(cameras_data))
+        deltas = (
+            camera_deltas
+            if camera_deltas is not None
+            else zero_camera_deltas(len(cameras_data))
+        )
+        # The camera-optimizer moments are not checkpointed (the deltas
+        # themselves are); a resume warm-restarts them.
         cam_state = tx_cam.init(deltas)
 
         @jax.jit
@@ -859,12 +877,13 @@ def fit(
         hi = np.asarray(params.means).max(axis=1)
         scene_extent = float(np.linalg.norm(hi - lo)) or 1.0
 
-    opt_state = tx.init(params)
+    if opt_state is None:
+        opt_state = tx.init(params)
     losses = np.zeros(steps, np.float32)
     sat_warned = False
     gacc = np.zeros(params.means.shape[-1], np.float64)
     gcnt = 0
-    for i in range(steps):
+    for i in range(start_step, steps):
         f = i % len(cameras_data)
         if optimize_cameras:
             (params, deltas, opt_state, cam_state, loss, cand,
@@ -909,11 +928,85 @@ def fit(
                     f"{params.means.shape[-1]} splats",
                     flush=True,
                 )
+        if (
+            checkpoint_every
+            and checkpoint_path
+            and ((i + 1) % checkpoint_every == 0 or i == steps - 1)
+        ):
+            save_checkpoint(
+                checkpoint_path, params, step=i + 1,
+                opt_state=opt_state,
+                camera_deltas=deltas if optimize_cameras else None,
+            )
         if log_every and (i % log_every == 0 or i == steps - 1):
             print(f"step {i:5d}  loss {float(loss):.6f}", flush=True)
     if optimize_cameras:
         return params, losses, deltas
     return params, losses
+
+
+def save_checkpoint(
+    path,
+    params: DiffSplats,
+    *,
+    step: int = 0,
+    opt_state=None,
+    camera_deltas: Optional[CameraDeltas] = None,
+) -> None:
+    """Write a training checkpoint (single .npz): the raw DiffSplats
+    leaves, the step counter, and optionally the optimizer-state leaves
+    and pose corrections — everything fit() needs for an exact resume.
+    The reference persists nothing (SURVEY.md §5: checkpoint N/A); this
+    exists for the training path, where multi-hour fits are real."""
+    arrs = {"step": np.int64(step)}
+    for name in params._fields:
+        leaf = getattr(params, name)
+        if leaf is not None:
+            arrs[f"p_{name}"] = np.asarray(leaf)
+    if camera_deltas is not None:
+        arrs["d_dr"] = np.asarray(camera_deltas.dr)
+        arrs["d_dt"] = np.asarray(camera_deltas.dt)
+    if opt_state is not None:
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+            arrs[f"o_{i}"] = np.asarray(leaf)
+    np.savez(path, **arrs)
+
+
+def load_checkpoint(path, *, tx=None) -> dict:
+    """Read a save_checkpoint .npz.  Returns a dict with ``params``
+    (DiffSplats), ``step`` (int), ``camera_deltas`` (CameraDeltas or
+    None), and — when the matching optax transform is passed as ``tx``
+    — ``opt_state`` rebuilt from the stored leaves (None otherwise,
+    or if the leaf count no longer matches)."""
+    with np.load(path) as z:
+        fields = {
+            name: jnp.asarray(z[f"p_{name}"])
+            for name in DiffSplats._fields
+            if f"p_{name}" in z
+        }
+        params = DiffSplats(**fields)
+        step = int(z["step"])
+        deltas = None
+        if "d_dr" in z:
+            deltas = CameraDeltas(
+                dr=jnp.asarray(z["d_dr"]), dt=jnp.asarray(z["d_dt"])
+            )
+        opt_state = None
+        if tx is not None:
+            template = tx.init(params)
+            treedef = jax.tree_util.tree_structure(template)
+            want = len(jax.tree_util.tree_leaves(template))
+            leaves = [
+                jnp.asarray(z[f"o_{i}"])
+                for i in range(want)
+                if f"o_{i}" in z
+            ]
+            if len(leaves) == want:
+                opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return dict(
+        params=params, step=step, camera_deltas=deltas,
+        opt_state=opt_state,
+    )
 
 
 def write_fitted_ply(path_or_stream, params: DiffSplats) -> None:

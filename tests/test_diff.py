@@ -656,3 +656,90 @@ def test_pose_refinement_recovers_perturbed_camera():
     assert losses_posed[-1] < 0.5 * losses_fixed[-1]
     assert np.all(np.isfinite(np.asarray(deltas.dr)))
     assert float(np.max(np.abs(np.asarray(deltas.dr)))) < 0.2
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_continues_trajectory(tmp_path):
+    """fit(6) matches fit(3) -> checkpoint -> resume(3) to tight tolerance
+    (same optimizer, same camera rotation, same step indexing)."""
+    import optax
+
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+    from cudagaussianrenderer_tpu.render import Renderer
+
+    scene = random_scene(40, seed=2)
+    config = RenderConfig(screen_size=32)
+    renderer = Renderer(scene, config)
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 2)
+    targets = [
+        np.asarray(renderer.render(c))[..., :3].astype(np.float32) / 255.0
+        for c in cams
+    ]
+    cam_data = [c.camera_data() for c in cams]
+    init = diff.random_init(30, scene.bounds_min, scene.bounds_max, seed=1)
+    kw = dict(capacity=2048, k_max=128, l2_weight=1.0,
+              optimize_cameras=True, camera_lr=1e-3)
+    tx = optax.adam(5e-3)
+
+    straight, losses_a, deltas_a = diff.fit(
+        init, cam_data, targets, config, steps=6, tx=tx, **kw
+    )
+
+    ckpt = tmp_path / "fit.npz"
+    diff.fit(
+        init, cam_data, targets, config, steps=3, tx=tx,
+        checkpoint_every=3, checkpoint_path=ckpt, **kw
+    )
+    ck = diff.load_checkpoint(ckpt, tx=tx)
+    assert ck["step"] == 3
+    assert ck["opt_state"] is not None
+    assert ck["camera_deltas"] is not None
+    resumed, losses_b, deltas_b = diff.fit(
+        ck["params"], cam_data, targets, config, steps=6, tx=tx,
+        start_step=ck["step"], opt_state=ck["opt_state"],
+        camera_deltas=ck["camera_deltas"], **kw
+    )
+    for a, b in zip(straight, resumed):
+        if a is None:
+            assert b is None
+            continue
+        # Camera-adam moments warm-restart on resume (documented), so
+        # the trajectories agree tightly rather than bitwise.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-3
+        )
+    np.testing.assert_allclose(losses_a[3:], losses_b[3:], atol=3e-3)
+    np.testing.assert_allclose(
+        np.asarray(deltas_a.dr), np.asarray(deltas_b.dr), atol=3e-3
+    )
+
+
+def test_checkpoint_roundtrip_fields(tmp_path):
+    """save/load preserve every DiffSplats leaf (incl. SH), the step,
+    and pose deltas; opt_state needs the matching tx."""
+    import optax
+
+    p = diff.random_init(12, (-1, -1, -1), (1, 1, 1), seed=0, sh_degree=1)
+    d = diff.CameraDeltas(
+        dr=jnp.asarray(np.random.default_rng(0).standard_normal((3, 3)),
+                       jnp.float32),
+        dt=jnp.ones((3, 3), jnp.float32),
+    )
+    tx = optax.adam(1e-2)
+    st = tx.init(p)
+    path = tmp_path / "ck.npz"
+    diff.save_checkpoint(path, p, step=7, opt_state=st, camera_deltas=d)
+    ck = diff.load_checkpoint(path, tx=tx)
+    assert ck["step"] == 7
+    for name in p._fields:
+        a, b = getattr(p, name), getattr(ck["params"], name)
+        if a is None:
+            assert b is None
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(ck["camera_deltas"].dr), np.asarray(d.dr)
+    )
+    # Without tx the optimizer state is not reconstructed.
+    assert diff.load_checkpoint(path)["opt_state"] is None

@@ -39,6 +39,17 @@ def main():
     ap.add_argument("--densify-every", type=int, default=0)
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--optimizer", choices=("adam", "3dgs"), default="adam")
+    ap.add_argument("--layout", choices=("transforms", "colmap"),
+                    default="transforms",
+                    help="dataset layout to exercise; colmap additionally "
+                         "inits splats from the exported SfM point cloud")
+    ap.add_argument("--perturb-poses", type=float, default=0.0,
+                    metavar="SIGMA",
+                    help="corrupt the stored poses (rotation SIGMA rad, "
+                         "translation SIGMA*extent) before fitting — the "
+                         "pose-refinement testbed")
+    ap.add_argument("--refine-poses", action="store_true")
+    ap.add_argument("--camera-lr", type=float, default=1e-3)
     ap.add_argument("--out", default="artifacts")
     ap.add_argument("--dataset-dir", default="/tmp/fit_dataset")
     args = ap.parse_args()
@@ -61,18 +72,68 @@ def main():
     config = RenderConfig(screen_size=args.size)
     renderer = Renderer(scene, config)
     cams = orbit_cameras(scene.bounds_min, scene.bounds_max, args.views)
+    stored_cams = cams
+    extent = float(np.linalg.norm(
+        np.asarray(scene.bounds_max) - np.asarray(scene.bounds_min)))
+    if args.perturb_poses > 0:
+        # Targets come from the TRUE cameras; the dataset stores noisy
+        # poses — the situation --refine-poses exists for.
+        prng = np.random.default_rng(13)
+        stored_cams = [
+            diff.refined_camera(
+                c,
+                args.perturb_poses * prng.standard_normal(3),
+                args.perturb_poses * extent * prng.standard_normal(3),
+            )
+            for c in cams
+        ]
     t0 = time.perf_counter()
-    tpath = dataset.export_dataset(args.dataset_dir, renderer, cams)
+    if args.layout == "colmap":
+        from pathlib import Path as _P
+
+        from cudagaussianrenderer_tpu import colmap
+        from cudagaussianrenderer_tpu.utils.png import write_png as _wp
+
+        root = _P(args.dataset_dir)
+        (root / "images").mkdir(parents=True, exist_ok=True)
+        names = []
+        for i, cam in enumerate(cams):
+            name = f"frame_{i:04d}.png"
+            _wp(root / "images" / name, renderer.render(cam))
+            names.append(name)
+        n_pts = min(args.fit_splats, scene.count)
+        idx = np.random.default_rng(0).choice(
+            scene.count, n_pts, replace=False)
+        tpath = colmap.export_model(
+            root, stored_cams, names, args.size, args.size,
+            np.asarray(scene.means).T[: scene.count][idx].astype(
+                np.float32),
+            np.full((n_pts, 3), 0.5, np.float32),
+        )
+    else:
+        tpath = dataset.export_dataset(
+            args.dataset_dir, renderer, cams)
+        if args.perturb_poses > 0:
+            dataset.write_transforms(
+                tpath, stored_cams,
+                [f"frame_{i:04d}.png" for i in range(len(cams))])
     print(f"exported {args.views} views -> {tpath} "
           f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
     # 2. Load it back the way a user with captured data would.
-    loaded_cams, targets = dataset.load_dataset(args.dataset_dir)
+    ds = dataset.load_posed(args.dataset_dir)
+    loaded_cams, targets = ds.cameras, ds.images
     cam_data = [c.camera_data() for c in loaded_cams]
 
-    # 3. Random init inside rig-derived bounds; PSNR before.
+    # 3. Init: SfM points (colmap layout) or random in rig bounds.
     lo, hi = dataset.init_bounds_from_cameras(loaded_cams)
-    params = diff.random_init(args.fit_splats, lo, hi, seed=0, scale=0.05)
+    if args.layout == "colmap":
+        params = diff.init_from_points(ds.points_xyz, ds.points_rgb)
+        print(f"init from {ds.points_xyz.shape[0]} SfM points",
+              file=sys.stderr)
+    else:
+        params = diff.random_init(
+            args.fit_splats, lo, hi, seed=0, scale=0.05)
 
     def eval_psnr(p):
         r = Renderer(diff.to_scene(p), config)
@@ -87,24 +148,51 @@ def main():
     write_png(out / "fit_init.png", r_init.render(loaded_cams[0]))
 
     # 4. Fit with the 3DGS loss (L1 0.8 + D-SSIM 0.2, L2 dropped).
-    capacity = round_capacity(32 * args.fit_splats)
+    n_fit = int(params.means.shape[-1])
+    capacity = round_capacity(32 * n_fit)
     structure = diff.build_structure(params, cam_data[0], config, capacity)
     k_max = max(256, 2 * diff.max_tile_count(structure))
-    print(f"fitting {args.fit_splats} splats, capacity {capacity}, "
+    print(f"fitting {n_fit} splats, capacity {capacity}, "
           f"k_max {k_max}, {args.steps} steps", file=sys.stderr)
     tx = None
     if args.optimizer == "3dgs":
-        extent = float(np.linalg.norm(np.asarray(hi) - np.asarray(lo)))
-        tx = diff.tx_3dgs(extent, args.steps)
+        fit_extent = float(np.linalg.norm(np.asarray(hi) - np.asarray(lo)))
+        tx = diff.tx_3dgs(fit_extent, args.steps)
     t0 = time.perf_counter()
-    params, losses = diff.fit(
+    fit_out = diff.fit(
         params, cam_data, targets, config,
         capacity=capacity, k_max=k_max, steps=args.steps,
         learning_rate=args.lr, tx=tx,
         l1_weight=0.8, ssim_weight=0.2, l2_weight=0.0,
         densify_every=args.densify_every,
+        optimize_cameras=args.refine_poses, camera_lr=args.camera_lr,
         log_every=max(1, args.steps // 10),
     )
+    pose_err = None
+    if args.refine_poses:
+        params, losses, deltas = fit_out
+        dr = np.asarray(deltas.dr)
+        dt_c = np.asarray(deltas.dt)
+        loaded_cams = [
+            diff.refined_camera(c, dr[i], dt_c[i])
+            for i, c in enumerate(loaded_cams)
+        ]
+        # Pose error vs the TRUE rig, before and after refinement
+        # (position only — rotation follows the same trend).
+        err0 = [float(np.linalg.norm(np.asarray(a.position)
+                                     - np.asarray(b.position)))
+                for a, b in zip(stored_cams, cams)]
+        err1 = [float(np.linalg.norm(np.asarray(a.position)
+                                     - np.asarray(b.position)))
+                for a, b in zip(loaded_cams, cams)]
+        pose_err = {
+            "pose_pos_err_before": round(float(np.mean(err0)), 5),
+            "pose_pos_err_after": round(float(np.mean(err1)), 5),
+        }
+        print(f"pose error (mean position): {np.mean(err0):.5f} -> "
+              f"{np.mean(err1):.5f}", file=sys.stderr)
+    else:
+        params, losses = fit_out
     dt = time.perf_counter() - t0
 
     psnr_fit, r_fit = eval_psnr(params)
@@ -121,6 +209,10 @@ def main():
         "steps": args.steps,
         "densify_every": args.densify_every,
         "optimizer": args.optimizer,
+        "layout": args.layout,
+        "perturb_poses": args.perturb_poses,
+        "refine_poses": bool(args.refine_poses),
+        **(pose_err or {}),
         "loss_first": round(float(losses[0]), 5),
         "loss_last": round(float(losses[-1]), 5),
         "psnr_init_db": round(psnr_init, 2),
