@@ -320,6 +320,23 @@ def cmd_fit(args):
     from .render import Renderer, round_capacity
     from .utils.png import write_png
 
+    if args.resume:
+        # Validate the checkpoint BEFORE the (expensive) dataset /
+        # target build; the optimizer state is rebuilt later once the
+        # transform is known.
+        if not args.checkpoint:
+            raise SystemExit("--resume needs --checkpoint PATH")
+        ck_probe = diff.load_checkpoint(args.checkpoint)
+        if ck_probe["step"] >= args.steps:
+            raise SystemExit(
+                f"checkpoint is already at step {ck_probe['step']}; "
+                f"raise --steps past it to continue training"
+            )
+        if ck_probe["camera_deltas"] is not None and not args.refine_poses:
+            raise SystemExit(
+                "checkpoint carries refined poses; resume with "
+                "--refine-poses (or they would be silently dropped)"
+            )
     points_xyz = points_rgb = None
     if args.dataset:
         # Posed-image dataset (COLMAP workspace or NeRF-synthetic
@@ -335,6 +352,7 @@ def cmd_fit(args):
             max_frames=args.views or 0,
         )
         cams, images = ds.cameras, ds.images
+        frame_names = list(ds.names)
         if ds.points_xyz.shape[0] and args.init != "random":
             points_xyz, points_rgb = ds.points_xyz, ds.points_rgb
         elif args.init == "points":
@@ -360,9 +378,39 @@ def cmd_fit(args):
         )
         print(f"rendering {views} target views...", file=sys.stderr)
         targets = [renderer.render(c)[..., :3] for c in cams]
+        frame_names = [f"frame_{i:04d}.png" for i in range(len(cams))]
     cam_data = [c.camera_data() for c in cams]
 
-    if points_xyz is not None:
+    tx = None
+    if args.optimizer == "3dgs":
+        extent = float(
+            np.linalg.norm(
+                np.asarray(bounds_max, np.float64)
+                - np.asarray(bounds_min, np.float64)
+            )
+        ) or 1.0
+        tx = diff.tx_3dgs(extent, args.steps)
+    resume_kw = {}
+    if args.resume:
+        # A resume replaces the init wholesale — skip computing one.
+        # (Validated above; re-read to rebuild the optimizer state now
+        # that the transform is known.)
+        import optax
+
+        tx_for_state = tx if tx is not None else optax.adam(args.lr)
+        ck = diff.load_checkpoint(args.checkpoint, tx=tx_for_state)
+        params = ck["params"]
+        resume_kw = dict(
+            start_step=ck["step"],
+            opt_state=ck["opt_state"],
+            camera_deltas=ck["camera_deltas"],
+        )
+        print(
+            f"resumed {args.checkpoint} at step {ck['step']} "
+            f"({params.means.shape[-1]} splats)",
+            file=sys.stderr,
+        )
+    elif points_xyz is not None:
         params = diff.init_from_points(
             points_xyz, points_rgb,
             max_points=args.max_init_points, seed=args.seed,
@@ -378,34 +426,6 @@ def cmd_fit(args):
             args.splats, bounds_min, bounds_max,
             seed=args.seed, scale=args.init_scale,
             sh_degree=args.sh_degree,
-        )
-    tx = None
-    if args.optimizer == "3dgs":
-        extent = float(
-            np.linalg.norm(
-                np.asarray(bounds_max, np.float64)
-                - np.asarray(bounds_min, np.float64)
-            )
-        ) or 1.0
-        tx = diff.tx_3dgs(extent, args.steps)
-    resume_kw = {}
-    if args.resume:
-        if not args.checkpoint:
-            raise SystemExit("--resume needs --checkpoint PATH")
-        import optax
-
-        tx_for_state = tx if tx is not None else optax.adam(args.lr)
-        ck = diff.load_checkpoint(args.checkpoint, tx=tx_for_state)
-        params = ck["params"]
-        resume_kw = dict(
-            start_step=ck["step"],
-            opt_state=ck["opt_state"],
-            camera_deltas=ck["camera_deltas"],
-        )
-        print(
-            f"resumed {args.checkpoint} at step {ck['step']} "
-            f"({params.means.shape[-1]} splats)",
-            file=sys.stderr,
         )
     n_splats = int(params.means.shape[-1])
     capacity = round_capacity(args.capacity or 16 * n_splats)
@@ -456,10 +476,7 @@ def cmd_fit(args):
         if args.export_poses:
             from .dataset import write_transforms
 
-            write_transforms(
-                args.export_poses, cams,
-                [f"frame_{i:04d}.png" for i in range(len(cams))],
-            )
+            write_transforms(args.export_poses, cams, frame_names)
             print(f"wrote {args.export_poses}", file=sys.stderr)
     else:
         params, losses = fit_out

@@ -243,7 +243,9 @@ def read_images_txt(path) -> List[ColmapImage]:
                 np.array([float(x) for x in parts[1:5]], np.float64),
                 np.array([float(x) for x in parts[5:8]], np.float64),
                 int(parts[8]),
-                parts[9],
+                # Names may contain spaces (COLMAP keeps originals);
+                # the 9 pose fields are fixed, the rest is the name.
+                " ".join(parts[9:]),
             ))
             expect_pose = False
     if not images:
@@ -317,13 +319,18 @@ def pose_to_camera(img: ColmapImage, cam: ColmapCamera) -> Camera:
     position = -r_w2c.T @ np.asarray(img.tvec, np.float64)
     # OpenCV c2w -> OpenGL c2w: flip the camera-local Y and Z axes.
     r_c2w_gl = r_w2c.T @ np.diag([1.0, -1.0, -1.0])
-    fy = cam.params[0] if cam.model == "SIMPLE_PINHOLE" else cam.params[1]
-    fov_y = 2.0 * math.atan(cam.height / (2.0 * float(fy)))
+    if cam.model == "SIMPLE_PINHOLE":
+        fx = fy = float(cam.params[0])
+    else:
+        fx, fy = float(cam.params[0]), float(cam.params[1])
+    fov_y = 2.0 * math.atan(cam.height / (2.0 * fy))
+    # The pipeline derives cot_x = cot_y / aspect; for it to equal
+    # 2*fx/w under non-square pixels, aspect = (w*fy) / (h*fx).
     return Camera(
         position=position.astype(np.float32),
         rotation=quat_from_matrix(r_c2w_gl.astype(np.float32)),
         fov_y=fov_y,
-        aspect=cam.width / cam.height,
+        aspect=(cam.width * fy) / (cam.height * fx),
     )
 
 
@@ -356,7 +363,8 @@ def _read_image(path: Path) -> np.ndarray:
     with Image.open(path) as im:
         if im.mode not in ("RGB", "RGBA", "L"):
             im = im.convert("RGB")
-        return np.asarray(im)
+        arr = np.asarray(im)
+        return arr[:, :, None] if arr.ndim == 2 else arr
 
 
 def _resize(img: np.ndarray, factor: int) -> np.ndarray:
@@ -371,10 +379,13 @@ def _resize(img: np.ndarray, factor: int) -> np.ndarray:
         return blocks.astype(np.float32).mean(axis=(1, 3))
     from PIL import Image
 
-    im = Image.fromarray(img).resize(
+    # PIL wants 2D arrays for single-channel images.
+    im = Image.fromarray(img[:, :, 0] if img.shape[2] == 1 else img)
+    im = im.resize(
         (max(1, round(w / factor)), max(1, round(h / factor))),
         Image.LANCZOS)
-    return np.asarray(im).astype(np.float32)
+    out = np.asarray(im).astype(np.float32)
+    return out[:, :, None] if out.ndim == 2 else out
 
 
 def load_dataset(
@@ -384,12 +395,14 @@ def load_dataset(
     background: Optional[Tuple[float, float, float]] = None,
     max_frames: int = 0,
     images_dir: Optional[str] = None,
-) -> Tuple[List[Camera], np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[List[Camera], np.ndarray, np.ndarray, np.ndarray, List[str]]:
     """Load a COLMAP workspace for fitting.
 
     Returns (cameras, images [N, H, W, 3] f32 in [0, 1], points_xyz
-    [P, 3], points_rgb [P, 3]) — the point cloud feeds
-    diff.init_from_points.  ``images_dir`` overrides the image root
+    [P, 3], points_rgb [P, 3], names) — the point cloud feeds
+    diff.init_from_points; ``names`` are the model's image file names
+    (for re-exporting refined poses).  ``images_dir`` overrides the
+    image root
     (default: ``images`` next to ``sparse``, falling back to the
     workspace root).  All frames must share one resolution after
     ``downscale`` (the fit batches them into a single array).
@@ -436,7 +449,8 @@ def load_dataset(
                 f"pre-resized images dir")
         cameras.append(pose_to_camera(im, cam))
         frames.append(np.ascontiguousarray(imgf, np.float32))
-    return cameras, np.stack(frames), model.points_xyz, model.points_rgb
+    return (cameras, np.stack(frames), model.points_xyz,
+            model.points_rgb, [im.name for im in images])
 
 
 def export_model(

@@ -217,12 +217,14 @@ class PosedDataset(NamedTuple):
              composited.
     points_xyz / points_rgb: the SfM point cloud ([P, 3] each, P = 0
              for layouts without one) — feeds diff.init_from_points.
+    names:   per-frame image file names (for re-exporting poses).
     """
 
     cameras: List[Camera]
     images: np.ndarray
     points_xyz: np.ndarray
     points_rgb: np.ndarray
+    names: List[str]
 
 
 def load_posed(
@@ -239,17 +241,21 @@ def load_posed(
     from . import colmap
 
     if colmap.find_sparse_dir(path) is not None:
-        cams, images, xyz, rgb = colmap.load_dataset(
+        cams, images, xyz, rgb, names = colmap.load_dataset(
             path, downscale=downscale, background=background,
             max_frames=max_frames,
         )
-        return PosedDataset(cams, images, xyz, rgb)
+        return PosedDataset(cams, images, xyz, rgb, names)
     cams, images = load_dataset(
         path, downscale=downscale, background=background,
         max_frames=max_frames,
     )
+    frames, _, _ = load_transforms(path)
+    names = [str(rel) for _, rel in frames]
+    if max_frames > 0:
+        names = names[:max_frames]
     empty = np.zeros((0, 3), np.float32)
-    return PosedDataset(cams, images, empty, empty)
+    return PosedDataset(cams, images, empty, empty, names)
 
 
 def init_bounds_from_cameras(

@@ -945,6 +945,13 @@ def fit(
     return params, losses
 
 
+def _npz_path(path) -> str:
+    """np.savez appends '.npz' to bare paths; normalize up front so
+    save and load always agree on the file name."""
+    p = str(path)
+    return p if p.endswith(".npz") else p + ".npz"
+
+
 def save_checkpoint(
     path,
     params: DiffSplats,
@@ -969,7 +976,7 @@ def save_checkpoint(
     if opt_state is not None:
         for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
             arrs[f"o_{i}"] = np.asarray(leaf)
-    np.savez(path, **arrs)
+    np.savez(_npz_path(path), **arrs)
 
 
 def load_checkpoint(path, *, tx=None) -> dict:
@@ -978,7 +985,7 @@ def load_checkpoint(path, *, tx=None) -> dict:
     None), and — when the matching optax transform is passed as ``tx``
     — ``opt_state`` rebuilt from the stored leaves (None otherwise,
     or if the leaf count no longer matches)."""
-    with np.load(path) as z:
+    with np.load(_npz_path(path)) as z:
         fields = {
             name: jnp.asarray(z[f"p_{name}"])
             for name in DiffSplats._fields

@@ -103,3 +103,39 @@ def test_cli_compare_metrics(tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="exceeds"):
         main(["compare", str(pa), str(pb), "--max-delta", "2"])
+
+
+def test_fit_resume_guards(tmp_path, capsys):
+    """--resume refuses a checkpoint already at --steps, and one whose
+    pose deltas would be silently dropped without --refine-poses."""
+    import pytest
+
+    from cudagaussianrenderer_tpu import diff
+    from cudagaussianrenderer_tpu.cli import main
+
+    p = diff.random_init(8, (-1, -1, -1), (1, 1, 1), seed=0)
+    ck = tmp_path / "ck.npz"
+    diff.save_checkpoint(ck, p, step=5)
+    with pytest.raises(SystemExit, match="already at step 5"):
+        main([
+            "fit", "--procedural", "20", "--size", "32", "--steps", "5",
+            "--splats", "8", "--k-max", "64",
+            "--checkpoint", str(ck), "--resume",
+            "-o", str(tmp_path / "x.ply"),
+        ])
+    diff.save_checkpoint(
+        ck, p, step=2, camera_deltas=diff.zero_camera_deltas(2)
+    )
+    with pytest.raises(SystemExit, match="refine-poses"):
+        main([
+            "fit", "--procedural", "20", "--size", "32", "--steps", "5",
+            "--splats", "8", "--k-max", "64",
+            "--checkpoint", str(ck), "--resume",
+            "-o", str(tmp_path / "x.ply"),
+        ])
+    with pytest.raises(SystemExit, match="needs --checkpoint"):
+        main([
+            "fit", "--procedural", "20", "--size", "32", "--steps", "5",
+            "--splats", "8", "--k-max", "64", "--resume",
+            "-o", str(tmp_path / "x.ply"),
+        ])

@@ -249,8 +249,9 @@ def test_export_then_load_dataset(tmp_path):
     assert (sparse / "cameras.bin").exists()
     assert colmap.find_sparse_dir(root) == sparse
 
-    got_cams, images, pxyz, prgb = colmap.load_dataset(root)
+    got_cams, images, pxyz, prgb, got_names = colmap.load_dataset(root)
     assert images.shape == (3, 32, 32, 3)
+    assert got_names == names
     np.testing.assert_allclose(pxyz, xyz, atol=1e-6)
     for got, want in zip(got_cams, cams):
         np.testing.assert_allclose(got.position, want.position, atol=1e-5)
@@ -382,3 +383,49 @@ def test_cli_fit_from_colmap(tmp_path, capsys):
     fitted = load_scene(out)
     assert fitted.count == scene.count  # one splat per SfM point
     assert fitted.sh_degree == 1  # --sh-degree reaches the fitted model
+
+
+def test_pinhole_anisotropic_focal_aspect():
+    """PINHOLE with fx != fy (non-square pixels): the Camera aspect must
+    satisfy cot_x = cot_y / aspect = 2*fx/w, i.e. aspect = w*fy/(h*fx)."""
+    intr = colmap.ColmapCamera(
+        1, "PINHOLE", 640, 480, np.array([300.0, 400.0, 320.0, 240.0])
+    )
+    img = colmap.ColmapImage(
+        1, np.array([1.0, 0, 0, 0]), np.zeros(3), 1, "a.png"
+    )
+    cam = colmap.pose_to_camera(img, intr)
+    assert cam.fov_y == pytest.approx(2 * math.atan(480 / (2 * 400.0)))
+    assert cam.aspect == pytest.approx((640 * 400.0) / (480 * 300.0))
+    cot_y = 1.0 / math.tan(cam.fov_y / 2)
+    assert cot_y / cam.aspect == pytest.approx(2 * 300.0 / 640)
+
+
+def test_images_txt_names_with_spaces(tmp_path):
+    (tmp_path / "images.txt").write_text(
+        "# comment\n"
+        "1 1.0 0.0 0.0 0.0 0.5 0.5 0.5 1 my photo 01.jpg\n"
+        "\n"
+    )
+    (img,) = colmap.read_images_txt(tmp_path / "images.txt")
+    assert img.name == "my photo 01.jpg"
+
+
+def test_grayscale_jpeg_loads(tmp_path):
+    """Grayscale JPEGs go through the PIL branch and the block-average
+    downscale without losing the channel axis."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "ws"
+    (root / "images").mkdir(parents=True)
+    arr = rng.integers(0, 255, (16, 16), dtype=np.uint8)
+    Image.fromarray(arr, mode="L").save(root / "images" / "g.jpg")
+    cam = Camera(aspect=1.0)
+    colmap.export_model(root, [cam], ["g.jpg"], 16, 16)
+    cams, images, _, _, names = colmap.load_dataset(root, downscale=2)
+    assert images.shape == (1, 8, 8, 3)
+    assert names == ["g.jpg"]
+    # All three channels replicate the gray values.
+    np.testing.assert_array_equal(images[0, ..., 0], images[0, ..., 1])

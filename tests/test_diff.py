@@ -743,3 +743,10 @@ def test_checkpoint_roundtrip_fields(tmp_path):
     )
     # Without tx the optimizer state is not reconstructed.
     assert diff.load_checkpoint(path)["opt_state"] is None
+
+    # Bare paths (no .npz) save and load the same file (np.savez
+    # appends the suffix on write).
+    bare = tmp_path / "ck2"
+    diff.save_checkpoint(bare, p, step=1)
+    assert (tmp_path / "ck2.npz").exists()
+    assert diff.load_checkpoint(bare)["step"] == 1
