@@ -322,8 +322,15 @@ def rasterize_diff(
     *,
     tile_batch: int = 64,
     alpha_max: float = 0.9995,
+    return_depth: bool = False,
 ) -> jnp.ndarray:
-    """Differentiable rasterizer.  Returns [H, W, 4] float32 in [0, 1].
+    """Differentiable rasterizer.  Returns [H, W, 4] float32 in [0, 1];
+    with ``return_depth``, a ([H, W, 4], depth [H, W]) pair where depth
+    is the alpha-weighted expected linear clip depth Σ wᵢ·zᵢ
+    (z ∈ [-1, 1] as the projection emits it; divide by the accumulated
+    alpha 1 − T for the conditional expectation, and map through the
+    camera's depth scale/bias for view-space z).  Depth-supervised
+    losses differentiate through it like through color.
 
     Per tile, gathers its first ``k_max`` sorted pairs (front-to-back)
     and alpha-blends them in the log domain with the production
@@ -378,7 +385,7 @@ def rasterize_diff(
         counts = structure.counts[tids]
 
         def body(carry, k0):
-            rgb, log_t = carry
+            rgb, log_t, dep = carry
             k = k0 + jnp.arange(chunk, dtype=jnp.int32)    # [chunk]
             idx = starts[:, None] + k[None, :]             # [TB, chunk]
             live = k[None, :] < counts[:, None]
@@ -426,12 +433,16 @@ def rasterize_diff(
                 ],
                 axis=-1,
             )
-            return (rgb, log_t + cum[:, :, -1]), None
+            if return_depth:
+                cz = clip.z[sid]                           # [TB, chunk]
+                dep = dep + jnp.sum(w * cz[:, None, :], axis=-1)
+            return (rgb, log_t + cum[:, :, -1], dep), None
 
         rgb0 = jnp.zeros((tids.shape[0], p_tile, 3), jnp.float32)
         lt0 = jnp.zeros((tids.shape[0], p_tile), jnp.float32)
-        (rgb, log_t_f), _ = jax.lax.scan(
-            body, (rgb0, lt0),
+        dep0 = jnp.zeros((tids.shape[0], p_tile), jnp.float32)
+        (rgb, log_t_f, dep_f), _ = jax.lax.scan(
+            body, (rgb0, lt0, dep0),
             jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
         )
         if config.background is not None:
@@ -447,14 +458,21 @@ def rasterize_diff(
                 (counts > 0).astype(jnp.float32)[:, None],
                 (tids.shape[0], p_tile),
             )
-        return jnp.concatenate([rgb, a[:, :, None]], axis=-1)
+        out = [rgb, a[:, :, None]]
+        if return_depth:
+            out.append(dep_f[:, :, None])
+        return jnp.concatenate(out, axis=-1)
 
+    nc = 5 if return_depth else 4
     tiles = jax.lax.map(tile_block, all_tids.reshape(n_batches, tile_batch))
-    tiles = tiles.reshape(nty, ntx, ts, ts, 4)
+    tiles = tiles.reshape(nty, ntx, ts, ts, nc)
     image = tiles.transpose(0, 2, 1, 3, 4).reshape(
-        config.screen_h, config.screen_w, 4
+        config.screen_h, config.screen_w, nc
     )
-    return jnp.clip(image, 0.0, 1.0)
+    rgba = jnp.clip(image[..., :4], 0.0, 1.0)
+    if return_depth:
+        return rgba, image[..., 4]
+    return rgba
 
 
 def render_diff(
@@ -467,14 +485,17 @@ def render_diff(
     structure: Optional[PairStructure] = None,
     tile_batch: int = 64,
     alpha_max: float = 0.9995,
+    return_depth: bool = False,
     interpret=None,
 ) -> Tuple[jnp.ndarray, PairStructure]:
     """Differentiable frame render.  Jittable (config, capacity, k_max
     static); gradients flow to every DiffSplats leaf.
 
-    Returns (image [H, W, 4] float32, structure).  Pass ``structure``
-    to reuse a frozen one (e.g. several gradient steps per camera);
-    by default it is rebuilt for this camera under stop_gradient.
+    Returns (image [H, W, 4] float32, structure) — or (image, depth
+    [H, W], structure) with ``return_depth`` (expected linear clip
+    depth; see rasterize_diff).  Pass ``structure`` to reuse a frozen
+    one (e.g. several gradient steps per camera); by default it is
+    rebuilt for this camera under stop_gradient.
     """
     if structure is None:
         structure = build_structure(
@@ -482,11 +503,15 @@ def render_diff(
         )
     clip, opac = _project(params, camera_data, config)
     colors = _diff_colors(params, camera_data["position"])
-    image = rasterize_diff(
+    out = rasterize_diff(
         clip, colors, opac, structure, config, k_max,
         tile_batch=tile_batch, alpha_max=alpha_max,
+        return_depth=return_depth,
     )
-    return image, structure
+    if return_depth:
+        image, depth = out
+        return image, depth, structure
+    return out, structure
 
 
 # ---------------------------------------------------------------------------

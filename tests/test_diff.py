@@ -750,3 +750,55 @@ def test_checkpoint_roundtrip_fields(tmp_path):
     diff.save_checkpoint(bare, p, step=1)
     assert (tmp_path / "ck2.npz").exists()
     assert diff.load_checkpoint(bare)["step"] == 1
+
+
+def test_expected_depth_blend_and_grads():
+    """return_depth: for two huge stacked splats the center-pixel depth
+    is the hand-blended a1*z1 + (1-a1)*a2*z2 with z from the projection
+    stage, and gradients flow to the means through the depth output."""
+    n = 2
+    means = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, -1.0]], np.float32)
+    scales = np.full((n, 3), 1.2, np.float32)  # cover the screen center
+    quats = np.tile(np.array([0, 0, 0, 1], np.float32), (n, 1))
+    opac = np.array([0.4, 0.7], np.float32)
+    colors = np.full((n, 3), 0.5, np.float32)
+    params = diff.DiffSplats(
+        means=jnp.asarray(means.T),
+        log_scales=jnp.asarray(np.log(scales).T),
+        quats=jnp.asarray(quats.T),
+        opacity_logits=jnp.asarray(np.log(opac) - np.log1p(-opac)),
+        colors=jnp.asarray(colors.T),
+    )
+    config = RenderConfig(screen_size=32)
+    cam = Camera(position=np.array([0, 0, 6], np.float32))
+    cd = cam.camera_data()
+
+    image, depth, structure = diff.render_diff(
+        params, cd, config, 1024, 64, return_depth=True
+    )
+    assert depth.shape == (32, 32)
+
+    clip_data, opacities = diff._project(params, cd, config)
+    z = np.asarray(clip_data.z)
+    a = np.asarray(opacities)
+    # Front-to-back order: splat 0 (z smaller = closer; the sort key is
+    # ascending depth).
+    order = np.argsort(z)
+    a1, a2 = a[order[0]], a[order[1]]
+    z1, z2 = z[order[0]], z[order[1]]
+    want = a1 * z1 + (1 - a1) * a2 * z2
+    got = float(np.asarray(depth)[16, 16])
+    # Density at the center pixel is slightly below 1 (pixel-corner
+    # convention); tolerance covers it.
+    assert got == pytest.approx(float(want), rel=0.02)
+
+    g = jax.grad(
+        lambda p: jnp.sum(
+            diff.render_diff(
+                p, cd, config, 1024, 64, structure=structure,
+                return_depth=True,
+            )[1]
+        )
+    )(params)
+    gm = np.asarray(g.means)
+    assert np.all(np.isfinite(gm)) and np.any(gm != 0)
