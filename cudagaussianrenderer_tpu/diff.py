@@ -783,6 +783,8 @@ def fit(
     l1_weight: float = 0.0,
     ssim_weight: float = 0.0,
     l2_weight: float = 1.0,
+    depth_weight: float = 0.0,
+    depth_targets=None,
     densify_every: int = 0,
     densify_until: Optional[int] = None,
     densify_args: Optional[dict] = None,
@@ -810,6 +812,11 @@ def fit(
     (clone / split / prune; ``densify_args`` forwards its keyword
     arguments), the optimizer state resets and the step recompiles for
     the new splat count — the standard 3DGS schedule.
+
+    ``depth_weight`` > 0 with ``depth_targets`` (matching list of
+    [H, W] expected linear-clip-depth maps; NaN marks pixels without
+    supervision) adds a masked depth L1 term — the depth-regularized
+    3DGS recipe, rendered via render_diff(return_depth=True).
 
     ``optimize_cameras=True`` additionally learns a per-view SE(3) pose
     correction (CameraDeltas, its own adam at ``camera_lr``) — gradients
@@ -841,10 +848,27 @@ def fit(
         for t in targets
     ]
 
-    def loss_fn(p, cam, target):
-        image, structure = render_diff(
-            p, cam, config, capacity, k_max, interpret=interpret
-        )
+    use_depth = depth_weight > 0 and depth_targets is not None
+    if use_depth:
+        dtgts = [
+            jnp.asarray(np.asarray(d), jnp.float32) for d in depth_targets
+        ]
+        if len(dtgts) != len(cameras_data):
+            raise ValueError(
+                f"{len(dtgts)} depth targets for "
+                f"{len(cameras_data)} cameras"
+            )
+
+    def loss_fn(p, cam, target, dtarget):
+        if use_depth:
+            image, depth, structure = render_diff(
+                p, cam, config, capacity, k_max, return_depth=True,
+                interpret=interpret,
+            )
+        else:
+            image, structure = render_diff(
+                p, cam, config, capacity, k_max, interpret=interpret
+            )
         err = image[..., :3] - target
         loss = l2_weight * jnp.mean(err * err) if l2_weight else 0.0
         if l1_weight:
@@ -853,12 +877,20 @@ def fit(
             # The 3DGS D-SSIM term (1 - SSIM); the paper's loss is
             # l1_weight=0.8, ssim_weight=0.2, l2_weight=0.
             loss = loss + ssim_weight * (1.0 - ssim(image[..., :3], target))
+        if use_depth:
+            # Masked L1 on expected linear clip depth: supervise only
+            # pixels whose target is finite (NaN = unknown depth).
+            m = jnp.isfinite(dtarget)
+            d0 = jnp.where(m, dtarget, 0.0)
+            n_valid = jnp.maximum(1.0, jnp.sum(m.astype(jnp.float32)))
+            dloss = jnp.sum(jnp.abs(depth - d0) * m) / n_valid
+            loss = loss + depth_weight * dloss
         return loss, structure.num_candidates
 
     @jax.jit
-    def step(p, opt_state, cam, target):
+    def step(p, opt_state, cam, target, dtarget):
         (loss, cand), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, cam, target
+            p, cam, target, dtarget
         )
         gnorm = jnp.sqrt(jnp.sum(grads.means * grads.means, axis=0))
         updates, opt_state = tx.update(grads, opt_state, p)
@@ -876,10 +908,11 @@ def fit(
         cam_state = tx_cam.init(deltas)
 
         @jax.jit
-        def step_posed(p, d, opt_state, cam_state, cam, target, idx):
+        def step_posed(p, d, opt_state, cam_state, cam, target, dtarget,
+                       idx):
             def posed_loss(p, d):
                 cam2 = apply_camera_delta(cam, d.dr[idx], d.dt[idx])
-                return loss_fn(p, cam2, target)
+                return loss_fn(p, cam2, target, dtarget)
 
             (loss, cand), (gp, gd) = jax.value_and_grad(
                 posed_loss, argnums=(0, 1), has_aux=True
@@ -908,17 +941,19 @@ def fit(
     sat_warned = False
     gacc = np.zeros(params.means.shape[-1], np.float64)
     gcnt = 0
+    dummy = jnp.zeros((), jnp.float32)  # unused when depth is off
     for i in range(start_step, steps):
         f = i % len(cameras_data)
+        dtg = dtgts[f] if use_depth else dummy
         if optimize_cameras:
             (params, deltas, opt_state, cam_state, loss, cand,
              gnorm) = step_posed(
                 params, deltas, opt_state, cam_state,
-                cameras_data[f], tgts[f], jnp.int32(f),
+                cameras_data[f], tgts[f], dtg, jnp.int32(f),
             )
         else:
             params, opt_state, loss, cand, gnorm = step(
-                params, opt_state, cameras_data[f], tgts[f]
+                params, opt_state, cameras_data[f], tgts[f], dtg
             )
         losses[i] = float(loss)
         gacc += np.asarray(gnorm, np.float64)

@@ -802,3 +802,52 @@ def test_expected_depth_blend_and_grads():
     )(params)
     gm = np.asarray(g.means)
     assert np.all(np.isfinite(gm)) and np.any(gm != 0)
+
+
+@pytest.mark.slow
+def test_depth_supervised_fit_moves_depth():
+    """A depth-only loss pulls a splat's depth toward the target: fit a
+    single splat whose z is off by 0.5 against the true depth map."""
+    import optax  # noqa: F401  (fit's default optimizer import path)
+
+    def make(zoff):
+        means = np.array([[0.0, 0.0, zoff]], np.float32)
+        return diff.DiffSplats(
+            means=jnp.asarray(means.T),
+            log_scales=jnp.full((3, 1), np.log(1.0), jnp.float32),
+            quats=jnp.asarray(np.array([[0, 0, 0, 1]], np.float32).T),
+            opacity_logits=jnp.full((1,), 2.0, jnp.float32),
+            colors=jnp.full((3, 1), 0.5, jnp.float32),
+        )
+
+    config = RenderConfig(screen_size=32)
+    cam = Camera(position=np.array([0, 0, 5], np.float32))
+    cd = cam.camera_data()
+    _, dtarget, _ = diff.render_diff(
+        make(0.0), cd, config, 512, 32, return_depth=True
+    )
+    target_img = np.zeros((32, 32, 3), np.float32)  # color term off
+
+    def depth_err(p):
+        _, d, _ = diff.render_diff(p, cd, config, 512, 32,
+                                   return_depth=True)
+        return float(np.mean(np.abs(np.asarray(d) - np.asarray(dtarget))))
+
+    p0 = make(0.5)
+    err0 = depth_err(p0)
+    fitted, losses = diff.fit(
+        p0, [cd], [target_img], config,
+        capacity=512, k_max=32, steps=40, learning_rate=2e-2,
+        l2_weight=0.0, depth_weight=1.0,
+        depth_targets=[np.asarray(dtarget)],
+    )
+    err1 = depth_err(fitted)
+    assert err1 < 0.3 * err0
+    assert losses[-1] < losses[0]
+    # Mismatched target count is rejected.
+    import pytest as _pt
+    with _pt.raises(ValueError, match="depth targets"):
+        diff.fit(
+            p0, [cd], [target_img], config, capacity=512, k_max=32,
+            steps=1, depth_weight=1.0, depth_targets=[dtarget, dtarget],
+        )
