@@ -184,7 +184,8 @@ def cmd_orbit(args):
 
     renderer, _, scene, config = _build(args)
     out = Path(args.output)
-    out.mkdir(parents=True, exist_ok=True)
+    frames_dir = out / "images" if args.colmap else out
+    frames_dir.mkdir(parents=True, exist_ok=True)
     cams = orbit_cameras(
         scene.bounds_min, scene.bounds_max, args.frames, aspect=config.aspect
     )
@@ -192,13 +193,35 @@ def cmd_orbit(args):
     for i, cam in enumerate(cams):
         image = renderer.render(cam)
         names.append(f"frame_{i:04d}.png")
-        write_png(out / names[-1], image)
+        write_png(frames_dir / names[-1], image)
     if args.transforms:
         from .dataset import write_transforms
 
         write_transforms(out / "transforms.json", cams, names)
         print(f"wrote {out / 'transforms.json'}", file=sys.stderr)
-    print(f"wrote {args.frames} frames to {out}", file=sys.stderr)
+    if args.colmap:
+        # A full COLMAP workspace: sparse/0 binary model + images/,
+        # with the scene's splat centers/colors standing in for the
+        # SfM point cloud (up to 100k, subsampled) so `fit --dataset`
+        # gets the 3DGS point init.
+        from .colmap import export_model
+
+        n_pts = min(scene.count, 100_000)
+        idx = np.random.default_rng(0).choice(
+            scene.count, n_pts, replace=False
+        )
+        idx.sort()
+        sparse = export_model(
+            out, cams, names, config.screen_w, config.screen_h,
+            np.asarray(scene.means).T[: scene.count][idx].astype(
+                np.float32
+            ),
+            np.clip(
+                np.asarray(scene.colors).T[: scene.count][idx], 0.0, 1.0
+            ).astype(np.float32),
+        )
+        print(f"wrote COLMAP model {sparse}", file=sys.stderr)
+    print(f"wrote {args.frames} frames to {frames_dir}", file=sys.stderr)
 
 
 def cmd_bench(args):
@@ -659,6 +682,11 @@ def main(argv=None):
     p.add_argument("--transforms", action="store_true",
                    help="also write transforms.json (NeRF-synthetic "
                         "dataset layout, consumable by fit --dataset)")
+    p.add_argument("--colmap", action="store_true",
+                   help="write a COLMAP workspace instead (sparse/0 "
+                        "binary model + images/, splat centers as the "
+                        "SfM point cloud) — fit --dataset trains from "
+                        "it with the 3DGS point init")
     _add_common(p)
     p.set_defaults(fn=cmd_orbit)
 

@@ -429,3 +429,47 @@ def test_grayscale_jpeg_loads(tmp_path):
     assert names == ["g.jpg"]
     # All three channels replicate the gray values.
     np.testing.assert_array_equal(images[0, ..., 0], images[0, ..., 1])
+
+
+def test_truncated_bin_files_raise_colmap_error(tmp_path):
+    """Corrupt/truncated binaries surface as ColmapError, not raw
+    struct errors: every prefix truncation of each bin file."""
+    cams = [colmap.ColmapCamera(1, "PINHOLE", 8, 8,
+                                np.array([8.0, 8.0, 4.0, 4.0]))]
+    imgs = [colmap.ColmapImage(1, np.array([1.0, 0, 0, 0]),
+                               np.zeros(3), 1, "a.png")]
+    colmap.write_cameras_bin(tmp_path / "cameras.bin", cams)
+    colmap.write_images_bin(tmp_path / "images.bin", imgs)
+    colmap.write_points3d_bin(
+        tmp_path / "points3D.bin",
+        np.zeros((2, 3), np.float32), np.zeros((2, 3), np.float32),
+    )
+    for name, reader in (
+        ("cameras.bin", colmap.read_cameras_bin),
+        ("images.bin", colmap.read_images_bin),
+        ("points3D.bin", colmap.read_points3d_bin),
+    ):
+        data = (tmp_path / name).read_bytes()
+        for cut in (1, len(data) // 2, len(data) - 1):
+            p = tmp_path / f"cut_{name}"
+            p.write_bytes(data[:cut])
+            with pytest.raises(colmap.ColmapError):
+                reader(p)
+
+
+@pytest.mark.slow
+def test_cli_orbit_colmap_roundtrip(tmp_path, capsys):
+    """orbit --colmap writes a workspace fit --dataset consumes with
+    the point-cloud init."""
+    from cudagaussianrenderer_tpu.cli import main
+
+    ws = tmp_path / "ws"
+    main(["orbit", "--procedural", "50", "--size", "32",
+          "-o", str(ws), "-n", "2", "--colmap"])
+    assert (ws / "sparse" / "0" / "cameras.bin").exists()
+    assert (ws / "images" / "frame_0000.png").exists()
+    out = tmp_path / "f.ply"
+    main(["fit", "--dataset", str(ws), "-o", str(out),
+          "--steps", "1", "--k-max", "64"])
+    err = capsys.readouterr().err
+    assert "SfM point" in err
