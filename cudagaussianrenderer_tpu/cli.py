@@ -119,8 +119,6 @@ def cmd_render(args):
     if args.passes > 1:
         # Multi-pass tile-row bands: effective capacity above the emit
         # kernel's 2^24 pair ceiling (render.render_frame_multipass).
-        import numpy as np
-
         from .render import render_frame_multipass
 
         from .ops.expand import MAX_EXACT_I32
@@ -176,6 +174,33 @@ def cmd_render(args):
           file=sys.stderr)
     write_png(args.output, image)
     print(f"wrote {args.output}", file=sys.stderr)
+    if args.depth:
+        # Expected-depth map via the differentiable path (gather-based:
+        # meant for inspection at debug scales, not the 1M-splat hot
+        # path).  Output is normalized near->far black->white.
+        from . import diff
+        from .render import round_capacity
+
+        params = diff.from_scene(scene)
+        cap = round_capacity(renderer.capacity)
+        structure = diff.build_structure(
+            params, camera.camera_data(), config, cap
+        )
+        k_max = max(128, diff.max_tile_count(structure))
+        _, depth, _ = diff.render_diff(
+            params, camera.camera_data(), config, cap, k_max,
+            structure=structure, return_depth=True,
+        )
+        d = np.asarray(depth)
+        lo, hi = float(d.min()), float(d.max())
+        dn = (d - lo) / (hi - lo) if hi > lo else np.zeros_like(d)
+        write_png(
+            args.depth,
+            np.repeat((dn * 255 + 0.5).astype(np.uint8)[:, :, None],
+                      3, axis=2),
+        )
+        print(f"wrote {args.depth} (depth range [{lo:.4f}, {hi:.4f}] "
+              f"linear clip)", file=sys.stderr)
 
 
 def cmd_orbit(args):
@@ -671,6 +696,11 @@ def main(argv=None):
     p.add_argument(
         "--passes", type=int, default=1,
         help="render in N tile-row band passes (capacity-ceiling escape hatch)",
+    )
+    p.add_argument(
+        "--depth", default=None, metavar="PNG",
+        help="also write a normalized expected-depth map (diff path — "
+             "debug scales, not the 1M-splat hot path)",
     )
     _add_common(p)
     p.set_defaults(fn=cmd_render)

@@ -1,14 +1,15 @@
-"""NeRF-synthetic (Blender ``transforms.json``) dataset ingestion/export.
+"""Posed-image dataset ingestion/export.
 
 The standard 3DGS training workflow fits splats against a directory of
-posed images — the NeRF-synthetic layout (``transforms.json`` with
-``camera_angle_x`` + per-frame camera-to-world matrices, RGBA PNGs) is
-the lingua franca of that ecosystem.  The CUDA reference is a
-forward-only renderer with no training path (SURVEY.md §2); this module
-feeds the TPU build's differentiable path (diff.fit / ``cli fit
---dataset``) and exports datasets rendered by the production pipeline
-(``cli orbit --transforms``) so a fit can be round-tripped end to end
-without external data.
+posed images.  This module owns the NeRF-synthetic layout
+(``transforms.json`` with ``camera_angle_x`` + per-frame
+camera-to-world matrices, RGBA PNGs) and the layout-dispatching front
+door ``load_posed`` (COLMAP workspaces route to colmap.py).  The CUDA
+reference is a forward-only renderer with no training path
+(SURVEY.md §2); these loaders feed the TPU build's differentiable path
+(diff.fit / ``cli fit --dataset``), and the exporters (``cli orbit
+--transforms`` / ``--colmap``) round-trip a fit end to end without
+external data.
 
 Conventions: the transforms matrices are OpenGL-style camera-to-world
 (camera looks down local -Z, +Y up) — exactly models.camera.Camera's

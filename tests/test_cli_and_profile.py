@@ -139,3 +139,23 @@ def test_fit_resume_guards(tmp_path, capsys):
             "--splats", "8", "--k-max", "64", "--resume",
             "-o", str(tmp_path / "x.ply"),
         ])
+
+
+@pytest.mark.slow
+def test_render_depth_flag(tmp_path):
+    """render --depth writes a normalized expected-depth PNG alongside
+    the color frame."""
+    from cudagaussianrenderer_tpu.cli import main
+    from cudagaussianrenderer_tpu.utils.png import read_png
+
+    out = tmp_path / "c.png"
+    dep = tmp_path / "d.png"
+    main([
+        "render", "--procedural", "60", "--size", "32",
+        "-o", str(out), "--depth", str(dep),
+    ])
+    img = read_png(dep)
+    assert img.shape == (32, 32, 3)
+    # Grayscale (all channels equal) and non-constant.
+    assert (img[..., 0] == img[..., 1]).all()
+    assert img.min() != img.max()
