@@ -385,6 +385,11 @@ def cmd_fit(args):
                 "checkpoint carries refined poses; resume with "
                 "--refine-poses (or they would be silently dropped)"
             )
+        if ck_probe["exposure"] is not None and not args.refine_exposure:
+            raise SystemExit(
+                "checkpoint carries per-view exposure; resume with "
+                "--refine-exposure (or it would be silently dropped)"
+            )
     points_xyz = points_rgb = None
     if args.dataset:
         # Posed-image dataset (COLMAP workspace or NeRF-synthetic
@@ -452,6 +457,7 @@ def cmd_fit(args):
             start_step=ck["step"],
             opt_state=ck["opt_state"],
             camera_deltas=ck["camera_deltas"],
+            exposure=ck["exposure"],
         )
         print(
             f"resumed {args.checkpoint} at step {ck['step']} "
@@ -499,6 +505,8 @@ def cmd_fit(args):
         log_every=max(1, args.steps // 10),
         densify_every=args.densify_every,
         optimize_cameras=args.refine_poses, camera_lr=args.camera_lr,
+        optimize_exposure=args.refine_exposure,
+        exposure_lr=args.exposure_lr,
         checkpoint_every=(
             args.checkpoint_every
             or (args.steps if args.checkpoint else 0)
@@ -506,6 +514,8 @@ def cmd_fit(args):
         checkpoint_path=args.checkpoint,
         **resume_kw,
     )
+    fit_out = list(fit_out)
+    exposure_out = fit_out.pop() if args.refine_exposure else None
     if args.refine_poses:
         params, losses, deltas = fit_out
         dr = np.asarray(deltas.dr)
@@ -528,6 +538,15 @@ def cmd_fit(args):
             print(f"wrote {args.export_poses}", file=sys.stderr)
     else:
         params, losses = fit_out
+    if exposure_out is not None:
+        g = np.asarray(exposure_out.gain)
+        b = np.asarray(exposure_out.bias)
+        print(
+            f"exposure: gain deviation max "
+            f"{np.abs(g - 1.0).max():.4f}, bias max "
+            f"{np.abs(b).max():.4f}",
+            file=sys.stderr,
+        )
     if args.densify_every:
         print(
             f"density control: {n_splats} -> "
@@ -793,6 +812,11 @@ def main(argv=None):
                         "(for noisy captured poses)")
     p.add_argument("--camera-lr", type=float, default=1e-4,
                    help="pose-correction learning rate (--refine-poses)")
+    p.add_argument("--refine-exposure", action="store_true",
+                   help="learn per-view exposure (gain+bias per channel) "
+                        "so capture auto-exposure is not baked into the "
+                        "splats")
+    p.add_argument("--exposure-lr", type=float, default=1e-3)
     p.add_argument("--export-poses", default=None, metavar="JSON",
                    help="write the refined poses as a transforms.json "
                         "(--refine-poses)")

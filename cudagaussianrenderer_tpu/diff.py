@@ -235,6 +235,27 @@ def zero_camera_deltas(num_views: int) -> CameraDeltas:
     )
 
 
+class Exposure(NamedTuple):
+    """Learnable per-view color correction (fit(optimize_exposure=True)):
+    rendered' = rendered * gain + bias per channel — absorbs the
+    auto-exposure / white-balance drift of real captures so it does not
+    get baked into the splats (the appearance-compensation idea of
+    NeRF-W, as production 3DGS trainers apply it per image).
+
+    gain: [V, 3] (identity 1), bias: [V, 3] (identity 0).
+    """
+
+    gain: jnp.ndarray
+    bias: jnp.ndarray
+
+
+def identity_exposure(num_views: int) -> Exposure:
+    return Exposure(
+        gain=jnp.ones((num_views, 3), jnp.float32),
+        bias=jnp.zeros((num_views, 3), jnp.float32),
+    )
+
+
 def _rodrigues(r: jnp.ndarray) -> jnp.ndarray:
     """[3] rotation vector -> [3, 3] rotation matrix, differentiable at
     the identity (Taylor branches keep the gradient finite at ||r||=0)."""
@@ -790,11 +811,14 @@ def fit(
     densify_args: Optional[dict] = None,
     optimize_cameras: bool = False,
     camera_lr: float = 1e-4,
+    optimize_exposure: bool = False,
+    exposure_lr: float = 1e-3,
     checkpoint_every: int = 0,
     checkpoint_path=None,
     start_step: int = 0,
     opt_state=None,
     camera_deltas: Optional[CameraDeltas] = None,
+    exposure: Optional[Exposure] = None,
     interpret=None,
     log_every: int = 0,
 ):
@@ -824,6 +848,13 @@ def fit(
     structure rebuild keeps binning consistent with the corrected
     camera.  Standard for real captures whose COLMAP poses are noisy.
 
+    ``optimize_exposure=True`` learns a per-view color correction
+    (Exposure: rendered*gain + bias per channel, its own adam at
+    ``exposure_lr``), absorbing auto-exposure / white-balance drift of
+    real captures instead of baking it into the splats.  The correction
+    applies to the RENDER during loss evaluation only; exports and
+    previews stay uncorrected.
+
     Checkpoint/resume: ``checkpoint_every`` > 0 writes
     save_checkpoint(``checkpoint_path``) every that many steps (and at
     the end); resume by passing load_checkpoint's ``params``, ``step``
@@ -831,9 +862,9 @@ def fit(
     the camera rotation, densify schedule and loss indexing continue
     where they left off, bit-exactly when the same ``tx`` is used.
 
-    Returns (params, losses: np.ndarray [steps]), plus the fitted
-    CameraDeltas as a third element when ``optimize_cameras``.  ``tx``
-    overrides the default optax.adam(learning_rate).
+    Returns (params, losses: np.ndarray [steps]); when enabled, the
+    fitted CameraDeltas and then the Exposure append in that order.
+    ``tx`` overrides the default optax.adam(learning_rate).
     """
     import optax
 
@@ -859,7 +890,7 @@ def fit(
                 f"{len(cameras_data)} cameras"
             )
 
-    def loss_fn(p, cam, target, dtarget):
+    def loss_fn(p, cam, target, dtarget, gain=None, bias=None):
         if use_depth:
             image, depth, structure = render_diff(
                 p, cam, config, capacity, k_max, return_depth=True,
@@ -869,14 +900,20 @@ def fit(
             image, structure = render_diff(
                 p, cam, config, capacity, k_max, interpret=interpret
             )
-        err = image[..., :3] - target
+        rgb = image[..., :3]
+        if gain is not None:
+            # Per-view exposure correction on the RENDER, so the target
+            # stays the ground truth and the splats learn exposure-free
+            # color.
+            rgb = rgb * gain[None, None, :] + bias[None, None, :]
+        err = rgb - target
         loss = l2_weight * jnp.mean(err * err) if l2_weight else 0.0
         if l1_weight:
             loss = loss + l1_weight * jnp.mean(jnp.abs(err))
         if ssim_weight:
             # The 3DGS D-SSIM term (1 - SSIM); the paper's loss is
             # l1_weight=0.8, ssim_weight=0.2, l2_weight=0.
-            loss = loss + ssim_weight * (1.0 - ssim(image[..., :3], target))
+            loss = loss + ssim_weight * (1.0 - ssim(rgb, target))
         if use_depth:
             # Masked L1 on expected linear clip depth: supervise only
             # pixels whose target is finite (NaN = unknown depth).
@@ -887,48 +924,52 @@ def fit(
             loss = loss + depth_weight * dloss
         return loss, structure.num_candidates
 
-    @jax.jit
-    def step(p, opt_state, cam, target, dtarget):
-        (loss, cand), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, cam, target, dtarget
-        )
-        gnorm = jnp.sqrt(jnp.sum(grads.means * grads.means, axis=0))
-        updates, opt_state = tx.update(grads, opt_state, p)
-        return optax.apply_updates(p, updates), opt_state, loss, cand, gnorm
-
+    # Optional per-view parameters ("extras") train alongside the
+    # splats, each with its own optimizer.  Their adam moments are not
+    # checkpointed (the values are); a resume warm-restarts them.
+    n_views = len(cameras_data)
+    extras = {}
+    txs = {}
     if optimize_cameras:
-        tx_cam = optax.adam(camera_lr)
-        deltas = (
+        extras["cam"] = (
             camera_deltas
             if camera_deltas is not None
-            else zero_camera_deltas(len(cameras_data))
+            else zero_camera_deltas(n_views)
         )
-        # The camera-optimizer moments are not checkpointed (the deltas
-        # themselves are); a resume warm-restarts them.
-        cam_state = tx_cam.init(deltas)
+        txs["cam"] = optax.adam(camera_lr)
+    if optimize_exposure:
+        extras["exp"] = (
+            exposure if exposure is not None else identity_exposure(n_views)
+        )
+        txs["exp"] = optax.adam(exposure_lr)
+    extra_state = {k: txs[k].init(v) for k, v in extras.items()}
+    has_cam = "cam" in extras
+    has_exp = "exp" in extras
 
-        @jax.jit
-        def step_posed(p, d, opt_state, cam_state, cam, target, dtarget,
-                       idx):
-            def posed_loss(p, d):
-                cam2 = apply_camera_delta(cam, d.dr[idx], d.dt[idx])
-                return loss_fn(p, cam2, target, dtarget)
-
-            (loss, cand), (gp, gd) = jax.value_and_grad(
-                posed_loss, argnums=(0, 1), has_aux=True
-            )(p, d)
-            gnorm = jnp.sqrt(jnp.sum(gp.means * gp.means, axis=0))
-            updates, opt_state = tx.update(gp, opt_state, p)
-            cam_updates, cam_state = tx_cam.update(gd, cam_state, d)
-            return (
-                optax.apply_updates(p, updates),
-                optax.apply_updates(d, cam_updates),
-                opt_state,
-                cam_state,
-                loss,
-                cand,
-                gnorm,
+    @jax.jit
+    def step(p, ex, opt_state, ex_state, cam, target, dtarget, idx):
+        def full_loss(p, ex):
+            cam2 = (
+                apply_camera_delta(cam, ex["cam"].dr[idx], ex["cam"].dt[idx])
+                if has_cam
+                else cam
             )
+            gain = ex["exp"].gain[idx] if has_exp else None
+            bias = ex["exp"].bias[idx] if has_exp else None
+            return loss_fn(p, cam2, target, dtarget, gain, bias)
+
+        (loss, cand), (gp, gex) = jax.value_and_grad(
+            full_loss, argnums=(0, 1), has_aux=True
+        )(p, ex)
+        gnorm = jnp.sqrt(jnp.sum(gp.means * gp.means, axis=0))
+        updates, opt_state = tx.update(gp, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        new_ex, new_ex_state = {}, {}
+        for name in ex:
+            u, s = txs[name].update(gex[name], ex_state[name], ex[name])
+            new_ex[name] = optax.apply_updates(ex[name], u)
+            new_ex_state[name] = s
+        return p, new_ex, opt_state, new_ex_state, loss, cand, gnorm
 
     if densify_every:
         lo = np.asarray(params.means).min(axis=1)
@@ -945,16 +986,11 @@ def fit(
     for i in range(start_step, steps):
         f = i % len(cameras_data)
         dtg = dtgts[f] if use_depth else dummy
-        if optimize_cameras:
-            (params, deltas, opt_state, cam_state, loss, cand,
-             gnorm) = step_posed(
-                params, deltas, opt_state, cam_state,
-                cameras_data[f], tgts[f], dtg, jnp.int32(f),
-            )
-        else:
-            params, opt_state, loss, cand, gnorm = step(
-                params, opt_state, cameras_data[f], tgts[f], dtg
-            )
+        (params, extras, opt_state, extra_state, loss, cand,
+         gnorm) = step(
+            params, extras, opt_state, extra_state,
+            cameras_data[f], tgts[f], dtg, jnp.int32(f),
+        )
         losses[i] = float(loss)
         gacc += np.asarray(gnorm, np.float64)
         gcnt += 1
@@ -996,13 +1032,17 @@ def fit(
             save_checkpoint(
                 checkpoint_path, params, step=i + 1,
                 opt_state=opt_state,
-                camera_deltas=deltas if optimize_cameras else None,
+                camera_deltas=extras.get("cam"),
+                exposure=extras.get("exp"),
             )
         if log_every and (i % log_every == 0 or i == steps - 1):
             print(f"step {i:5d}  loss {float(loss):.6f}", flush=True)
+    out = [params, losses]
     if optimize_cameras:
-        return params, losses, deltas
-    return params, losses
+        out.append(extras["cam"])
+    if optimize_exposure:
+        out.append(extras["exp"])
+    return tuple(out)
 
 
 def _npz_path(path) -> str:
@@ -1019,10 +1059,12 @@ def save_checkpoint(
     step: int = 0,
     opt_state=None,
     camera_deltas: Optional[CameraDeltas] = None,
+    exposure: Optional[Exposure] = None,
 ) -> None:
     """Write a training checkpoint (single .npz): the raw DiffSplats
-    leaves, the step counter, and optionally the optimizer-state leaves
-    and pose corrections — everything fit() needs for an exact resume.
+    leaves, the step counter, and optionally the optimizer-state
+    leaves, pose corrections and exposure — everything fit() needs for
+    an exact resume.
     The reference persists nothing (SURVEY.md §5: checkpoint N/A); this
     exists for the training path, where multi-hour fits are real."""
     arrs = {"step": np.int64(step)}
@@ -1033,6 +1075,9 @@ def save_checkpoint(
     if camera_deltas is not None:
         arrs["d_dr"] = np.asarray(camera_deltas.dr)
         arrs["d_dt"] = np.asarray(camera_deltas.dt)
+    if exposure is not None:
+        arrs["e_gain"] = np.asarray(exposure.gain)
+        arrs["e_bias"] = np.asarray(exposure.bias)
     if opt_state is not None:
         for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
             arrs[f"o_{i}"] = np.asarray(leaf)
@@ -1042,9 +1087,10 @@ def save_checkpoint(
 def load_checkpoint(path, *, tx=None) -> dict:
     """Read a save_checkpoint .npz.  Returns a dict with ``params``
     (DiffSplats), ``step`` (int), ``camera_deltas`` (CameraDeltas or
-    None), and — when the matching optax transform is passed as ``tx``
-    — ``opt_state`` rebuilt from the stored leaves (None otherwise,
-    or if the leaf count no longer matches)."""
+    None), ``exposure`` (Exposure or None), and — when the matching
+    optax transform is passed as ``tx`` — ``opt_state`` rebuilt from
+    the stored leaves (None otherwise, or if the leaf count no longer
+    matches)."""
     with np.load(_npz_path(path)) as z:
         fields = {
             name: jnp.asarray(z[f"p_{name}"])
@@ -1057,6 +1103,12 @@ def load_checkpoint(path, *, tx=None) -> dict:
         if "d_dr" in z:
             deltas = CameraDeltas(
                 dr=jnp.asarray(z["d_dr"]), dt=jnp.asarray(z["d_dt"])
+            )
+        exp = None
+        if "e_gain" in z:
+            exp = Exposure(
+                gain=jnp.asarray(z["e_gain"]),
+                bias=jnp.asarray(z["e_bias"]),
             )
         opt_state = None
         if tx is not None:
@@ -1072,7 +1124,7 @@ def load_checkpoint(path, *, tx=None) -> dict:
                 opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     return dict(
         params=params, step=step, camera_deltas=deltas,
-        opt_state=opt_state,
+        exposure=exp, opt_state=opt_state,
     )
 
 

@@ -851,3 +851,47 @@ def test_depth_supervised_fit_moves_depth():
             p0, [cd], [target_img], config, capacity=512, k_max=32,
             steps=1, depth_weight=1.0, depth_targets=[dtarget, dtarget],
         )
+
+
+@pytest.mark.slow
+def test_exposure_refinement_recovers_per_view_gain():
+    """Targets get per-view synthetic exposure shifts; with
+    optimize_exposure the learned gains track the shifts and the loss
+    lands well below the fixed-exposure fit (splats frozen at truth)."""
+    import optax
+
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+    from cudagaussianrenderer_tpu.render import Renderer
+
+    scene = random_scene(60, seed=12)
+    config = RenderConfig(screen_size=32)
+    renderer = Renderer(scene, config)
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 2)
+    shifts = np.array([[1.25, 1.25, 1.25], [0.8, 0.8, 0.8]], np.float32)
+    targets = [
+        np.clip(
+            np.asarray(renderer.render(c))[..., :3].astype(np.float32)
+            / 255.0 * shifts[i],
+            0.0, 1.0,
+        )
+        for i, c in enumerate(cams)
+    ]
+    params = diff.from_scene(scene)
+    cam_data = [c.camera_data() for c in cams]
+    frozen = optax.sgd(0.0)
+
+    def run(**kw):
+        return diff.fit(
+            params, cam_data, targets, config,
+            capacity=4096, k_max=256, steps=30, tx=frozen,
+            l2_weight=1.0, **kw,
+        )
+
+    _, losses_fixed = run()
+    _, losses_exp, exp = run(optimize_exposure=True, exposure_lr=3e-2)
+    assert losses_exp[-1] < 0.5 * losses_fixed[-1]
+    g = np.asarray(exp.gain)
+    # Gains move toward the applied shifts (direction, not exactness —
+    # clipping and 30 steps limit it).
+    assert g[0].mean() > 1.05 and g[1].mean() < 0.95
