@@ -507,6 +507,7 @@ def cmd_fit(args):
         optimize_cameras=args.refine_poses, camera_lr=args.camera_lr,
         optimize_exposure=args.refine_exposure,
         exposure_lr=args.exposure_lr,
+        sh_warmup_every=args.sh_warmup,
         checkpoint_every=(
             args.checkpoint_every
             or (args.steps if args.checkpoint else 0)
@@ -817,6 +818,10 @@ def main(argv=None):
                         "so capture auto-exposure is not baked into the "
                         "splats")
     p.add_argument("--exposure-lr", type=float, default=1e-3)
+    p.add_argument("--sh-warmup", type=int, default=0, metavar="K",
+                   help="3DGS SH warm-up: grow the trained SH degree "
+                        "from 0 by one every K steps (0 = train all "
+                        "bands from the start)")
     p.add_argument("--export-poses", default=None, metavar="JSON",
                    help="write the refined poses as a transforms.json "
                         "(--refine-poses)")

@@ -813,6 +813,7 @@ def fit(
     camera_lr: float = 1e-4,
     optimize_exposure: bool = False,
     exposure_lr: float = 1e-3,
+    sh_warmup_every: int = 0,
     checkpoint_every: int = 0,
     checkpoint_path=None,
     start_step: int = 0,
@@ -847,6 +848,12 @@ def fit(
     reach the pose through the projection/SH math, and the per-step
     structure rebuild keeps binning consistent with the corrected
     camera.  Standard for real captures whose COLMAP poses are noisy.
+
+    ``sh_warmup_every`` > 0 reproduces the 3DGS SH warm-up
+    (oneupSHdegree): gradients to SH bands above the active degree are
+    masked, and the active degree grows from 0 by one every that many
+    steps up to the model's degree — view-independent color settles
+    before view-dependence trains.
 
     ``optimize_exposure=True`` learns a per-view color correction
     (Exposure: rendered*gain + bias per channel, its own adam at
@@ -946,8 +953,18 @@ def fit(
     has_cam = "cam" in extras
     has_exp = "exp" in extras
 
+    # SH warm-up: [K] band index per coefficient (0, 1,1,1, 2,... —
+    # static), compared against the traced active degree to mask grads.
+    use_sh_warmup = sh_warmup_every > 0 and params.sh is not None
+    if use_sh_warmup:
+        k_coeffs = params.sh.shape[1]
+        sh_bands = jnp.asarray(
+            np.floor(np.sqrt(np.arange(k_coeffs))).astype(np.int32)
+        )
+
     @jax.jit
-    def step(p, ex, opt_state, ex_state, cam, target, dtarget, idx):
+    def step(p, ex, opt_state, ex_state, cam, target, dtarget, idx,
+             sh_active):
         def full_loss(p, ex):
             cam2 = (
                 apply_camera_delta(cam, ex["cam"].dr[idx], ex["cam"].dt[idx])
@@ -961,6 +978,9 @@ def fit(
         (loss, cand), (gp, gex) = jax.value_and_grad(
             full_loss, argnums=(0, 1), has_aux=True
         )(p, ex)
+        if use_sh_warmup:
+            mask = (sh_bands <= sh_active).astype(jnp.float32)
+            gp = gp._replace(sh=gp.sh * mask[None, :, None])
         gnorm = jnp.sqrt(jnp.sum(gp.means * gp.means, axis=0))
         updates, opt_state = tx.update(gp, opt_state, p)
         p = optax.apply_updates(p, updates)
@@ -986,10 +1006,13 @@ def fit(
     for i in range(start_step, steps):
         f = i % len(cameras_data)
         dtg = dtgts[f] if use_depth else dummy
+        sh_active = jnp.int32(
+            i // sh_warmup_every if use_sh_warmup else 127
+        )
         (params, extras, opt_state, extra_state, loss, cand,
          gnorm) = step(
             params, extras, opt_state, extra_state,
-            cameras_data[f], tgts[f], dtg, jnp.int32(f),
+            cameras_data[f], tgts[f], dtg, jnp.int32(f), sh_active,
         )
         losses[i] = float(loss)
         gacc += np.asarray(gnorm, np.float64)

@@ -895,3 +895,42 @@ def test_exposure_refinement_recovers_per_view_gain():
     # Gains move toward the applied shifts (direction, not exactness —
     # clipping and 30 steps limit it).
     assert g[0].mean() > 1.05 and g[1].mean() < 0.95
+
+
+@pytest.mark.slow
+def test_sh_warmup_masks_band_gradients():
+    """sh_warmup_every: bands above the active degree receive no
+    updates early; after the warm-up threshold they start moving."""
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+    from cudagaussianrenderer_tpu.render import Renderer
+
+    scene = random_scene(40, seed=6, sh_degree=2)
+    config = RenderConfig(screen_size=32)
+    renderer = Renderer(scene, config)
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 1)
+    targets = [
+        np.asarray(renderer.render(cams[0]))[..., :3].astype(np.float32)
+        / 255.0
+    ]
+    params = diff.from_scene(scene)
+    cd = [cams[0].camera_data()]
+
+    # 3 steps with warm-up every 4: active degree stays 0 throughout.
+    fitted, _ = diff.fit(
+        params, cd, targets, config, capacity=2048, k_max=128,
+        steps=3, learning_rate=1e-2, l2_weight=1.0, sh_warmup_every=4,
+    )
+    sh0 = np.asarray(params.sh)
+    sh1 = np.asarray(fitted.sh)
+    np.testing.assert_array_equal(sh1[:, 1:], sh0[:, 1:])  # frozen
+    assert np.any(sh1[:, 0] != sh0[:, 0])  # DC trains
+
+    # 5 steps with warm-up every 4: degree-1 bands unlock at step 4.
+    fitted2, _ = diff.fit(
+        params, cd, targets, config, capacity=2048, k_max=128,
+        steps=5, learning_rate=1e-2, l2_weight=1.0, sh_warmup_every=4,
+    )
+    sh2 = np.asarray(fitted2.sh)
+    assert np.any(sh2[:, 1:4] != sh0[:, 1:4])   # band 1 moved
+    np.testing.assert_array_equal(sh2[:, 4:], sh0[:, 4:])  # band 2 frozen
