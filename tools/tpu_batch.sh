@@ -1,27 +1,28 @@
 #!/bin/bash
-# One-shot TPU measurement batch (round 4, verdict #1).
+# One-shot TPU measurement batch.
 #
-# The axon tunnel has been intermittent (down at the round-3 capture,
-# BENCH_r03.json rc=1; down again through most of round 4).  This script
-# captures EVERY pending hardware measurement in priority order the
-# moment the tunnel is up, so a transient window is fully exploited:
+# The axon tunnel is intermittent; this script captures every pending
+# hardware measurement in priority order the moment the tunnel is up,
+# so a transient window is fully exploited:
 #
-#   1. tpu_selfcheck   correctness gate (compiled vs f64 oracle)
-#   2. bench.py        the headline number (verdict #1 evidence)
-#   3. bench_suite     all five BASELINE.json configs (+ extents diag)
-#   4. measure extents opacity-aware extents frame-time A/B
-#   5. measure bandsort flat vs band-segmented sort A/B (keep/delete)
-#   6. measure raster  QUAD_BF16 / scan-limb variants (verdict #7)
-#   7. bench --bands 16 banded headline (only meaningful if #5 wins)
+#   1. tpu_selfcheck    correctness gate (compiled vs f64 oracle)
+#   2. bench.py         the headline number
+#   3. bench_suite      all five BASELINE.json configs (+ extents diag)
+#   4. fit_3dgs         training convergence (3DGS optimizer schedule)
+#   5. fit_colmap x2    COLMAP workflow: SfM init + pose-refinement A/B
+#
+# (The round-4 kernel/sort A/Bs — extents, bandsort, raster variants —
+# are settled and recorded in docs/PERF_NOTES.md + artifacts/r4_tpu;
+# they are not re-run.)
 #
 # Steps are IDEMPOTENT across invocations: a step that exits 0 drops a
 # $OUT/<name>.ok marker and is skipped on re-run, so if the tunnel dies
-# mid-batch the poller can re-fire the remainder in the next window.
-# Logs land in artifacts/r4_tpu/ (committed).  Each step is bounded; a
-# hung tunnel fails the step, not the batch.  Usage:  bash tools/tpu_batch.sh
+# mid-batch a poller can re-fire the remainder in the next window.
+# Each step is bounded; a hung tunnel fails the step, not the batch.
+# Usage:  bash tools/tpu_batch.sh [out_dir]   (default artifacts/r5_tpu)
 set -u
 cd "$(dirname "$0")/.."
-OUT=artifacts/r4_tpu
+OUT=${1:-artifacts/r5_tpu}
 mkdir -p "$OUT"
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 
@@ -41,13 +42,20 @@ run() { # run <name> <timeout_s> <cmd...>
 }
 
 ALL_OK=1
-run selfcheck   1800 python tools/tpu_selfcheck.py
-run bench       2400 python bench.py
-run suite       4800 python tools/bench_suite.py
-run m_extents   2400 python tools/measure.py extents
-run m_bandsort  3600 python tools/measure.py bandsort
-run m_raster    2400 python tools/measure.py raster
-run bench_b16   2400 python bench.py --bands 16
+run selfcheck    1800 python tools/tpu_selfcheck.py
+run bench        2400 python bench.py
+run suite        4800 python tools/bench_suite.py
+run fit_3dgs     2400 python tools/fit_artifact.py --optimizer 3dgs \
+                      --out "$OUT/fit_3dgs" --dataset-dir /tmp/fit_ds_a
+run fit_colmap_r 2400 python tools/fit_artifact.py --layout colmap \
+                      --optimizer 3dgs --perturb-poses 0.01 \
+                      --refine-poses --camera-lr 1e-3 \
+                      --out "$OUT/fit_colmap_refine" \
+                      --dataset-dir /tmp/fit_ds_b
+run fit_colmap_n 2400 python tools/fit_artifact.py --layout colmap \
+                      --optimizer 3dgs --perturb-poses 0.01 \
+                      --out "$OUT/fit_colmap_norefine" \
+                      --dataset-dir /tmp/fit_ds_c
 if [ "$ALL_OK" -eq 1 ]; then
   touch "$OUT/batch.done"
   echo "batch COMPLETE $(date -u)" | tee -a "$OUT/batch.log"
