@@ -222,7 +222,10 @@ def cmd_orbit(args):
     if args.transforms:
         from .dataset import write_transforms
 
-        write_transforms(out / "transforms.json", cams, names)
+        # With --colmap the frames live under images/; transforms.json
+        # paths are relative to the json, so they must carry the prefix.
+        tnames = [f"images/{n}" for n in names] if args.colmap else names
+        write_transforms(out / "transforms.json", cams, tnames)
         print(f"wrote {out / 'transforms.json'}", file=sys.stderr)
     if args.colmap:
         # A full COLMAP workspace: sparse/0 binary model + images/,

@@ -956,6 +956,14 @@ def fit(
     # SH warm-up: [K] band index per coefficient (0, 1,1,1, 2,... —
     # static), compared against the traced active degree to mask grads.
     use_sh_warmup = sh_warmup_every > 0 and params.sh is not None
+    if sh_warmup_every > 0 and params.sh is None:
+        import warnings
+
+        warnings.warn(
+            "sh_warmup_every set but the model has no SH bands "
+            "(sh_degree 0) — the warm-up schedule has nothing to do",
+            RuntimeWarning,
+        )
     if use_sh_warmup:
         k_coeffs = params.sh.shape[1]
         sh_bands = jnp.asarray(
@@ -984,9 +992,28 @@ def fit(
         gnorm = jnp.sqrt(jnp.sum(gp.means * gp.means, axis=0))
         updates, opt_state = tx.update(gp, opt_state, p)
         p = optax.apply_updates(p, updates)
+        # Per-view sparsity: only the rendered view's row may move.
+        # Without this, adam's decaying first moment emits nonzero
+        # updates for every OTHER view (whose gradient this step is
+        # zero) — V-1 stale-momentum drift updates per cycle.  Rows
+        # != idx keep both their value and their optimizer moments.
+        row = (jnp.arange(n_views, dtype=jnp.int32) == idx).astype(
+            jnp.float32
+        )
+
+        def _active_rows_only(new, old):
+            if getattr(new, "ndim", 0) >= 1 and new.shape[0] == n_views:
+                m = row.reshape((n_views,) + (1,) * (new.ndim - 1))
+                return new * m + old * (1.0 - m)
+            return new  # scalars (adam step count)
+
         new_ex, new_ex_state = {}, {}
         for name in ex:
             u, s = txs[name].update(gex[name], ex_state[name], ex[name])
+            u = jax.tree_util.tree_map(
+                lambda a: _active_rows_only(a, jnp.zeros_like(a)), u
+            )
+            s = jax.tree_util.tree_map(_active_rows_only, s, ex_state[name])
             new_ex[name] = optax.apply_updates(ex[name], u)
             new_ex_state[name] = s
         return p, new_ex, opt_state, new_ex_state, loss, cand, gnorm
