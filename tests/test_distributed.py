@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from cudagaussianrenderer_tpu.config import RenderConfig
 from cudagaussianrenderer_tpu.models.camera import Camera, orbit_cameras
@@ -180,3 +181,72 @@ def test_render_batch_1d_mesh_single_dispatch():
     assert imgs.shape == (3, 128, 128, 4)
     for i, cam in enumerate(cams):
         np.testing.assert_array_equal(imgs[i], r.render(cam, check_saturation=False))
+
+
+@pytest.mark.slow
+def test_dp_train_step_matches_mean_gradient():
+    """One fit_dp step over D devices equals a single-device sgd step
+    on the MEAN of the per-view gradients (params replicated, grads
+    pmean'd — the definition of data parallelism)."""
+    import optax
+
+    from cudagaussianrenderer_tpu import diff
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+    from cudagaussianrenderer_tpu.parallel import train
+    from cudagaussianrenderer_tpu.render import Renderer
+
+    n_dev = 4
+    scene = random_scene(50, seed=3)
+    config = RenderConfig(screen_size=32)
+    r = Renderer(scene, config)
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, n_dev)
+    targets = [
+        np.asarray(r.render(c))[..., :3].astype(np.float32) / 255.0
+        for c in cams
+    ]
+    cd = [c.camera_data() for c in cams]
+    params = diff.random_init(24, scene.bounds_min, scene.bounds_max,
+                              seed=2)
+    capacity, k_max = 2048, 128
+    lr = 1e-2
+    from jax.sharding import Mesh as _Mesh
+    mesh = _Mesh(np.asarray(jax.devices()[:n_dev]), ("dp",))
+
+    step, _ = train.make_train_step_dp(
+        config, capacity, k_max, optax.sgd(lr), mesh,
+        l1_weight=0.0, ssim_weight=0.0, l2_weight=1.0,
+    )
+    cams_b, tgts_b = train.view_batch(cd, targets)
+    opt_state = optax.sgd(lr).init(params)
+    dp_params, _, dp_loss = step(params, opt_state, cams_b, tgts_b)
+
+    # Single-device oracle: average the per-view L2 gradients by hand.
+    def one_loss(p, cam, t):
+        img, _ = diff.render_diff(p, cam, config, capacity, k_max)
+        e = img[..., :3] - t
+        return jnp.mean(e * e)
+
+    grads = [
+        jax.grad(one_loss)(params, cd[i], jnp.asarray(targets[i]))
+        for i in range(n_dev)
+    ]
+    mean_g = jax.tree_util.tree_map(
+        lambda *gs: sum(gs) / n_dev, *grads
+    )
+    want = jax.tree_util.tree_map(
+        lambda p, g: None if p is None else p - lr * g, params, mean_g
+    )
+    for a, b in zip(dp_params, want):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        )
+    # Loss is the view mean.
+    want_loss = np.mean([
+        float(one_loss(params, cd[i], jnp.asarray(targets[i])))
+        for i in range(n_dev)
+    ])
+    assert float(dp_loss) == pytest.approx(want_loss, rel=1e-5)
