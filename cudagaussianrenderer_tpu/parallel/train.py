@@ -150,13 +150,13 @@ def fit_dp(
     n_dev = mesh.shape[axis]
     n_views = len(cameras_data)
     if n_views % n_dev != 0:
-        # Pad the view list by cycling so groups divide evenly.
-        reps = -(-n_dev // n_views)
-        cameras_data = (list(cameras_data) * reps)[: n_dev * max(
-            1, n_views * reps // n_dev
-        )]
-        targets = (list(targets) * reps)[: len(cameras_data)]
-        n_views = len(cameras_data)
+        # Cycle the view list up to the next multiple of n_dev so
+        # device groups divide evenly (every view still trains).
+        need = -(-n_views // n_dev) * n_dev
+        order = [i % n_views for i in range(need)]
+        cameras_data = [cameras_data[i] for i in order]
+        targets = [targets[i] for i in order]
+        n_views = need
     step, _ = make_train_step_dp(
         config, capacity, k_max, tx, mesh, axis=axis,
         l1_weight=l1_weight, ssim_weight=ssim_weight,

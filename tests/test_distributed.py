@@ -250,3 +250,40 @@ def test_dp_train_step_matches_mean_gradient():
         for i in range(n_dev)
     ])
     assert float(dp_loss) == pytest.approx(want_loss, rel=1e-5)
+
+
+@pytest.mark.slow
+def test_fit_dp_pads_views_by_cycling():
+    """A view count not divisible by the mesh cycles views (never drops
+    them): 3 views on 2 devices -> groups of 2 covering all 3."""
+    import optax
+
+    from cudagaussianrenderer_tpu import diff
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+    from cudagaussianrenderer_tpu.parallel import train
+    from cudagaussianrenderer_tpu.render import Renderer
+
+    from jax.sharding import Mesh as _Mesh
+
+    scene = random_scene(30, seed=1)
+    config = RenderConfig(screen_size=32)
+    r = Renderer(scene, config)
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 3)
+    targets = [
+        np.asarray(r.render(c))[..., :3].astype(np.float32) / 255.0
+        for c in cams
+    ]
+    cd = [c.camera_data() for c in cams]
+    params = diff.random_init(16, scene.bounds_min, scene.bounds_max,
+                              seed=0)
+    mesh = _Mesh(np.asarray(jax.devices()[:2]), ("dp",))
+    fitted, losses = train.fit_dp(
+        params, cd, targets, config, capacity=1024, k_max=64,
+        mesh=mesh, steps=4, tx=optax.sgd(1e-3),
+        l1_weight=0.0, ssim_weight=0.0, l2_weight=1.0,
+    )
+    assert np.all(np.isfinite(losses))
+    assert np.any(
+        np.asarray(fitted.means) != np.asarray(params.means)
+    )
