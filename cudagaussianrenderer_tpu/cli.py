@@ -619,22 +619,81 @@ def cmd_serve(args):
     )
 
 
-def cmd_convert(args):
-    """Convert between scene formats by extension (.ply <-> .splat).
+def _parse_floats(spec, n, name):
+    vals = [float(x) for x in str(spec).split(",")]
+    if len(vals) != n:
+        raise SystemExit(f"{name} takes {n} comma-separated numbers")
+    return vals
 
-    .splat drops SH bands beyond the baked base color (the format has no
-    field for them); .ply output stores the raw pre-activation values the
-    importer expects (log scales, logit opacity, PlyParser.cpp:317-327).
-    """
-    import numpy as np
 
+def _apply_scene_edits(scene, args):
+    """Shared convert/merge editing pipeline (scene_ops), applied in
+    crop -> opacity filter -> decimate -> transform order."""
+    from . import scene_ops
+
+    n0 = scene.count
+    if getattr(args, "crop", None):
+        v = _parse_floats(args.crop, 6, "--crop")
+        scene = scene_ops.crop(scene, v[:3], v[3:])
+    if getattr(args, "min_opacity", 0.0):
+        scene = scene_ops.filter_opacity(scene, args.min_opacity)
+    if getattr(args, "max_splats", 0):
+        scene = scene_ops.decimate(scene, args.max_splats)
+    if (
+        getattr(args, "translate", None)
+        or getattr(args, "scale", 1.0) != 1.0
+    ):
+        t = (
+            _parse_floats(args.translate, 3, "--translate")
+            if args.translate
+            else (0.0, 0.0, 0.0)
+        )
+        scene = scene_ops.transform(scene, translate=t, scale=args.scale)
+    if scene.count != n0:
+        print(f"edits: {n0} -> {scene.count} splats", file=sys.stderr)
+    return scene
+
+
+def _add_edit_flags(p):
+    p.add_argument("--crop", default=None, metavar="X0,Y0,Z0,X1,Y1,Z1",
+                   help="keep splats whose centers lie in the box")
+    p.add_argument("--min-opacity", type=float, default=0.0,
+                   help="drop splats below this opacity")
+    p.add_argument("--max-splats", type=int, default=0,
+                   help="cap the count (keeps highest opacity x scale)")
+    p.add_argument("--translate", default=None, metavar="X,Y,Z")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="uniform similarity scale about the origin")
+
+
+def cmd_merge(args):
+    """Merge scenes into one file (scene_ops.merge; SH degrees promote
+    to the maximum).  Inputs/output by extension like convert."""
+    from . import scene_ops
+    from .splatfile import load_scene
+
+    scenes = [load_scene(p) for p in args.inputs]
+    merged = scene_ops.merge(scenes)
+    merged = _apply_scene_edits(merged, args)
+    _write_scene(merged, args.output)
+    print(
+        f"merged {len(scenes)} scenes -> {merged.count} splats "
+        f"-> {args.output}",
+        file=sys.stderr,
+    )
+
+
+def _write_scene(scene, out):
+    """Write a scene by output extension (.ply stores the raw
+    pre-activation values the importer expects, PlyParser.cpp:317-327;
+    .splat drops SH bands beyond the baked base color — the format has
+    no field for them)."""
     from .models.scene import SH_C0
     from .ply import write_gaussian_ply
-    from .splatfile import load_scene, write_splat
+    from .splatfile import write_splat
     from .utils.quantize import decode_quat_xyzw
 
-    scene = load_scene(args.input)
-    out = str(args.output)
+    out = str(out)
     if out.lower().endswith(".splat"):
         write_splat(out, scene)
     elif out.lower().endswith(".ply"):
@@ -670,6 +729,17 @@ def cmd_convert(args):
         f"{scene.sh_degree if out.lower().endswith('.ply') else 0}",
         file=sys.stderr,
     )
+
+
+def cmd_convert(args):
+    """Convert between scene formats by extension (.ply <-> .splat),
+    with optional edits (--crop / --min-opacity / --max-splats /
+    --translate / --scale; scene_ops)."""
+    from .splatfile import load_scene
+
+    scene = load_scene(args.input)
+    scene = _apply_scene_edits(scene, args)
+    _write_scene(scene, args.output)
 
 
 def cmd_compare(args):
@@ -864,7 +934,16 @@ def main(argv=None):
     )
     p.add_argument("input")
     p.add_argument("output")
+    _add_edit_flags(p)
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser(
+        "merge", help="merge scenes into one (.ply/.splat in and out)"
+    )
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("-o", "--output", required=True)
+    _add_edit_flags(p)
+    p.set_defaults(fn=cmd_merge)
 
     p = sub.add_parser(
         "compare", help="image parity metrics between two PNGs (PSNR/SSIM)"
