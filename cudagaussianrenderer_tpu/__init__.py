@@ -19,11 +19,23 @@ Quick start::
 """
 
 from .config import RenderConfig
-from .diff import DiffSplats, fit, from_scene, render_diff, to_scene
+from .dataset import load_posed
+from .diff import (
+    DiffSplats,
+    fit,
+    from_scene,
+    init_from_points,
+    load_checkpoint,
+    random_init,
+    render_diff,
+    save_checkpoint,
+    to_scene,
+)
 from .models.camera import Camera, CameraController, InputState, orbit_cameras
 from .models.scene import GaussianScene, random_scene, scene_from_arrays
 from .ply import load_gaussian_ply, write_gaussian_ply
 from .render import Renderer, render_frame, render_frame_multipass
+from .splatfile import load_scene
 
 __all__ = [
     "Camera",
@@ -35,12 +47,18 @@ __all__ = [
     "Renderer",
     "fit",
     "from_scene",
+    "init_from_points",
+    "load_checkpoint",
     "load_gaussian_ply",
+    "load_posed",
+    "load_scene",
     "orbit_cameras",
+    "random_init",
     "random_scene",
     "render_diff",
     "render_frame",
     "render_frame_multipass",
+    "save_checkpoint",
     "scene_from_arrays",
     "to_scene",
     "write_gaussian_ply",
