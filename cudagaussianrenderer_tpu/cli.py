@@ -511,6 +511,7 @@ def cmd_fit(args):
         optimize_exposure=args.refine_exposure,
         exposure_lr=args.exposure_lr,
         sh_warmup_every=args.sh_warmup,
+        remat=args.remat,
         checkpoint_every=(
             args.checkpoint_every
             or (args.steps if args.checkpoint else 0)
@@ -891,6 +892,10 @@ def main(argv=None):
                         "so capture auto-exposure is not baked into the "
                         "splats")
     p.add_argument("--exposure-lr", type=float, default=1e-3)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize blend chunks in the backward pass "
+                        "(O(chunk) activation memory instead of O(k_max); "
+                        "needed for large scenes at 512^2+)")
     p.add_argument("--sh-warmup", type=int, default=0, metavar="K",
                    help="3DGS SH warm-up: grow the trained SH degree "
                         "from 0 by one every K steps (0 = train all "

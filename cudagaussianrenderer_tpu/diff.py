@@ -344,6 +344,7 @@ def rasterize_diff(
     tile_batch: int = 64,
     alpha_max: float = 0.9995,
     return_depth: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Differentiable rasterizer.  Returns [H, W, 4] float32 in [0, 1];
     with ``return_depth``, a ([H, W, 4], depth [H, W]) pair where depth
@@ -367,6 +368,13 @@ def rasterize_diff(
     ``alpha_max`` bounds alpha away from 1 so the log-domain backward
     term 1/(1 - alpha) stays finite; the forward deviation is below one
     8-bit output level.
+
+    ``remat`` checkpoints the per-chunk blend body: the backward pass
+    recomputes each chunk's [tiles, pixels, chunk] activations instead
+    of storing all of them — memory drops from O(k_max) to O(chunk)
+    per pixel at ~1 extra forward of blend FLOPs.  Off by default
+    (small fits are compute-bound); required for large scenes at
+    512²+, where the stored activations exceed HBM.
     """
     ts = config.tile_size
     ntx, nty = config.tiles_x, config.tiles_y
@@ -463,7 +471,8 @@ def rasterize_diff(
         lt0 = jnp.zeros((tids.shape[0], p_tile), jnp.float32)
         dep0 = jnp.zeros((tids.shape[0], p_tile), jnp.float32)
         (rgb, log_t_f, dep_f), _ = jax.lax.scan(
-            body, (rgb0, lt0, dep0),
+            jax.checkpoint(body) if remat else body,
+            (rgb0, lt0, dep0),
             jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
         )
         if config.background is not None:
@@ -507,6 +516,7 @@ def render_diff(
     tile_batch: int = 64,
     alpha_max: float = 0.9995,
     return_depth: bool = False,
+    remat: bool = False,
     interpret=None,
 ) -> Tuple[jnp.ndarray, PairStructure]:
     """Differentiable frame render.  Jittable (config, capacity, k_max
@@ -527,7 +537,7 @@ def render_diff(
     out = rasterize_diff(
         clip, colors, opac, structure, config, k_max,
         tile_batch=tile_batch, alpha_max=alpha_max,
-        return_depth=return_depth,
+        return_depth=return_depth, remat=remat,
     )
     if return_depth:
         image, depth = out
@@ -814,6 +824,7 @@ def fit(
     optimize_exposure: bool = False,
     exposure_lr: float = 1e-3,
     sh_warmup_every: int = 0,
+    remat: bool = False,
     checkpoint_every: int = 0,
     checkpoint_path=None,
     start_step: int = 0,
@@ -901,11 +912,12 @@ def fit(
         if use_depth:
             image, depth, structure = render_diff(
                 p, cam, config, capacity, k_max, return_depth=True,
-                interpret=interpret,
+                remat=remat, interpret=interpret,
             )
         else:
             image, structure = render_diff(
-                p, cam, config, capacity, k_max, interpret=interpret
+                p, cam, config, capacity, k_max, remat=remat,
+                interpret=interpret,
             )
         rgb = image[..., :3]
         if gain is not None:

@@ -59,6 +59,7 @@ def make_train_step_dp(
     l1_weight: float = 0.8,
     ssim_weight: float = 0.2,
     l2_weight: float = 0.0,
+    remat: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Build the jitted data-parallel training step.
@@ -78,7 +79,8 @@ def make_train_step_dp(
         # the local views (B_local is usually 1).
         def one(cam, target):
             image, _ = render_diff(
-                p, cam, config, capacity, k_max, interpret=interpret
+                p, cam, config, capacity, k_max, remat=remat,
+                interpret=interpret,
             )
             err = image[..., :3] - target
             loss = l2_weight * jnp.mean(err * err) if l2_weight else 0.0
@@ -132,6 +134,7 @@ def fit_dp(
     l1_weight: float = 0.8,
     ssim_weight: float = 0.2,
     l2_weight: float = 0.0,
+    remat: bool = False,
     interpret: Optional[bool] = None,
     log_every: int = 0,
 ):
@@ -160,7 +163,7 @@ def fit_dp(
     step, _ = make_train_step_dp(
         config, capacity, k_max, tx, mesh, axis=axis,
         l1_weight=l1_weight, ssim_weight=ssim_weight,
-        l2_weight=l2_weight, interpret=interpret,
+        l2_weight=l2_weight, remat=remat, interpret=interpret,
     )
     opt_state = tx.init(params)
     losses = np.zeros(steps, np.float32)

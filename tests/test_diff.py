@@ -934,3 +934,27 @@ def test_sh_warmup_masks_band_gradients():
     sh2 = np.asarray(fitted2.sh)
     assert np.any(sh2[:, 1:4] != sh0[:, 1:4])   # band 1 moved
     np.testing.assert_array_equal(sh2[:, 4:], sh0[:, 4:])  # band 2 frozen
+
+
+@pytest.mark.slow
+def test_remat_gradients_match():
+    """jax.checkpoint over the blend chunks changes memory, not math:
+    loss and gradients are identical with and without remat."""
+    params, _ = _tiny_setup()
+    config = RenderConfig(screen_size=32)
+    cam = Camera(aspect=1.0).framed((-1.0,) * 3, (1.0,) * 3).camera_data()
+
+    def loss(p, remat):
+        img, _ = diff.render_diff(p, cam, config, 1024, 64, remat=remat)
+        return jnp.sum(img[..., :3] ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    for a, b in zip(g0, g1):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
