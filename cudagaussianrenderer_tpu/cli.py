@@ -892,10 +892,11 @@ def main(argv=None):
                         "so capture auto-exposure is not baked into the "
                         "splats")
     p.add_argument("--exposure-lr", type=float, default=1e-3)
-    p.add_argument("--remat", action="store_true",
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="rematerialize blend chunks in the backward pass "
-                        "(O(chunk) activation memory instead of O(k_max); "
-                        "needed for large scenes at 512^2+)")
+                        "(O(chunk) activation memory instead of O(k_max)); "
+                        "default: auto above ~2 GB of stored residuals")
     p.add_argument("--sh-warmup", type=int, default=0, metavar="K",
                    help="3DGS SH warm-up: grow the trained SH degree "
                         "from 0 by one every K steps (0 = train all "

@@ -344,7 +344,7 @@ def rasterize_diff(
     tile_batch: int = 64,
     alpha_max: float = 0.9995,
     return_depth: bool = False,
-    remat: bool = False,
+    remat: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Differentiable rasterizer.  Returns [H, W, 4] float32 in [0, 1];
     with ``return_depth``, a ([H, W, 4], depth [H, W]) pair where depth
@@ -372,10 +372,14 @@ def rasterize_diff(
     ``remat`` checkpoints the per-chunk blend body: the backward pass
     recomputes each chunk's [tiles, pixels, chunk] activations instead
     of storing all of them — memory drops from O(k_max) to O(chunk)
-    per pixel at ~1 extra forward of blend FLOPs.  Off by default
-    (small fits are compute-bound); required for large scenes at
-    512²+, where the stored activations exceed HBM.
+    per pixel at ~3% step cost (measured; gradients pinned identical).
+    Default None auto-enables when the estimated stored residuals
+    (pixels x k_max x ~16 B) exceed ~2 GB — the measured v5e OOM point
+    is ~27 GB at 512^2 / k_max 6.4k.  Pass False to force storing.
     """
+    if remat is None:
+        px = config.screen_w * config.screen_h
+        remat = px * k_max * 16 > 2 << 30
     ts = config.tile_size
     ntx, nty = config.tiles_x, config.tiles_y
     t_total = config.total_tiles
@@ -516,7 +520,7 @@ def render_diff(
     tile_batch: int = 64,
     alpha_max: float = 0.9995,
     return_depth: bool = False,
-    remat: bool = False,
+    remat: Optional[bool] = None,
     interpret=None,
 ) -> Tuple[jnp.ndarray, PairStructure]:
     """Differentiable frame render.  Jittable (config, capacity, k_max
@@ -824,7 +828,7 @@ def fit(
     optimize_exposure: bool = False,
     exposure_lr: float = 1e-3,
     sh_warmup_every: int = 0,
-    remat: bool = False,
+    remat: Optional[bool] = None,
     checkpoint_every: int = 0,
     checkpoint_path=None,
     start_step: int = 0,

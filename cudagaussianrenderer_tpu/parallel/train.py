@@ -59,7 +59,7 @@ def make_train_step_dp(
     l1_weight: float = 0.8,
     ssim_weight: float = 0.2,
     l2_weight: float = 0.0,
-    remat: bool = False,
+    remat: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ):
     """Build the jitted data-parallel training step.
@@ -134,7 +134,7 @@ def fit_dp(
     l1_weight: float = 0.8,
     ssim_weight: float = 0.2,
     l2_weight: float = 0.0,
-    remat: bool = False,
+    remat: Optional[bool] = None,
     interpret: Optional[bool] = None,
     log_every: int = 0,
 ):
