@@ -130,3 +130,33 @@ def test_empty_result_rejected():
     s = _scene(10)
     with pytest.raises(ValueError, match="empty"):
         scene_ops.crop(s, (100, 100, 100), (101, 101, 101))
+
+
+def test_cli_merge_and_convert_edits(tmp_path):
+    """cli merge + convert editing flags end to end on tiny scenes."""
+    from cudagaussianrenderer_tpu import diff
+    from cudagaussianrenderer_tpu.cli import main
+    from cudagaussianrenderer_tpu.splatfile import load_scene
+
+    a = tmp_path / "a.ply"
+    b = tmp_path / "b.ply"
+    diff.write_fitted_ply(a, diff.from_scene(random_scene(20, seed=1)))
+    diff.write_fitted_ply(b, diff.from_scene(random_scene(10, seed=2)))
+    out = tmp_path / "m.splat"
+    main(["merge", str(a), str(b), "-o", str(out), "--max-splats", "25"])
+    m = load_scene(out)
+    assert m.count == 25
+
+    out2 = tmp_path / "c.ply"
+    main([
+        "convert", str(out), str(out2),
+        "--translate", "1,0,0", "--scale", "2",
+    ])
+    c = load_scene(out2)
+    assert c.count == 25
+    np.testing.assert_allclose(
+        np.asarray(c.means)[:, : c.count],
+        2.0 * np.asarray(m.means)[:, : m.count]
+        + np.array([[1], [0], [0]], np.float32),
+        atol=1e-4,
+    )

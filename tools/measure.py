@@ -717,6 +717,109 @@ def cmd_bandsort():
     print(f"{'':44s} net {net(m):9.3f} ms", flush=True)
 
 
+
+
+def cmd_trainscale():
+    """Training-step scaling (docs/PERF_NOTES.md "training-step
+    scaling"): single-view fit step at growing splat counts and
+    resolutions, remat auto (the >=512^2 rows NEED it: stored blend
+    residuals exceed HBM otherwise)."""
+    import optax
+
+    from cudagaussianrenderer_tpu import diff
+    from cudagaussianrenderer_tpu.config import RenderConfig
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+    from cudagaussianrenderer_tpu.render import Renderer, round_capacity
+
+    for n_splats, size in ((10_000, 256), (50_000, 512), (100_000, 512)):
+        scene = random_scene(n_splats, seed=3)
+        config = RenderConfig(screen_size=size)
+        r = Renderer(scene, config)
+        cam = orbit_cameras(scene.bounds_min, scene.bounds_max, 1)[0]
+        target = (np.asarray(r.render(cam))[..., :3]
+                  .astype(np.float32) / 255.0)
+        params = diff.from_scene(scene)
+        cd = cam.camera_data()
+        capacity = round_capacity(16 * n_splats)
+        structure = diff.build_structure(params, cd, config, capacity)
+        k_max = max(256, 2 * diff.max_tile_count(structure))
+        tx = optax.adam(1e-3)
+
+        @jax.jit
+        def step(p, o, cam, t):
+            def lf(p):
+                img, _s = diff.render_diff(p, cam, config, capacity,
+                                           k_max)
+                e = img[..., :3] - t
+                return (0.8 * jnp.mean(jnp.abs(e))
+                        + 0.2 * (1.0 - diff.ssim(img[..., :3], t)))
+
+            loss, g = jax.value_and_grad(lf)(p)
+            u, o = tx.update(g, o, p)
+            return optax.apply_updates(p, u), o, loss
+
+        opt = tx.init(params)
+        p2, o2, loss = step(params, opt, cd, target)
+        _ = np.asarray(loss)
+        p2, o2, loss = step(p2, o2, cd, target)
+        _ = np.asarray(loss)
+        t0 = time.perf_counter()
+        n = 8
+        for _i in range(n):
+            p2, o2, loss = step(p2, o2, cd, target)
+        _ = np.asarray(loss)
+        dt = (time.perf_counter() - t0) / n
+        print(f"{n_splats} splats @ {size}^2: k_max={k_max} "
+              f"capacity={capacity} step={1e3 * dt:.0f} ms "
+              f"loss={float(np.asarray(loss)):.4f}", flush=True)
+
+
+def cmd_dpstep():
+    """Data-parallel training step on a 1-device mesh (the exact
+    per-device program of an N-chip DP fit; docs/PERF_NOTES.md
+    "DP training step").  Beware the second-call output-sharding
+    recompile — steady state is what matters."""
+    import optax
+    from jax.sharding import Mesh
+
+    from cudagaussianrenderer_tpu import diff
+    from cudagaussianrenderer_tpu.config import RenderConfig
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+    from cudagaussianrenderer_tpu.parallel import train
+    from cudagaussianrenderer_tpu.render import Renderer
+
+    scene = random_scene(3000, seed=7)
+    config = RenderConfig(screen_size=256)
+    r = Renderer(scene, config)
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, 4)
+    targets = [np.asarray(r.render(c))[..., :3].astype(np.float32)
+               / 255.0 for c in cams]
+    cd = [c.camera_data() for c in cams]
+    params = diff.random_init(2000, scene.bounds_min, scene.bounds_max,
+                              seed=0, scale=0.05)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("dp",))
+    tx = optax.adam(5e-3)
+    step, _ = train.make_train_step_dp(config, 65536, 512, tx, mesh)
+    opt = tx.init(params)
+    batches = [train.view_batch(cd[i:i + 1], targets[i:i + 1])
+               for i in range(4)]
+    p2, o2, loss = step(params, opt, *batches[0])
+    _ = np.asarray(loss)
+    for i in range(4):  # settle (incl. the output-sharding recompile)
+        p2, o2, loss = step(p2, o2, *batches[i])
+    _ = np.asarray(loss)
+    t0 = time.perf_counter()
+    n = 16
+    for i in range(n):
+        p2, o2, loss = step(p2, o2, *batches[i % 4])
+    _ = np.asarray(loss)
+    dt = (time.perf_counter() - t0) / n
+    print(f"dp train step (mesh of 1): {1e3 * dt:.1f} ms/step, "
+          f"loss {float(np.asarray(loss)):.4f}", flush=True)
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), flush=True)
     cmds = {
@@ -728,6 +831,8 @@ if __name__ == "__main__":
         "emit": cmd_emit,
         "raster": cmd_raster,
         "bandsort": cmd_bandsort,
+        "trainscale": cmd_trainscale,
+        "dpstep": cmd_dpstep,
     }
     which = sys.argv[1] if len(sys.argv) > 1 else None
     if which not in cmds:
