@@ -394,6 +394,9 @@ def cmd_fit(args):
                 "--refine-exposure (or it would be silently dropped)"
             )
     points_xyz = points_rgb = None
+    holdout_cams, holdout_targets = [], []
+    if args.holdout and not args.dataset:
+        raise SystemExit("--holdout needs --dataset")
     if args.dataset:
         # Posed-image dataset (COLMAP workspace or NeRF-synthetic
         # transforms.json — dispatched by layout): targets are captured
@@ -409,6 +412,25 @@ def cmd_fit(args):
         )
         cams, images = ds.cameras, ds.images
         frame_names = list(ds.names)
+        if args.holdout:
+            # llffhold-style split: every K'th view is test-only.
+            test = set(range(0, len(cams), args.holdout))
+            keep = [i for i in range(len(cams)) if i not in test]
+            if not keep:
+                raise SystemExit(
+                    f"--holdout {args.holdout} leaves no training "
+                    f"views out of {len(cams)}"
+                )
+            holdout_cams = [cams[i] for i in sorted(test)]
+            holdout_targets = [images[i] for i in sorted(test)]
+            cams = [cams[i] for i in keep]
+            images = images[keep]
+            frame_names = [frame_names[i] for i in keep]
+            print(
+                f"holdout: {len(holdout_cams)} test / {len(cams)} "
+                f"train views",
+                file=sys.stderr,
+            )
         if ds.points_xyz.shape[0] and args.init != "random":
             points_xyz, points_rgb = ds.points_xyz, ds.points_rgb
         elif args.init == "points":
@@ -573,6 +595,16 @@ def cmd_fit(args):
         img = Renderer(diff.to_scene(params), config).render(cams[0])
         write_png(args.preview, img)
         print(f"wrote {args.preview}", file=sys.stderr)
+    fitted_scene = diff.to_scene(params)
+    if holdout_cams:
+        # The 3DGS llffhold-style split carved from the SAME dataset:
+        # every --holdout'th view never trained; evaluate on it with
+        # its ORIGINAL stored pose (pose refinement only corrects
+        # training views).
+        _eval_views(
+            fitted_scene, holdout_cams, holdout_targets, args,
+            f"holdout eval (every {args.holdout}th view)",
+        )
     if args.eval_dataset:
         # Held-out evaluation (the 3DGS protocol: PSNR/SSIM on test
         # views the fit never saw).  Targets composite like training
@@ -587,18 +619,7 @@ def cmd_fit(args):
         )[:2]
         h, w = etargets.shape[1:3]
         args.size, args.height = w, h
-        er = Renderer(diff.to_scene(params), _config_from_args(args))
-        psnrs, ssims = [], []
-        for cam, tgt in zip(ecams, etargets):
-            rgb = np.asarray(er.render(cam))[..., :3].astype(np.float32) / 255.0
-            mse = float(np.mean((rgb - tgt) ** 2))
-            psnrs.append(float("inf") if mse == 0 else -10.0 * np.log10(mse))
-            ssims.append(float(np.asarray(diff.ssim(rgb, tgt))))
-        print(
-            f"eval ({len(ecams)} held-out views): "
-            f"PSNR {np.mean(psnrs):.2f} dB, SSIM {np.mean(ssims):.4f}",
-            file=sys.stderr,
-        )
+        _eval_views(fitted_scene, ecams, list(etargets), args, "eval")
 
 
 def cmd_serve(args):
@@ -618,6 +639,46 @@ def cmd_serve(args):
         fps_cap=args.fps_cap, max_frames=args.max_frames,
         stream_level=args.stream_level,
     )
+
+
+def _eval_views(scene, cams, targets, args, label):
+    """Render each view of ``scene`` and report mean PSNR/SSIM against
+    the targets (the 3DGS eval protocol's metrics)."""
+    from . import diff
+    from .render import Renderer
+
+    er = Renderer(scene, _config_from_args(args))
+    psnrs, ssims = [], []
+    for cam, tgt in zip(cams, targets):
+        rgb = np.asarray(er.render(cam))[..., :3].astype(np.float32) / 255.0
+        mse = float(np.mean((rgb - tgt) ** 2))
+        psnrs.append(float("inf") if mse == 0 else -10.0 * np.log10(mse))
+        ssims.append(float(np.asarray(diff.ssim(rgb, tgt))))
+    print(
+        f"{label} ({len(psnrs)} views): PSNR {np.mean(psnrs):.2f} dB, "
+        f"SSIM {np.mean(ssims):.4f}",
+        file=sys.stderr,
+    )
+    return float(np.mean(psnrs)), float(np.mean(ssims))
+
+
+def cmd_eval(args):
+    """Evaluate an existing scene against a posed-image dataset:
+    PSNR/SSIM per the 3DGS protocol, no fitting.  The standalone
+    counterpart of `fit --eval-dataset`."""
+    from .dataset import load_posed
+    from .splatfile import load_scene
+
+    scene = load_scene(args.scene)
+    cams, targets = load_posed(
+        args.dataset,
+        downscale=args.downscale,
+        background=_parse_background(args.background),
+        max_frames=args.views or 0,
+    )[:2]
+    h, w = targets.shape[1:3]
+    args.size, args.height = w, h
+    _eval_views(scene, cams, list(targets), args, "eval")
 
 
 def _parse_floats(spec, n, name):
@@ -864,6 +925,10 @@ def main(argv=None):
     p.add_argument("--eval-dataset", default=None, metavar="DIR",
                    help="after fitting, report PSNR/SSIM on this held-out "
                         "posed-image dataset (3DGS eval protocol)")
+    p.add_argument("--holdout", type=int, default=0, metavar="K",
+                   help="hold out every K'th dataset view as a test set "
+                        "(the 3DGS llffhold convention) and report its "
+                        "PSNR/SSIM after fitting")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--lr", type=float, default=5e-3,
                    help="adam learning rate (--optimizer adam only)")
@@ -950,6 +1015,19 @@ def main(argv=None):
     p.add_argument("-o", "--output", required=True)
     _add_edit_flags(p)
     p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser(
+        "eval",
+        help="PSNR/SSIM of a scene against a posed-image dataset "
+             "(3DGS eval protocol, no fitting)",
+    )
+    p.add_argument("scene")
+    p.add_argument("--dataset", required=True, metavar="DIR")
+    p.add_argument("--downscale", type=int, default=1, metavar="F")
+    p.add_argument("--views", type=int, default=None,
+                   help="cap on evaluated frames (default all)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser(
         "compare", help="image parity metrics between two PNGs (PSNR/SSIM)"

@@ -159,3 +159,35 @@ def test_render_depth_flag(tmp_path):
     # Grayscale (all channels equal) and non-constant.
     assert (img[..., 0] == img[..., 1]).all()
     assert img.min() != img.max()
+
+
+@pytest.mark.slow
+def test_cli_eval_and_holdout(tmp_path, capsys):
+    """cli eval scores a ground-truth scene near-perfect on its own
+    rendered dataset; fit --holdout carves the llffhold split and
+    reports it."""
+    from cudagaussianrenderer_tpu import diff
+    from cudagaussianrenderer_tpu.cli import main
+    from cudagaussianrenderer_tpu.models.scene import random_scene
+
+    ds = tmp_path / "ds"
+    main(["orbit", "--procedural", "60", "--seed", "3", "--size", "32",
+          "-o", str(ds), "-n", "4", "--transforms"])
+    gt = tmp_path / "gt.ply"
+    diff.write_fitted_ply(
+        gt, diff.from_scene(random_scene(60, seed=3))
+    )
+    main(["eval", str(gt), "--dataset", str(ds)])
+    err = capsys.readouterr().err
+    assert "PSNR" in err
+    psnr = float(err.split("PSNR")[1].split("dB")[0])
+    assert psnr > 40  # ground truth: quantization-limited
+
+    main([
+        "fit", "--dataset", str(ds), "-o", str(tmp_path / "f.ply"),
+        "--steps", "2", "--k-max", "64", "--splats", "20",
+        "--holdout", "4",
+    ])
+    err = capsys.readouterr().err
+    assert "holdout: 1 test / 3 train" in err
+    assert "holdout eval" in err
