@@ -414,6 +414,8 @@ def cmd_fit(args):
         frame_names = list(ds.names)
         if args.holdout:
             # llffhold-style split: every K'th view is test-only.
+            if args.holdout < 2:
+                raise SystemExit("--holdout takes K >= 2")
             test = set(range(0, len(cams), args.holdout))
             keep = [i for i in range(len(cams)) if i not in test]
             if not keep:
@@ -478,6 +480,14 @@ def cmd_fit(args):
         tx_for_state = tx if tx is not None else optax.adam(args.lr)
         ck = diff.load_checkpoint(args.checkpoint, tx=tx_for_state)
         params = ck["params"]
+        for what in ("camera_deltas", "exposure"):
+            leaf = ck[what]
+            if leaf is not None and leaf[0].shape[0] != len(cams):
+                raise SystemExit(
+                    f"checkpoint {what} cover {leaf[0].shape[0]} views "
+                    f"but this run trains {len(cams)} — resume with the "
+                    f"same dataset/--views/--holdout split"
+                )
         resume_kw = dict(
             start_step=ck["step"],
             opt_state=ck["opt_state"],
@@ -591,11 +601,13 @@ def cmd_fit(args):
 
     diff.write_fitted_ply(args.output, params)
     print(f"wrote {args.output}", file=sys.stderr)
+    fitted_scene = None
+    if args.preview or holdout_cams or args.eval_dataset:
+        fitted_scene = diff.to_scene(params)
     if args.preview:
-        img = Renderer(diff.to_scene(params), config).render(cams[0])
+        img = Renderer(fitted_scene, config).render(cams[0])
         write_png(args.preview, img)
         print(f"wrote {args.preview}", file=sys.stderr)
-    fitted_scene = diff.to_scene(params)
     if holdout_cams:
         # The 3DGS llffhold-style split carved from the SAME dataset:
         # every --holdout'th view never trained; evaluate on it with
@@ -690,9 +702,17 @@ def _parse_floats(spec, n, name):
 
 def _apply_scene_edits(scene, args):
     """Shared convert/merge editing pipeline (scene_ops), applied in
-    crop -> opacity filter -> decimate -> transform order."""
+    crop -> opacity filter -> decimate -> transform order.  scene_ops
+    validation errors surface as one-line CLI errors."""
     from . import scene_ops
 
+    try:
+        return _apply_scene_edits_inner(scene, args, scene_ops)
+    except ValueError as e:
+        raise SystemExit(f"scene edit failed: {e}")
+
+
+def _apply_scene_edits_inner(scene, args, scene_ops):
     n0 = scene.count
     if getattr(args, "crop", None):
         v = _parse_floats(args.crop, 6, "--crop")
@@ -735,7 +755,10 @@ def cmd_merge(args):
     from .splatfile import load_scene
 
     scenes = [load_scene(p) for p in args.inputs]
-    merged = scene_ops.merge(scenes)
+    try:
+        merged = scene_ops.merge(scenes)
+    except ValueError as e:
+        raise SystemExit(f"merge failed: {e}")
     merged = _apply_scene_edits(merged, args)
     _write_scene(merged, args.output)
     print(

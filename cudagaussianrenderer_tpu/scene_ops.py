@@ -19,7 +19,7 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from .models.scene import GaussianScene
+from .models.scene import SH_C0, GaussianScene
 from .utils.quantize import decode_quat_xyzw, encode_quat_xyzw
 
 
@@ -136,7 +136,7 @@ def merge(scenes: Sequence[GaussianScene]) -> GaussianScene:
         if a["sh"] is not None:
             sh[:, : a["sh"].shape[1]] = a["sh"]
         else:
-            sh[:, 0] = (a["colors"] - 0.5) / 0.28209479177387814
+            sh[:, 0] = (a["colors"] - 0.5) / SH_C0
         a["sh"] = sh
     out = dict(
         means=np.concatenate([a["means"] for a in parts], axis=1),
