@@ -880,9 +880,13 @@ def fit(
     Checkpoint/resume: ``checkpoint_every`` > 0 writes
     save_checkpoint(``checkpoint_path``) every that many steps (and at
     the end); resume by passing load_checkpoint's ``params``, ``step``
-    (as ``start_step``), ``opt_state`` and ``camera_deltas`` back in —
-    the camera rotation, densify schedule and loss indexing continue
-    where they left off, bit-exactly when the same ``tx`` is used.
+    (as ``start_step``), ``opt_state``, ``camera_deltas`` and
+    ``exposure`` back in — the camera rotation, densify schedule and
+    loss indexing continue where they left off.  The splat-optimizer
+    state round-trips exactly (same ``tx``); the per-view extras'
+    adam moments warm-restart, so a resumed trajectory matches the
+    uninterrupted one to tight tolerance rather than bitwise
+    (pinned by test).
 
     Returns (params, losses: np.ndarray [steps]); when enabled, the
     fitted CameraDeltas and then the Exposure append in that order.
