@@ -77,6 +77,19 @@ class RenderConfig:
     # GaussianRender.cu:804-855).
     sort_bands: int = 0
 
+    # --- multi-chip band balancing ---
+    # Tile-row-sharded rendering (parallel.distributed) assigns each
+    # device a contiguous band of tile rows.  False: uniform bands of
+    # tiles_y / n_devices rows.  True: per-frame equal-WORK bands — band
+    # boundaries are chosen inside the compiled program from a weighted
+    # per-row candidate histogram so every device sorts/rasterizes a
+    # near-equal share of the pair list (bounded at 2x the uniform row
+    # count).  Recovers the skew tax on real scenes (the worst uniform
+    # band carries ~35% of the pairs at 4 devices on the bench scene);
+    # costs one image-sized psum_scatter to reassemble rows.  Single
+    # device: no effect.
+    balanced_bands: bool = False
+
     # --- sort key layout ---
     # Number of bits of quantized linear depth carried in the sort key.
     # 19 (default): a single uint32 key packs (tile_id << 19) | depth19 —

@@ -40,7 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import RenderConfig
 from ..models.camera import Camera
 from ..models.scene import GaussianScene
-from ..ops.binning import build_tile_pairs
+from ..ops.binning import build_tile_pairs, splat_tile_rects
 from ..ops.projection import SplatClipData, project_splats
 from ..ops.ranges import tile_ranges
 from ..ops.expand import MAX_CAPACITY as _KERNEL_MAX_CAPACITY
@@ -62,6 +62,60 @@ def make_mesh_2d(
     all-gather of clip data), so the all-gathers ride the fastest links."""
     devices = jax.devices()[: n_frames * n_tiles]
     return Mesh(np.asarray(devices).reshape(n_frames, n_tiles), axes)
+
+
+def _band_weights(
+    clip: SplatClipData, config: RenderConfig, sample_cap: int = 1 << 16
+) -> jnp.ndarray:
+    """Per-tile-row work estimate [tiles_y] from the (replicated) clip data.
+
+    Each splat's AABB rect spreads its width over the rows it covers —
+    proportional to the pairs the row will emit (the exact strip runs
+    trim ~40% uniformly, which cancels in the balance).  Splats are
+    subsampled to ``sample_cap`` (load balancing needs ~1% accuracy, not
+    exactness) so the [tiles_y, S] one-hot reduce stays trivial next to
+    the frame.  Culled splats have zero-width rects and drop out.
+    """
+    n = clip.cx.shape[-1]
+    stride = max(1, n // sample_cap)
+    sub = SplatClipData(*[f[..., ::stride] for f in clip])
+    rects = splat_tile_rects(sub, config)
+    y0 = rects.y0[None, :]
+    y1 = (rects.y0 + rects.h)[None, :]
+    w = rects.w.astype(jnp.float32)[None, :]
+    rows = jnp.arange(config.tiles_y, dtype=jnp.int32)[:, None]
+    return jnp.sum(jnp.where((rows >= y0) & (rows < y1), w, 0.0), axis=1)
+
+
+def _band_bounds(weights: jnp.ndarray, n_dev: int, max_rows: int) -> jnp.ndarray:
+    """Equal-work band boundaries [n_dev + 1] (traced int32).
+
+    Boundary j lands where the cumulative row weight crosses j/n_dev of
+    the total, clamped so every band has >= 1 row and <= ``max_rows``
+    rows (the raster buffer's static size) and the remaining devices can
+    still cover the remaining rows.  The scan is over tiles_y <= 255
+    entries — unrolled over the (static) device count.
+    """
+    ty = weights.shape[0]
+    cdf = jnp.cumsum(weights)
+    total = cdf[-1]
+    bounds = [jnp.zeros((), jnp.int32)]
+    prev = bounds[0]
+    for j in range(1, n_dev):
+        target = total * (j / n_dev)
+        # Boundary candidates straddle the target crossing; snap to the
+        # side whose cumulative weight is closer (coarse rows make the
+        # difference large — always rounding down starves early bands).
+        b0 = jnp.sum((cdf < target).astype(jnp.int32))
+        below = jnp.where(b0 > 0, jnp.take(cdf, jnp.maximum(b0 - 1, 0)), 0.0)
+        above = jnp.take(cdf, jnp.minimum(b0, ty - 1))
+        b = jnp.where(above - target <= target - below, b0 + 1, b0)
+        lo = jnp.maximum(prev + 1, ty - (n_dev - j) * max_rows)
+        hi = jnp.minimum(prev + max_rows, ty - (n_dev - j))
+        prev = jnp.clip(b, lo, hi)
+        bounds.append(prev)
+    bounds.append(jnp.full((), ty, jnp.int32))
+    return jnp.stack(bounds)
 
 
 def _render_shard(
@@ -99,24 +153,48 @@ def _render_shard(
     # each (splat, tile) pair is emitted on exactly one device and
     # num_candidates counts only in-band tiles.
     rows_per_dev = config.tiles_y // n_dev
-    band_lo = idx * rows_per_dev
+    balanced = config.balanced_bands and n_dev > 1
+    if balanced:
+        # Equal-WORK contiguous bands, re-chosen every frame from the
+        # gathered clip data (replicated => every device computes the
+        # same boundaries).  The raster buffer is statically sized at
+        # 2x the uniform band; boundary clamping guarantees the fit.
+        max_rows = min(config.tiles_y, 2 * rows_per_dev)
+        bounds = _band_bounds(_band_weights(clip, config), n_dev, max_rows)
+        band_lo, band_hi = bounds[idx], bounds[idx + 1]
+    else:
+        max_rows = rows_per_dev
+        band_lo = idx * rows_per_dev
+        band_hi = band_lo + rows_per_dev
     pairs = build_tile_pairs(
         clip,
         colors,
         opacities,
         config,
         capacity_per_device,
-        row_band=(band_lo, band_lo + rows_per_dev),
+        row_band=(band_lo, band_hi),
     )
     keys, _, attrs = sort_pairs(pairs, stable=config.stable_sort)
     starts, counts = tile_ranges(keys, config)
     pair_data = pack_pair_data(attrs, config.raster_chunk)
 
-    # Rasterize only this band's tiles, offset to their screen position.
-    band_tiles = rows_per_dev * config.tiles_x
-    t0 = idx * band_tiles
+    # Rasterize this band's tiles, offset to their screen position.  The
+    # tile buffer is ``max_rows`` tall (static); in balanced mode tiles
+    # past the actual band are masked to zero count (they belong to the
+    # next device) and their output rows zeroed before reassembly.
+    band_tiles = max_rows * config.tiles_x
+    t0 = band_lo * config.tiles_x
+    if balanced:
+        pad = jnp.zeros((band_tiles,), starts.dtype)
+        starts = jnp.concatenate([starts, pad])
+        counts = jnp.concatenate([counts, pad])
     starts_b = jax.lax.dynamic_slice(starts, (t0,), (band_tiles,))
     counts_b = jax.lax.dynamic_slice(counts, (t0,), (band_tiles,))
+    if balanced:
+        in_band = jnp.arange(band_tiles, dtype=jnp.int32) < (
+            (band_hi - band_lo) * config.tiles_x
+        )
+        counts_b = jnp.where(in_band, counts_b, 0)
     tiles = rasterize_tiles(
         pair_data,
         starts_b,
@@ -126,6 +204,23 @@ def _render_shard(
         tile_row_offset=band_lo,
     )
     img = tiles_to_image(tiles, config)
+    if balanced:
+        # Reassemble variable-height bands into the uniform row sharding
+        # the caller expects: each device scatters its rows into a
+        # zeroed full-height frame (bands partition rows exactly, so the
+        # element-wise sum across devices is the assembled image) and
+        # one psum_scatter both sums and re-shards — (n-1)/n of one
+        # uint8 frame over ICI, ~0.1 ms at 4 devices.
+        ts = config.tile_size
+        h_full = config.screen_h
+        rows_px = (band_hi - band_lo) * ts
+        keep = jnp.arange(max_rows * ts, dtype=jnp.int32)[:, None, None] < rows_px
+        band_img = jnp.where(keep, img, 0)
+        full = jnp.zeros((h_full + max_rows * ts,) + img.shape[1:], img.dtype)
+        full = jax.lax.dynamic_update_slice(
+            full, band_img, (band_lo * ts, 0, 0)
+        )[:h_full]
+        img = jax.lax.psum_scatter(full, axis, scatter_dimension=0, tiled=True)
     aux = dict(
         # max over devices: the right saturation signal for per-device
         # capacity management
@@ -166,7 +261,10 @@ def _validate(config: RenderConfig, mesh: Mesh, axis: str, scene: GaussianScene)
             f"tiles_y ({config.tiles_y}) must be divisible "
             f"by the device count ({n_dev}) for tile-row sharding"
         )
-    band_tiles = (config.tiles_y // n_dev) * config.tiles_x
+    rows = config.tiles_y // n_dev
+    if config.balanced_bands and n_dev > 1:
+        rows = min(config.tiles_y, 2 * rows)  # static raster-buffer height
+    band_tiles = rows * config.tiles_x
     if band_tiles % config.cell_tiles(band_tiles) != 0:
         # Only reachable with an EXPLICIT tiles_per_cell (the auto
         # default adapts to the per-device band).

@@ -287,3 +287,68 @@ def test_fit_dp_pads_views_by_cycling():
     assert np.any(
         np.asarray(fitted.means) != np.asarray(params.means)
     )
+
+
+def test_band_bounds_properties():
+    """Equal-work boundaries are monotone, feasible (1..max_rows rows per
+    band) and track the weight distribution on skewed inputs."""
+    from cudagaussianrenderer_tpu.parallel.distributed import _band_bounds
+
+    ty = 64
+    for seed, n_dev, max_rows in [(0, 4, 32), (1, 8, 16), (2, 2, 64)]:
+        rng = np.random.default_rng(seed)
+        # Heavy skew: exponential weights concentrated in a few rows.
+        w = jnp.asarray(rng.exponential(1.0, ty) ** 3, jnp.float32)
+        b = np.asarray(_band_bounds(w, n_dev, max_rows))
+        assert b[0] == 0 and b[-1] == ty
+        sizes = np.diff(b)
+        assert (sizes >= 1).all() and (sizes <= max_rows).all(), (b, max_rows)
+        # Worst band at most ~1 row's weight above the ideal share when
+        # unconstrained by max_rows (coarse-granularity bound).
+        shares = np.add.reduceat(np.asarray(w), b[:-1])
+        if (sizes < max_rows).all():
+            assert shares.max() <= w.sum() / n_dev + np.asarray(w).max() + 1e-5
+    # Degenerate all-zero weights still give a valid partition.
+    b = np.asarray(_band_bounds(jnp.zeros(8, jnp.float32), 4, 4))
+    assert b[0] == 0 and b[-1] == 8 and (np.diff(b) >= 1).all()
+
+
+@pytest.mark.slow
+def test_balanced_bands_match_single_device():
+    """config.balanced_bands: per-frame equal-work bands render the same
+    image as single-device and cut the worst band on a skewed scene."""
+    import dataclasses
+
+    n_dev = min(4, len(jax.devices()))
+    mesh = make_mesh(n_dev)
+    config = RenderConfig(screen_size=128)
+    bconfig = dataclasses.replace(config, balanced_bands=True)
+    scene = random_scene(512 * n_dev, seed=7).pad_to_multiple(256 * n_dev)
+    # Skew: squash all splats into the top 15% of the bounding box so the
+    # uniform top band carries most of the pairs.
+    m = np.array(scene.means)
+    m[1] = m[1].max() - (m[1] - m[1].min()) * 0.15
+    scene = dataclasses.replace(scene, means=jnp.asarray(m))
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cap = 32768
+
+    img_u, aux_u = jax.jit(
+        lambda s, c: render_frame_sharded(s, c, config, cap, mesh)
+    )(scene, cam.camera_data())
+    img_b, aux_b = jax.jit(
+        lambda s, c: render_frame_sharded(s, c, bconfig, cap, mesh)
+    )(scene, cam.camera_data())
+    img_1, aux_1 = jax.jit(
+        lambda s, c: render_frame(s, c, config, cap * n_dev)
+    )(scene, cam.camera_data())
+
+    img_b, img_1 = np.asarray(img_b), np.asarray(img_1)
+    assert img_b.shape == img_1.shape
+    diff = np.abs(img_b.astype(np.int32) - img_1.astype(np.int32))
+    assert (diff > 1).mean() < 0.001, f"max diff {diff.max()}"
+    # Same exact pair partition as uniform bands and single device.
+    assert int(np.asarray(aux_b["num_pairs"])) == int(np.asarray(aux_1["num_pairs"]))
+    # Balance: the pmax'd worst-band candidate count shrinks vs uniform.
+    u = int(np.asarray(aux_u["num_candidates"]))
+    b = int(np.asarray(aux_b["num_candidates"]))
+    assert b < u, f"balanced worst band {b} should beat uniform {u}"
