@@ -118,6 +118,104 @@ def _band_bounds(weights: jnp.ndarray, n_dev: int, max_rows: int) -> jnp.ndarray
     return jnp.stack(bounds)
 
 
+def _band_image(clip, colors, opacities, config, capacity, band_lo, band_hi, max_rows):
+    """Render one contiguous band of tile rows on one device.
+
+    ``band_lo``/``band_hi`` may be traced (balanced mode re-chooses them
+    every frame); ``max_rows`` is the static height of the raster buffer.
+    Candidate rects are clamped to the band inside splat_tile_rects, so
+    each (splat, tile) pair is emitted in exactly one band and
+    num_candidates counts only in-band tiles.  Tiles past the actual band
+    (balanced mode renders into a 2x-uniform static buffer) are masked to
+    zero count.  Returns (band image [max_rows*tile_size, W, 4], pairs).
+    """
+    band_tiles = max_rows * config.tiles_x
+    pairs = build_tile_pairs(
+        clip, colors, opacities, config, capacity,
+        row_band=(band_lo, band_hi),
+    )
+    keys, _, attrs = sort_pairs(pairs, stable=config.stable_sort)
+    starts, counts = tile_ranges(keys, config)
+    # Pad so the dynamic band slice stays in range for any boundary.
+    pad = jnp.zeros((band_tiles,), starts.dtype)
+    starts = jnp.concatenate([starts, pad])
+    counts = jnp.concatenate([counts, pad])
+    t0 = band_lo * config.tiles_x
+    starts_b = jax.lax.dynamic_slice(starts, (t0,), (band_tiles,))
+    counts_b = jax.lax.dynamic_slice(counts, (t0,), (band_tiles,))
+    in_band = jnp.arange(band_tiles, dtype=jnp.int32) < (
+        (band_hi - band_lo) * config.tiles_x
+    )
+    counts_b = jnp.where(in_band, counts_b, 0)
+    tiles = rasterize_tiles(
+        pack_pair_data(attrs, config.raster_chunk),
+        starts_b,
+        counts_b,
+        config,
+        num_tiles=band_tiles,
+        tile_row_offset=band_lo,
+    )
+    return tiles_to_image(tiles, config), pairs
+
+
+def _place_band(img, band_lo, band_hi, max_rows, config):
+    """Zero out-of-band rows and place the band into a zeroed full-height
+    frame at its screen position.  Bands partition the tile rows exactly,
+    so the element-wise SUM of placed frames over all bands is the
+    assembled image."""
+    ts = config.tile_size
+    rows_px = (band_hi - band_lo) * ts
+    keep = jnp.arange(max_rows * ts, dtype=jnp.int32)[:, None, None] < rows_px
+    band_img = jnp.where(keep, img, 0)
+    full = jnp.zeros((config.screen_h + max_rows * ts,) + img.shape[1:], img.dtype)
+    return jax.lax.dynamic_update_slice(
+        full, band_img, (band_lo * ts, 0, 0)
+    )[: config.screen_h]
+
+
+def render_band(
+    scene: GaussianScene,
+    camera_data: dict,
+    config: RenderConfig,
+    capacity: int,
+    n_dev: int,
+    dev: int,
+):
+    """One device's balanced band of an ``n_dev``-device frame, on ONE
+    device: the exact per-device program of ``config.balanced_bands``
+    minus the collectives (the scene arrives whole instead of
+    all-gathered; the psum_scatter reassembly is replaced by placement
+    into a zeroed full-height frame).  Summing the returned frames over
+    dev = 0..n_dev-1 reconstructs the full image exactly — the
+    single-chip hardware validation + measurement surface for the
+    balanced multi-chip path (tools/tpu_selfcheck.py, tools/measure.py
+    shardbal).  Returns (full-height frame, aux with the band's pair
+    counts and traced boundaries).
+    """
+    capacity = round_capacity(capacity)
+    colors = _splat_colors(scene, camera_data)
+    clip = project_splats(
+        scene.means, scene.scales, scene.quats, camera_data, config,
+        opacities=scene.opacities,
+    )
+    rows_per_dev = config.tiles_y // n_dev
+    max_rows = min(config.tiles_y, 2 * rows_per_dev)
+    bounds = _band_bounds(_band_weights(clip, config), n_dev, max_rows)
+    band_lo, band_hi = bounds[dev], bounds[dev + 1]
+    img, pairs = _band_image(
+        clip, colors, scene.opacities, config, capacity,
+        band_lo, band_hi, max_rows,
+    )
+    full = _place_band(img, band_lo, band_hi, max_rows, config)
+    aux = dict(
+        num_candidates=pairs.num_candidates,
+        num_pairs=pairs.num_pairs,
+        band_lo=band_lo,
+        band_hi=band_hi,
+    )
+    return full, aux
+
+
 def _render_shard(
     scene: GaussianScene,
     camera_data: dict,
@@ -149,9 +247,6 @@ def _render_shard(
     opacities = gather(scene.opacities)
 
     # --- tile-parallel stages: restrict to this device's tile rows ---
-    # Candidate rects are clamped to the band inside splat_tile_rects, so
-    # each (splat, tile) pair is emitted on exactly one device and
-    # num_candidates counts only in-band tiles.
     rows_per_dev = config.tiles_y // n_dev
     balanced = config.balanced_bands and n_dev > 1
     if balanced:
@@ -166,60 +261,16 @@ def _render_shard(
         max_rows = rows_per_dev
         band_lo = idx * rows_per_dev
         band_hi = band_lo + rows_per_dev
-    pairs = build_tile_pairs(
-        clip,
-        colors,
-        opacities,
-        config,
-        capacity_per_device,
-        row_band=(band_lo, band_hi),
+    img, pairs = _band_image(
+        clip, colors, opacities, config, capacity_per_device,
+        band_lo, band_hi, max_rows,
     )
-    keys, _, attrs = sort_pairs(pairs, stable=config.stable_sort)
-    starts, counts = tile_ranges(keys, config)
-    pair_data = pack_pair_data(attrs, config.raster_chunk)
-
-    # Rasterize this band's tiles, offset to their screen position.  The
-    # tile buffer is ``max_rows`` tall (static); in balanced mode tiles
-    # past the actual band are masked to zero count (they belong to the
-    # next device) and their output rows zeroed before reassembly.
-    band_tiles = max_rows * config.tiles_x
-    t0 = band_lo * config.tiles_x
-    if balanced:
-        pad = jnp.zeros((band_tiles,), starts.dtype)
-        starts = jnp.concatenate([starts, pad])
-        counts = jnp.concatenate([counts, pad])
-    starts_b = jax.lax.dynamic_slice(starts, (t0,), (band_tiles,))
-    counts_b = jax.lax.dynamic_slice(counts, (t0,), (band_tiles,))
-    if balanced:
-        in_band = jnp.arange(band_tiles, dtype=jnp.int32) < (
-            (band_hi - band_lo) * config.tiles_x
-        )
-        counts_b = jnp.where(in_band, counts_b, 0)
-    tiles = rasterize_tiles(
-        pair_data,
-        starts_b,
-        counts_b,
-        config,
-        num_tiles=band_tiles,
-        tile_row_offset=band_lo,
-    )
-    img = tiles_to_image(tiles, config)
     if balanced:
         # Reassemble variable-height bands into the uniform row sharding
-        # the caller expects: each device scatters its rows into a
-        # zeroed full-height frame (bands partition rows exactly, so the
-        # element-wise sum across devices is the assembled image) and
-        # one psum_scatter both sums and re-shards — (n-1)/n of one
-        # uint8 frame over ICI, ~0.1 ms at 4 devices.
-        ts = config.tile_size
-        h_full = config.screen_h
-        rows_px = (band_hi - band_lo) * ts
-        keep = jnp.arange(max_rows * ts, dtype=jnp.int32)[:, None, None] < rows_px
-        band_img = jnp.where(keep, img, 0)
-        full = jnp.zeros((h_full + max_rows * ts,) + img.shape[1:], img.dtype)
-        full = jax.lax.dynamic_update_slice(
-            full, band_img, (band_lo * ts, 0, 0)
-        )[:h_full]
+        # the caller expects: one psum_scatter both sums the placed
+        # frames and re-shards — (n-1)/n of one uint8 frame over ICI,
+        # ~0.1 ms at 4 devices.
+        full = _place_band(img, band_lo, band_hi, max_rows, config)
         img = jax.lax.psum_scatter(full, axis, scatter_dimension=0, tiled=True)
     aux = dict(
         # max over devices: the right saturation signal for per-device

@@ -352,3 +352,34 @@ def test_balanced_bands_match_single_device():
     u = int(np.asarray(aux_u["num_candidates"]))
     b = int(np.asarray(aux_b["num_candidates"]))
     assert b < u, f"balanced worst band {b} should beat uniform {u}"
+
+
+@pytest.mark.slow
+def test_render_band_reconstructs_balanced_image():
+    """parallel.distributed.render_band (the single-chip validation and
+    measurement surface for the balanced path) is the exact per-device
+    program: summing its placed frames over dev reproduces the
+    mesh-rendered balanced image bit-exactly."""
+    from cudagaussianrenderer_tpu.parallel.distributed import render_band
+
+    n_dev = min(4, len(jax.devices()))
+    mesh = make_mesh(n_dev)
+    config = RenderConfig(screen_size=128, balanced_bands=True)
+    scene = random_scene(512 * n_dev, seed=7).pad_to_multiple(256 * n_dev)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cap = 32768
+
+    img_mesh, aux_mesh = jax.jit(
+        lambda s, c: render_frame_sharded(s, c, config, cap, mesh)
+    )(scene, cam.camera_data())
+
+    f = jax.jit(render_band, static_argnums=(2, 3, 4, 5))
+    total = np.zeros(np.asarray(img_mesh).shape, np.int32)
+    pairs = 0
+    for d in range(n_dev):
+        full, aux = f(scene, cam.camera_data(), config, cap, n_dev, d)
+        total += np.asarray(full).astype(np.int32)
+        pairs += int(np.asarray(aux["num_pairs"]))
+    np.testing.assert_array_equal(total, np.asarray(img_mesh).astype(np.int32))
+    # Bands partition the pair set exactly.
+    assert pairs == int(np.asarray(aux_mesh["num_pairs"]))

@@ -17,6 +17,7 @@ Usage: python tools/measure.py <subcommand> [...]
   sort      flat vs batched pair-sort shapes + operand-count sweep
   gather    2-op (key, idx) sort + post-sort payload gather vs 4-op
   shardsim  one shard of the D-chip pipeline measured on one chip
+  shardbal  same, with balanced_bands per-frame equal-work boundaries
   reorder   splat re-order cost (band-sort prerequisite) + cumsum costs
   extents   opacity-aware extents A/B: candidates + frame time
   emit      emit kernel A/B (window / blocks-per-step / limb probe)
@@ -258,6 +259,105 @@ def cmd_shardsim():
         total = net + gather_ms
         print(
             f"{'':44s} net {net:7.3f} ms + gather bound {gather_ms:5.3f} ms"
+            f" -> projected {n_dev}-chip {total:6.3f} ms/frame"
+            f" ({1e3 / total:5.1f} FPS)",
+            flush=True,
+        )
+
+
+# ---------------------------------------------------------------------------
+# shardbal: the balanced-bands worst shard, measured on one chip
+# ---------------------------------------------------------------------------
+
+
+def cmd_shardbal():
+    """Measure the per-device program of config.balanced_bands=True
+    (parallel/distributed._render_shard, balanced branch) on one chip.
+
+    Same method as ``shardsim`` — reproduce the worst device's compute
+    exactly, bound the collectives analytically — but with the per-frame
+    equal-work band boundaries traced INSIDE the body (their histogram +
+    cumsum cost is part of the shard), the 2x-uniform static raster
+    buffer with masked out-of-band tiles, and the extra psum_scatter
+    that reassembles uniform row sharding (bounded analytically: one
+    (n-1)/n uint8 frame over ICI).  The delta vs ``shardsim`` is the
+    measured skew-tax recovery at D devices.  The frame body is the
+    shared parallel.distributed.render_band — the same code the
+    shard_map program runs per device (incl. the pre-scatter band
+    placement).
+    """
+    from cudagaussianrenderer_tpu.config import RenderConfig
+    from cudagaussianrenderer_tpu.models.camera import orbit_cameras
+    from cudagaussianrenderer_tpu.ops.binning import (
+        splat_row_packs,
+        splat_tile_rects,
+    )
+    from cudagaussianrenderer_tpu.ops.projection import project_splats
+    from cudagaussianrenderer_tpu.parallel.distributed import (
+        _band_bounds,
+        _band_weights,
+        render_band,
+    )
+
+    scene = bench_scene()
+    config = RenderConfig()
+    n_frames = 8
+    cams = orbit_cameras(scene.bounds_min, scene.bounds_max, n_frames)
+    cam_stack = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[c.camera_data() for c in cams],
+    )
+    base = dispatch_baseline()
+    bytes_per_splat = 14 * 4  # clip SoA (10) + colors (3) + opacity (1)
+    frame_bytes = config.screen_h * config.screen_w * 4  # RGBA u8
+
+    for n_dev in (2, 4):
+        rows = config.tiles_y // n_dev
+        max_rows = min(config.tiles_y, 2 * rows)
+
+        def probe(cam):
+            clip = project_splats(
+                scene.means, scene.scales, scene.quats, cam, config,
+                opacities=scene.opacities,
+            )
+            bounds = _band_bounds(_band_weights(clip, config), n_dev, max_rows)
+
+            def count(j):
+                rects = splat_tile_rects(
+                    clip, config, row_band=(bounds[j], bounds[j + 1])
+                )
+                return jnp.sum(splat_row_packs(clip, rects, config).counts)
+
+            return jnp.stack([count(j) for j in range(n_dev)])
+
+        pb = jax.jit(probe)
+        worst = (0, 0)  # (candidates, device index)
+        for i in range(n_frames):
+            c = np.asarray(pb(jax.tree.map(lambda x: x[i], cam_stack)))
+            j = int(c.argmax())
+            worst = max(worst, (int(c[j]), j))
+        cand, dev = worst
+        capacity = -(-int(cand * 1.02) // 1024) * 1024
+
+        def frame(s, scene, cam):
+            view = cam["view"].at[0, 3].add(s * 1e-6)
+            cam = dict(cam, view=view)
+            full, _ = render_band(scene, cam, config, capacity, n_dev, dev)
+            return jnp.sum(full[::64, ::64, 0].astype(jnp.float32))
+
+        m = timed(
+            f"balanced worst shard of {n_dev} (dev {dev}, cap {capacity})",
+            scanned(frame), scene, jax.tree.map(lambda x: x[0], cam_stack),
+        )
+        net = m - base if (m is not None and base is not None) else float("nan")
+        gather_ms = (
+            scene.padded_count * bytes_per_splat * (n_dev - 1) / n_dev / 45e9 * 1e3
+        )
+        scatter_ms = frame_bytes * (n_dev - 1) / n_dev / 45e9 * 1e3
+        total = net + gather_ms + scatter_ms
+        print(
+            f"{'':44s} net {net:7.3f} ms + gather {gather_ms:5.3f}"
+            f" + scatter {scatter_ms:5.3f} ms"
             f" -> projected {n_dev}-chip {total:6.3f} ms/frame"
             f" ({1e3 / total:5.1f} FPS)",
             flush=True,
@@ -826,6 +926,7 @@ if __name__ == "__main__":
         "sort": cmd_sort,
         "gather": cmd_gather,
         "shardsim": cmd_shardsim,
+        "shardbal": cmd_shardbal,
         "reorder": cmd_reorder,
         "extents": cmd_extents,
         "emit": cmd_emit,

@@ -118,6 +118,26 @@ def main():
         want = golden_render(scene_to_numpy(scene), cam.camera_data(), config)
         check(name, got, want, pix_tol=c.get("pix_tol", 8))
 
+    # Balanced multi-chip bands on compiled kernels: render each of two
+    # balanced bands with the exact per-device program (traced band
+    # boundaries through the emit/raster kernels, masked out-of-band
+    # tiles, band placement) and compare the assembled frame to the
+    # golden oracle.  This is the single-chip hardware gate for
+    # config.balanced_bands (parallel.distributed.render_band).
+    from cudagaussianrenderer_tpu.parallel.distributed import render_band
+
+    config = RenderConfig(screen_size=128)
+    scene = random_scene(500, seed=2).pad_to_multiple(256)
+    cam = Camera(aspect=config.aspect).framed(scene.bounds_min, scene.bounds_max)
+    n_dev = 2
+    fn = jax.jit(render_band, static_argnums=(2, 3, 4, 5))
+    total = np.zeros((config.screen_h, config.screen_w, 4), np.int32)
+    for d in range(n_dev):
+        full, _ = fn(scene, cam.camera_data(), config, 16384, n_dev, d)
+        total += np.asarray(full).astype(np.int32)
+    want = golden_render(scene_to_numpy(scene), cam.camera_data(), config)
+    check("balanced bands 2-dev 128px", total.astype(np.uint8), want)
+
     if FAILURES:
         print(f"FAILED: {FAILURES}")
         return 1
