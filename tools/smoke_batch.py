@@ -72,11 +72,6 @@ def run(which):
             getattr(measure, f"cmd_{which}")()
     elif which == "bench":
         _run_path(ROOT / "bench.py", ["bench.py", "20000", "4", "--size", "256"])
-    elif which == "bench_bands":
-        _run_path(
-            ROOT / "bench.py",
-            ["bench.py", "20000", "4", "--size", "256", "--bands", "4"],
-        )
     elif which == "suite1":
         _run_path(ROOT / "tools" / "bench_suite.py", ["bench_suite.py", "1"])
     elif which == "selfcheck":
@@ -89,7 +84,7 @@ def run(which):
 if __name__ == "__main__":
     targets = sys.argv[1:] or [
         "sort", "reorder", "extents", "emit", "raster", "bandsort",
-        "bench", "bench_bands", "suite1", "selfcheck",
+        "bench", "suite1", "selfcheck",
     ]
     failures = []
     for t in targets:
