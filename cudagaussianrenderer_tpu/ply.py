@@ -58,10 +58,10 @@ def parse_header(stream) -> Tuple[List[str], int]:
     for iteration in range(MAX_HEADER_LINES + 2):
         line = stream.readline()
         if not line:
-            raise PlyError("Invalid header. End not found.")
+            raise PlyError("PLY header terminator (end_header) not found.")
         words = line.decode("ascii", errors="replace").split()
         if not words:
-            raise PlyError("Unexpected empty line.")
+            raise PlyError("Blank line inside PLY header.")
         word = words[0]
         if word == "ply":
             continue
@@ -69,33 +69,33 @@ def parse_header(stream) -> Tuple[List[str], int]:
             little_endian = len(words) >= 2 and words[1] == "binary_little_endian"
         elif word == "element":
             if len(words) < 2 or words[1] != "vertex":
-                raise PlyError("Unexpected element type.")
+                raise PlyError("Unsupported element (only 'vertex' is accepted).")
             if len(words) < 3:
-                raise PlyError("Unexpected element count.")
+                raise PlyError("Malformed vertex count.")
             try:
                 vertex_count = int(words[2])
             except ValueError:
-                raise PlyError("Unexpected element count.") from None
+                raise PlyError("Malformed vertex count.") from None
             if vertex_count < 0:
-                raise PlyError("Unexpected element count.")
+                raise PlyError("Malformed vertex count.")
         elif word == "property":
             if len(words) < 2 or words[1] != "float":
-                raise PlyError("Unexpected property format, expected float.")
+                raise PlyError("Unsupported property type (only float is accepted).")
             if len(words) < 3:
-                raise PlyError("Unexpected property, missing name.")
+                raise PlyError("Property declaration lacks a name.")
             name = words[2]
             if name in properties:
-                raise PlyError(f'Duplicated property "{name}".')
+                raise PlyError(f'Property declared twice: "{name}".')
             properties.append(name)
         elif word == "end_header":
             if not little_endian or vertex_count == -1:
-                raise PlyError("Invalid header. Format or vertex count not found.")
+                raise PlyError("Header lacks binary_little_endian format or a vertex count.")
             return properties, vertex_count
         # Unknown keywords (comment, obj_info, ...) are ignored, like the
         # reference's if/else-if chain with no final else.
         if iteration >= MAX_HEADER_LINES:
-            raise PlyError("Invalid header. End not found.")
-    raise PlyError("Invalid header. End not found.")
+            raise PlyError("PLY header terminator (end_header) not found.")
+    raise PlyError("PLY header terminator (end_header) not found.")
 
 
 def parse_ply_columns(path_or_stream) -> Tuple[Dict[str, np.ndarray], int]:
@@ -119,7 +119,7 @@ def parse_ply_columns(path_or_stream) -> Tuple[Dict[str, np.ndarray], int]:
                 break
             body.extend(chunk)
         if len(body) != want:
-            raise PlyError("Truncated vertex data.")
+            raise PlyError("Vertex data ends early (truncated file).")
         body = bytes(body)
         data = np.frombuffer(body, dtype="<f4").reshape(n, p)
         return {name: np.ascontiguousarray(data[:, j]) for j, name in enumerate(properties)}, n
@@ -151,8 +151,8 @@ def infer_sh_degree(extra_count: int) -> int:
         degree += 1
     if expected != extra_count:
         raise PlyError(
-            f"Expected degree {degree}, {expected} extra spherical harmonics."
-            f" Found {extra_count}."
+            f"f_rest_* count {extra_count} does not complete an SH degree"
+            f" (degree {degree} needs {expected})."
         )
     return degree
 
@@ -192,11 +192,11 @@ def load_gaussian_ply(path_or_stream, *, use_native: bool = True) -> GaussianSce
 
     missing = [p for p in REQUIRED_PROPS if p not in cols]
     if missing:
-        raise PlyError(f'Missing property "{missing[0]}".')
+        raise PlyError(f'Required property absent: "{missing[0]}".')
     if n == 0:
         # An empty scene has no bounds (downstream min/max over zero
         # rows) — reject with a clear message, like the native loader.
-        raise PlyError("Empty vertex element.")
+        raise PlyError("Vertex element declares zero vertices.")
 
     # f_rest_* discovery, in index order, stopping at the first gap.
     extra = 0

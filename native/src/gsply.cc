@@ -36,7 +36,7 @@ bool parse_header(FILE* f, Header* h, char* err, size_t errlen) {
   int iterations = 0;
   while (fgets(line, sizeof line, f)) {
     if (++iterations > 258) {
-      snprintf(err, errlen, "Invalid header. End not found.");
+      snprintf(err, errlen, "PLY header terminator (end_header) not found.");
       return false;
     }
     // A line longer than the buffer (legal for comments) would leave its
@@ -50,7 +50,7 @@ bool parse_header(FILE* f, Header* h, char* err, size_t errlen) {
     char w0[64] = {0}, w1[256] = {0}, w2[256] = {0};
     int n = sscanf(line, "%63s %255s %255s", w0, w1, w2);
     if (n < 1) {
-      snprintf(err, errlen, "Unexpected empty line.");
+      snprintf(err, errlen, "Blank line inside PLY header.");
       return false;
     }
     if (!strcmp(w0, "ply")) continue;
@@ -58,11 +58,11 @@ bool parse_header(FILE* f, Header* h, char* err, size_t errlen) {
       h->little_endian = n >= 2 && !strcmp(w1, "binary_little_endian");
     } else if (!strcmp(w0, "element")) {
       if (n < 2 || strcmp(w1, "vertex")) {
-        snprintf(err, errlen, "Unexpected element type.");
+        snprintf(err, errlen, "Unsupported element (only 'vertex' is accepted).");
         return false;
       }
       if (n < 3) {
-        snprintf(err, errlen, "Unexpected element count.");
+        snprintf(err, errlen, "Malformed vertex count.");
         return false;
       }
       // Strict parse: atol would silently map garbage to 0 and overflow
@@ -71,29 +71,29 @@ bool parse_header(FILE* f, Header* h, char* err, size_t errlen) {
       errno = 0;
       long count = strtol(w2, &end, 10);
       if (errno || end == w2 || *end != '\0' || count < 0) {
-        snprintf(err, errlen, "Unexpected element count.");
+        snprintf(err, errlen, "Malformed vertex count.");
         return false;
       }
       h->vertex_count = count;
     } else if (!strcmp(w0, "property")) {
       if (n < 2 || strcmp(w1, "float")) {
-        snprintf(err, errlen, "Unexpected property format, expected float.");
+        snprintf(err, errlen, "Unsupported property type (only float is accepted).");
         return false;
       }
       if (n < 3) {
-        snprintf(err, errlen, "Unexpected property, missing name.");
+        snprintf(err, errlen, "Property declaration lacks a name.");
         return false;
       }
       for (auto& p : h->properties) {
         if (p == w2) {
-          snprintf(err, errlen, "Duplicated property \"%s\".", w2);
+          snprintf(err, errlen, "Property declared twice: \"%s\".", w2);
           return false;
         }
       }
       h->properties.emplace_back(w2);
     } else if (!strcmp(w0, "end_header")) {
       if (!h->little_endian || h->vertex_count < 0) {
-        snprintf(err, errlen, "Invalid header. Format or vertex count not found.");
+        snprintf(err, errlen, "Header lacks binary_little_endian format or a vertex count.");
         return false;
       }
       h->body_offset = ftell(f);
@@ -101,7 +101,7 @@ bool parse_header(FILE* f, Header* h, char* err, size_t errlen) {
     }
     // unknown keywords (comment, obj_info, ...) ignored
   }
-  snprintf(err, errlen, "Invalid header. End not found.");
+  snprintf(err, errlen, "PLY header terminator (end_header) not found.");
   return false;
 }
 
@@ -173,7 +173,7 @@ int gsply_load(const char* path, GsplyScene* s) {
   if (props == 0 || (unsigned long long)n > (1ull << 40) ||
       body_bytes / props / sizeof(float) != (unsigned long long)n ||
       body_bytes > (unsigned long long)(file_size - h.body_offset)) {
-    snprintf(s->error, sizeof s->error, "Truncated vertex data.");
+    snprintf(s->error, sizeof s->error, "Vertex data ends early (truncated file).");
     fclose(f);
     return 1;
   }
@@ -191,7 +191,7 @@ int gsply_load(const char* path, GsplyScene* s) {
   for (int i = 0; i < 14; ++i) {
     off[i] = index_of(required[i]);
     if (off[i] < 0) {
-      snprintf(s->error, sizeof s->error, "Missing property \"%s\".", required[i]);
+      snprintf(s->error, sizeof s->error, "Required property absent: \"%s\".", required[i]);
       fclose(f);
       return 1;
     }
@@ -199,7 +199,7 @@ int gsply_load(const char* path, GsplyScene* s) {
   // After the property diagnosis (same precedence as the Python
   // importer): an empty scene has no bounds — reject it.
   if (n == 0) {
-    snprintf(s->error, sizeof s->error, "Empty vertex element.");
+    snprintf(s->error, sizeof s->error, "Vertex element declares zero vertices.");
     fclose(f);
     return 1;
   }
@@ -222,8 +222,9 @@ int gsply_load(const char* path, GsplyScene* s) {
   }
   if (expected != (long)rest.size()) {
     snprintf(s->error, sizeof s->error,
-             "Expected degree %d, %ld extra spherical harmonics. Found %zu.",
-             degree, expected, rest.size());
+             "f_rest_* count %zu does not complete an SH degree "
+             "(degree %d needs %ld).",
+             rest.size(), degree, expected);
     fclose(f);
     return 1;
   }
@@ -261,7 +262,7 @@ int gsply_load(const char* path, GsplyScene* s) {
       // release memsets the whole struct — write the error AFTER it or
       // the caller reads an empty message.
       gsply_release(s);
-      snprintf(s->error, sizeof s->error, "Truncated vertex data.");
+      snprintf(s->error, sizeof s->error, "Vertex data ends early (truncated file).");
       return 1;
     }
     for (size_t r = 0; r < take; ++r) {

@@ -58,7 +58,7 @@ def test_native_error_messages(tmp_path):
         b"ply\nformat binary_little_endian 1.0\nelement vertex 1\n"
         b"property float x\nend_header\n" + b"\x00" * 4
     )
-    with pytest.raises(PlyError, match="Missing property"):
+    with pytest.raises(PlyError, match="Required property absent"):
         load_gaussian_ply(bad, use_native=True)
 
 
@@ -71,11 +71,11 @@ def test_native_rejects_hostile_and_malformed_counts(scene_file, tmp_path):
     instead of silently loading an empty scene."""
     good = scene_file.read_bytes()
     for count, match in [
-        (b"9223372036854775807", "Truncated vertex data"),
-        (b"99999999999999999999", "Unexpected element count"),  # > LONG_MAX
-        (b"garbage", "Unexpected element count"),
-        (b"-5", "Unexpected element count"),
-        (b"0", "Empty vertex element"),
+        (b"9223372036854775807", "ends early"),
+        (b"99999999999999999999", "Malformed vertex count"),  # > LONG_MAX
+        (b"garbage", "Malformed vertex count"),
+        (b"-5", "Malformed vertex count"),
+        (b"0", "declares zero vertices"),
     ]:
         bad = tmp_path / "bad_count.ply"
         bad.write_bytes(good.replace(b"element vertex 64", b"element vertex " + count))
@@ -91,7 +91,7 @@ def test_native_truncated_body_keeps_message(scene_file, tmp_path):
     good = scene_file.read_bytes()
     bad = tmp_path / "truncated.ply"
     bad.write_bytes(good[: len(good) - 64])
-    with pytest.raises(PlyError, match="Truncated vertex data"):
+    with pytest.raises(PlyError, match="ends early"):
         load_gaussian_ply(bad, use_native=True)
 
 
