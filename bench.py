@@ -150,7 +150,7 @@ def main():
     # — matched to the reference's Lilly Boquet density (~4 pairs/splat).
     scene = random_scene(
         args.n_splats, seed=0, min_scale=0.002, max_scale=0.053, extent=4.0
-    ).pad_to_multiple(256 * args.devices)
+    ).pad_to_multiple(4096 * args.devices)
     config = RenderConfig(screen_size=args.size, falloff=args.falloff)
     cams = orbit_cameras(scene.bounds_min, scene.bounds_max, args.frames)
     cam_stack = jax.tree.map(

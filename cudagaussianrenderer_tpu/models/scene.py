@@ -85,10 +85,9 @@ class GaussianScene:
         """Pad arrays to ``n`` splats with inert entries.
 
         Padding splats have opacity 0 and zero scale, parked at the
-        bounds-min corner.  They are NOT culled — the projection's
-        anti-shrink trace bump gives zero-scale splats ~texel extents,
-        so each may emit a few tile pairs — but they blend nothing
-        (alpha 0) and cost at most a handful of list slots.
+        bounds-min corner.  The projection culls opacity-0 splats
+        outright (ops.projection), so they emit zero tile pairs and
+        cost nothing beyond the per-splat stage math.
         """
         cur = self.padded_count
         if n < cur:

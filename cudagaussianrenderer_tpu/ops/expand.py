@@ -104,33 +104,26 @@ SENTINEL_KEY = 0xFFFFFFFF
 PREP_BLK = 4096
 
 
-def _interleave_kernel(*refs):
-    """15 flat [PREP_BLK] column blocks -> one [16, PREP_BLK] row block.
+def _interleave_rows_padded(prefix_and_cols, np_cols, interpret):
+    """Legacy interleave for the BANDED path: 15 pre-padded flat [NP]
+    columns -> [16, NP] rows (prefix rows supplied by the caller)."""
 
-    Row 2 + R_IDX (the splat id, a plain iota) is generated in-kernel
-    instead of being passed as a column."""
-    cols, out_ref = refs[:-1], refs[-1]
-    i = pl.program_id(0)
+    def kernel(*refs):
+        cols, out_ref = refs[:-1], refs[-1]
+        i = pl.program_id(0)
+        k = 0
+        for r in range(2 + NUM_ROWS_IN):
+            if r == 2 + R_IDX:
+                idx = i * PREP_BLK + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, PREP_BLK), 1
+                )
+                out_ref[r : r + 1, :] = idx.astype(jnp.float32)
+            else:
+                out_ref[r : r + 1, :] = cols[k][...].reshape(1, PREP_BLK)
+                k += 1
 
-    def put(r, v):
-        out_ref[r : r + 1, :] = v.reshape(1, PREP_BLK)
-
-    k = 0
-    for r in range(2 + NUM_ROWS_IN):
-        if r == 2 + R_IDX:
-            idx = i * PREP_BLK + jax.lax.broadcasted_iota(
-                jnp.int32, (1, PREP_BLK), 1
-            )
-            put(r, idx.astype(jnp.float32))
-        else:
-            put(r, cols[k][...])
-            k += 1
-
-
-def _interleave_rows(prefix_and_cols, np_cols, interpret):
-    """Build the [16, NP] windowed rows array from 15 flat [NP] columns."""
     return pl.pallas_call(
-        _interleave_kernel,
+        kernel,
         grid=(np_cols // PREP_BLK,),
         in_specs=[
             pl.BlockSpec((PREP_BLK,), lambda i: (i,))
@@ -140,6 +133,84 @@ def _interleave_rows(prefix_and_cols, np_cols, interpret):
         out_shape=jax.ShapeDtypeStruct((2 + NUM_ROWS_IN, np_cols), jnp.float32),
         interpret=interpret,
     )(*prefix_and_cols)
+
+
+def _interleave_rows(incl, cols, np_cols, clamp, interpret):
+    """Build the [16, NP] windowed rows array from the int32 inclusive
+    candidate prefix and 13 flat payload columns, all length NP -
+    PREP_BLK (a multiple of PREP_BLK); the final block is zero fill.
+
+    Prefix rows 0-1 (exclusive / inclusive clamped candidate cumsum) are
+    derived IN-KERNEL from the single ``incl`` int32 column: the
+    exclusive row is a one-lane rotate of the inclusive row with the
+    previous block's last value carried through SMEM (the TPU grid runs
+    sequentially on one core, so the cross-block carry is exact).  This
+    removes the separate excl column and — together with the zero-fill
+    of the final grid block — the 15 jnp.pad passes the XLA pre-pass
+    used to pay (~0.9 ms/frame at 1M splats; round-5 PERF_NOTES).
+
+    Row 2 + R_IDX (the splat id, a plain iota) is generated in-kernel
+    instead of being passed as a column.  The LAST grid block is written
+    as all-zeros: it is the window-overrun pad past the final splat
+    (zero prefix rows -> zero counts -> no matches), replacing the old
+    separately-padded tail.
+    """
+    n = incl.shape[0]
+    nlive = n // PREP_BLK
+    assert n % PREP_BLK == 0 and np_cols == n + PREP_BLK
+
+    def kernel(incl_ref, *refs):
+        # Signature order: inputs, then outputs, then scratch.
+        cols_r, out_ref, carry_ref = refs[:-2], refs[-2], refs[-1]
+        i = pl.program_id(0)
+        live = i + 1 < pl.num_programs(0)
+
+        def put(r, v):
+            out_ref[r : r + 1, :] = jnp.where(
+                live, v.reshape(1, PREP_BLK), 0.0
+            )
+
+        @pl.when(i == 0)
+        def _():
+            carry_ref[0] = 0
+
+        incl_b = incl_ref[...].reshape(1, PREP_BLK)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, PREP_BLK), 1)
+        if interpret:
+            rolled = jnp.roll(incl_b, 1, axis=1)
+        else:
+            rolled = pltpu.roll(incl_b, 1, axis=1)
+        excl_b = jnp.where(lane == 0, carry_ref[0], rolled)
+        put(0, jnp.minimum(excl_b, clamp).astype(jnp.float32))
+        put(1, jnp.minimum(incl_b, clamp).astype(jnp.float32))
+
+        @pl.when(live)
+        def _():
+            carry_ref[0] = incl_ref[PREP_BLK - 1]
+
+        k = 0
+        for r in range(2, 2 + NUM_ROWS_IN):
+            if r == 2 + R_IDX:
+                idx = i * PREP_BLK + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, PREP_BLK), 1
+                )
+                put(r, idx.astype(jnp.float32))
+            else:
+                put(r, cols_r[k][...])
+                k += 1
+
+    return pl.pallas_call(
+        kernel,
+        grid=(np_cols // PREP_BLK,),
+        in_specs=[
+            pl.BlockSpec((PREP_BLK,), lambda i, n=nlive: (jnp.minimum(i, n - 1),))
+            for _ in range(1 + len(cols))
+        ],
+        out_specs=pl.BlockSpec((2 + NUM_ROWS_IN, PREP_BLK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((2 + NUM_ROWS_IN, np_cols), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(incl, *cols)
 
 
 def _rnd_bf16_bits_u32(x, shift=False):
@@ -782,19 +853,29 @@ def emit_pairs(
     n = incl.shape[0]
 
     clamp = capacity + 1
-    incl_c = jnp.minimum(incl, clamp)
-    # excl[i] = incl[i-1] (exclusive prefix), excl[0] = 0.
-    excl_c = jnp.minimum(jnp.pad(incl[:-1], (1, 0)), clamp)
 
-    # Columns padded so aligned windows can run past the last splat
-    # (zero prefix rows there -> zero counts -> no matches), then
-    # interleaved into the windowed [16, NP] rows array by a Pallas pass
-    # (an XLA stack of rows costs ~1.6 ms of strided sublane writes).
-    np_cols = -(-(n + 2 * WINDOW + 128) // PREP_BLK) * PREP_BLK
-    pad = lambda x: jnp.pad(x.astype(jnp.float32), (0, np_cols - n))  # noqa: E731
-    full = _interleave_rows(
-        [pad(excl_c), pad(incl_c)] + [pad(c) for c in cols], np_cols, interpret
-    )
+    # The interleave pass derives the clamped excl/incl prefix rows
+    # in-kernel and zero-fills one extra PREP_BLK block past the last
+    # splat so aligned windows can run past it (zero prefix rows ->
+    # zero counts -> no matches).  Production scenes are padded to a
+    # PREP_BLK multiple (GaussianScene.pad_to_multiple) so this jnp.pad
+    # fallback — the only XLA copy left in the pre-pass — never runs on
+    # the hot path.
+    if n % PREP_BLK:
+        pad_n = -(-n // PREP_BLK) * PREP_BLK - n
+        # Tail incl repeats the final value: zero counts, dead columns.
+        incl = jnp.concatenate(
+            [incl, jnp.broadcast_to(incl[-1:], (pad_n,))]
+        )
+        cols = tuple(
+            jnp.pad(c.astype(jnp.float32), (0, pad_n)) for c in cols
+        )
+    else:
+        cols = tuple(c.astype(jnp.float32) for c in cols)
+    n_r = incl.shape[0]
+    incl_c = jnp.minimum(incl, clamp)
+    np_cols = n_r + PREP_BLK
+    full = _interleave_rows(incl, cols, np_cols, clamp, interpret)
 
     nblocks = capacity // block
     # First splat owning each block's first slot, a final bound, and the
@@ -982,7 +1063,7 @@ def emit_pairs_banded(
     np_cols = -(-(n + 2 * WINDOW + 128) // PREP_BLK) * PREP_BLK
     pad = lambda x: jnp.pad(x.astype(jnp.float32), (0, np_cols - n))  # noqa: E731
     zeros = jnp.zeros((n,), jnp.float32)
-    full = _interleave_rows(
+    full = _interleave_rows_padded(
         [pad(zeros), pad(zeros)] + [pad(c) for c in cols], np_cols, interpret
     )
 

@@ -253,6 +253,14 @@ def project_splats(
         & (clip_z >= -1.0) & (clip_z <= 1.0)
     )
     visible = inside & (lambda1 >= 0.0)
+    if opacities is not None:
+        # alpha == 0 contributes nothing to any pixel: cull outright.
+        # Inert scene-padding splats (GaussianScene.pad_to, opacity 0)
+        # rely on this to emit ZERO tile pairs — without it the
+        # anti-shrink trace bump gives them ~texel extents and each
+        # costs a pair-list slot per frame.  Real imports are sigmoid
+        # activations (never exactly 0), so live splats are unaffected.
+        visible = visible & (opacities > 0.0)
     visf = visible.astype(clip_x.dtype)
 
     return SplatClipData(

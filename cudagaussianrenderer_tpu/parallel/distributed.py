@@ -481,7 +481,8 @@ class DistributedRenderer:
         )
         self.config = config
         # Non-divisible splat counts are padded up front.
-        self.scene = scene.pad_to_multiple(256 * self.n_tile_devices)
+        from ..ops.expand import PREP_BLK
+        self.scene = scene.pad_to_multiple(PREP_BLK * self.n_tile_devices)
         _validate(config, self.mesh, self.tile_axis, self.scene)
         # Per-device capacity: the global estimate split across bands.
         self.capacity = max(

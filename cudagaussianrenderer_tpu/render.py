@@ -29,6 +29,7 @@ from .models.camera import Camera
 from .models.scene import GaussianScene
 from .ops.binning import build_tile_pairs, build_tile_pairs_banded
 from .ops.expand import MAX_BLOCK as _KERNEL_BLOCK
+from .ops.expand import PREP_BLK as _PREP_BLK
 from .ops.expand import MAX_CAPACITY as _KERNEL_MAX_CAPACITY
 from .ops.projection import project_splats
 from .ops.ranges import tile_ranges
@@ -371,7 +372,9 @@ class Renderer:
         interpret: Optional[bool] = None,
     ):
         self.config = config
-        self.scene = scene.pad_to_multiple(256)
+        # PREP_BLK multiple: the emit pre-pass skips its jnp.pad
+        # fallback when the splat count divides the interleave block.
+        self.scene = scene.pad_to_multiple(_PREP_BLK)
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret

@@ -74,7 +74,7 @@ def main():
 
     # ---- ingest through the native importer ----
     t0 = time.perf_counter()
-    scene = load_gaussian_ply(args.ply, use_native=True).pad_to_multiple(256)
+    scene = load_gaussian_ply(args.ply, use_native=True).pad_to_multiple(4096)
     load_s = time.perf_counter() - t0
     print(f"native import: {scene.count} splats, SH degree {scene.sh_degree}, "
           f"{load_s:.2f}s", file=sys.stderr)

@@ -96,7 +96,7 @@ def bench_scene(n=BENCH_N, sh_degree=0):
     return random_scene(
         n, seed=0, min_scale=0.002, max_scale=0.053, extent=4.0,
         sh_degree=sh_degree,
-    ).pad_to_multiple(256)
+    ).pad_to_multiple(4096)
 
 
 def bench_camera(scene, idx=0, n=8):
