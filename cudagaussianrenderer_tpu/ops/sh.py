@@ -89,19 +89,21 @@ def evaluate_sh_colors(means, sh, camera_position, degree: int):
     sh:     [3, K, N] planar coefficients, K >= (degree+1)^2.
     camera_position: [3].
     Returns [3, N] planar colors, clamp(sum + 0.5, 0, 1) like the
-    reference (GaussianRender.cu:154).  Evaluated as K fused multiply-adds
-    of [N] rows per channel — pure VPU, no matmul, no layout changes.
+    reference (GaussianRender.cu:154).
+
+    The contraction runs as einsum('kn,ckn->cn') over a stacked
+    [K, N] basis: per-(c, i) row-slice FMAs of the [3, K, N] array read
+    whole (8, 128) sublane tiles for one row each (~8x HBM overtraffic,
+    measured 1.9 ms at 1M/deg-3 on v5e); the einsum reads every
+    coefficient tile once (~1.5 ms faster, round-5 PERF_NOTES).
     """
     dx = camera_position[0] - means[0]
     dy = camera_position[1] - means[1]
     dz = camera_position[2] - means[2]
     inv = 1.0 / jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-20)
-    basis = sh_basis_components(dx * inv, dy * inv, dz * inv, degree)
+    basis = jnp.stack(
+        sh_basis_components(dx * inv, dy * inv, dz * inv, degree)
+    )  # [K', N]
     k = num_sh_coeffs(degree)
-    channels = []
-    for c in range(3):
-        acc = basis[0] * sh[c, 0]
-        for i in range(1, k):
-            acc = acc + basis[i] * sh[c, i]
-        channels.append(jnp.clip(acc + 0.5, 0.0, 1.0))
-    return jnp.stack(channels)
+    acc = jnp.einsum("kn,ckn->cn", basis, sh[:, :k])
+    return jnp.clip(acc + 0.5, 0.0, 1.0)
