@@ -181,7 +181,7 @@ def main():
     # stage costs O(capacity); the probe covers the exact frame set, so
     # 0.5% headroom + 1024-slot rounding suffices — the salt perturbs
     # views by 1e-6, moving rect boundaries by ~1e-5 px).
-    grain = 1024
+    grain = 4096  # whole emit grid steps: odd block counts degrade bps to 1
     if args.force_fallback_capacity or over_budget(0.4):
         # Deterministic no-probe fallback: 4.6 pairs/splat covers the
         # procedural workload's measured ~3.93 peak with headroom.  Must

@@ -492,7 +492,7 @@ class DistributedRenderer:
         # Clamp to the emit kernel's exact-f32 limit (a big scene's
         # factor estimate can exceed it on a small mesh).
         self.capacity = min(
-            -(-self.capacity // 1024) * 1024, self.MAX_CAPACITY
+            round_capacity(self.capacity), self.MAX_CAPACITY
         )
         self.saturated = False
         self.adaptive = config.capacity is None

@@ -28,6 +28,7 @@ from .config import RenderConfig
 from .models.camera import Camera
 from .models.scene import GaussianScene
 from .ops.binning import build_tile_pairs, build_tile_pairs_banded
+from .ops.expand import BLOCKS_PER_STEP as _KERNEL_BPS
 from .ops.expand import MAX_BLOCK as _KERNEL_BLOCK
 from .ops.expand import PREP_BLK as _PREP_BLK
 from .ops.expand import MAX_CAPACITY as _KERNEL_MAX_CAPACITY
@@ -49,18 +50,25 @@ def _splat_colors(scene: GaussianScene, camera_data: dict) -> jnp.ndarray:
 
 
 def round_capacity(capacity: int, interpret=None, bands: int = 1) -> int:
-    """Round a pair-list capacity up to the emit kernel's whole-block
-    output grain (1024 slots on TPU; 128 in interpret mode, where the
-    kernel shrinks its block down to one 8x128 tile), times the band
-    count for band-segmented lists (per-band capacity is a whole number
-    of blocks).
+    """Round a pair-list capacity up to a whole number of emit GRID
+    STEPS (block x BLOCKS_PER_STEP = 4096 slots on TPU; 128 in
+    interpret mode, where the kernel shrinks its block down to one
+    8x128 tile), times the band count for band-segmented lists.
+
+    Whole grid steps matter, not just whole blocks: an odd block count
+    silently degrades the emit kernel's blocks-per-step batching to 1
+    (ops.expand divides BLOCKS_PER_STEP down until it divides nblocks),
+    measured ~1 ms/frame at the bench workload — the round-4 headline
+    capacity 3,943,424 was exactly this case (3851 blocks).
 
     Applied at every public entry point so an arbitrary capacity renders
     with at-least-requested slots instead of raising inside ops.expand.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    grain = (128 if interpret else _KERNEL_BLOCK) * max(1, int(bands))
+    grain = (128 if interpret else _KERNEL_BLOCK * _KERNEL_BPS) * max(
+        1, int(bands)
+    )
     return -(-max(1, int(capacity)) // grain) * grain
 
 
@@ -384,7 +392,7 @@ class Renderer:
         # block multiple — both crashed the first render() before.  The
         # emit kernel's flat 1D outputs need whole 1024-slot blocks.
         self.capacity = min(
-            -(-config.tile_capacity(self.scene.count) // 1024) * 1024,
+            round_capacity(config.tile_capacity(self.scene.count), interpret),
             self.MAX_CAPACITY,
         )
         self.saturated = False

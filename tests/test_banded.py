@@ -199,12 +199,14 @@ def test_compact_saturation_truncates_per_band(setup):
     cfgb = RenderConfig(screen_size=128, sort_bands=4)
     img, aux = render_frame(
         scene, cam, cfgb, 8192,
-        compact_capacity=1024,  # 256 splat slots per band
+        compact_capacity=512,  # 128 splat slots per band (padding splats
+        # are culled outright since round 5, so saturation must come
+        # from the 300 LIVE splats)
         interpret=True,
     )
     totals = np.asarray(aux["band_totals"])
     splats = np.asarray(aux["band_splats"])
-    assert (splats > 256).any()  # the fixture saturates at least one band
+    assert (splats > 128).any()  # the fixture saturates at least one band
     assert int(aux["num_pairs"]) < int(totals.sum())
     assert np.asarray(img)[..., 3].max() == 255
 

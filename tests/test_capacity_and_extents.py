@@ -34,10 +34,14 @@ from cudagaussianrenderer_tpu.render import Renderer, render_frame, round_capaci
 
 
 def test_round_capacity_block_grain():
-    # TPU path: whole 1024-slot emit blocks.
-    assert round_capacity(1, interpret=False) == MAX_BLOCK
-    assert round_capacity(MAX_BLOCK, interpret=False) == MAX_BLOCK
-    assert round_capacity(MAX_BLOCK + 1, interpret=False) == 2 * MAX_BLOCK
+    # TPU path: whole emit GRID STEPS (block x blocks-per-step) — an odd
+    # block count silently degrades the kernel's step batching to 1.
+    from cudagaussianrenderer_tpu.ops.expand import BLOCKS_PER_STEP
+
+    step = MAX_BLOCK * BLOCKS_PER_STEP
+    assert round_capacity(1, interpret=False) == step
+    assert round_capacity(step, interpret=False) == step
+    assert round_capacity(step + 1, interpret=False) == 2 * step
     # Interpret mode shrinks the kernel block down to one 8x128 tile.
     assert round_capacity(256, interpret=True) == 256
     assert round_capacity(300, interpret=True) == 384

@@ -65,7 +65,7 @@ def throughput(scene, config, frames, *, static_camera=False):
         int(np.asarray(probe(scene, jax.tree.map(lambda x: x[i], cam_stack))))
         for i in probe_frames
     )
-    grain = 1024
+    grain = 4096  # whole emit grid steps: odd block counts degrade bps to 1
     capacity = max(4096, -(-int(candidates * 1.005) // grain) * grain)
 
     def body(salt, scene, cam_stack):
