@@ -340,139 +340,3 @@ def build_tile_pairs(
         num_candidates=total.astype(jnp.int32),
         num_pairs=jnp.sum(values >= 0).astype(jnp.int32),
     )
-
-
-# ---------------------------------------------------------------------------
-# Band-segmented variant: band-major emission for the batched sort
-# ---------------------------------------------------------------------------
-
-
-def band_counts(
-    rects: TileRects, row_packs: RowPacks, band_rows: jnp.ndarray
-) -> jnp.ndarray:
-    """[G, N] per-band in-band candidate counts.
-
-    ``band_rows``: [G + 1] tile-row boundaries (traced ints fine); band g
-    covers tile rows [band_rows[g], band_rows[g+1]).  MUST mirror the
-    banded emit kernel's slot mapping (ops.expand._emit_payload with
-    band_lo/band_hi): packed rows are masked to the band, full-width
-    fallthrough rows run from max(base, lo - y0) to min(h, hi - y0),
-    where base is 8 for packable rects and 0 for w > MAX_PACK_W ones.
-    Summing over a full partition of the rows reproduces
-    row_packs.counts exactly (tested).
-    """
-    g_bands = band_rows.shape[0] - 1
-    y0f = rects.y0.astype(jnp.float32)
-    hf = rects.h.astype(jnp.float32)
-    wf = rects.w.astype(jnp.float32)
-    packable = rects.w <= MAX_PACK_W
-    base_flat = jnp.where(packable, 8.0, 0.0)
-
-    # Decode per-row widths from the packed (dx, w) fields; zero for
-    # unpackable splats and dead rows by construction (splat_row_packs).
-    widths = []
-    for p in range(4):
-        t = row_packs.packs[p]
-        t_hi = jnp.floor(t * (1.0 / 4096.0))
-        t_lo = t - t_hi * 4096.0
-        for half in (t_hi, t_lo):
-            widths.append(half - jnp.floor(half * (1.0 / 64.0)) * 64.0)
-
-    rows = []
-    for g in range(g_bands):
-        lo = band_rows[g].astype(jnp.float32)
-        hi = band_rows[g + 1].astype(jnp.float32)
-        packed_sum = jnp.zeros_like(y0f)
-        for r, wr in enumerate(widths):
-            yr = y0f + float(r)
-            packed_sum = packed_sum + jnp.where((yr >= lo) & (yr < hi), wr, 0.0)
-        over = wf * jnp.clip(
-            jnp.minimum(hf, hi - y0f) - jnp.maximum(base_flat, lo - y0f),
-            0.0,
-            None,
-        )
-        rows.append(packed_sum + over)
-    return jnp.stack(rows).astype(jnp.int32)
-
-
-def build_tile_pairs_banded(
-    clip_data: SplatClipData,
-    colors: jnp.ndarray,
-    opacities: jnp.ndarray,
-    config: RenderConfig,
-    capacity: int,
-    band_rows: jnp.ndarray,
-    *,
-    compact_capacity: int = 0,
-    interpret=None,
-) -> Tuple[TilePairs, jnp.ndarray, jnp.ndarray]:
-    """Band-major expansion: like build_tile_pairs, but the pair list is
-    segmented into G = len(band_rows) - 1 equal-capacity tile-row bands
-    so stage D can run as a batched [G, capacity/G] sort (fewer bitonic
-    passes; see sorting.sort_pairs_banded) and stage E only needs
-    band-offset range starts (ranges.tile_ranges with band args).
-    Internally two dense Pallas passes: an MXU band compaction of the
-    splat rows, then the flat emit walk over the compacted axis
-    (ops.expand.emit_pairs_banded).
-
-    Returns (pairs, band_totals [G], band_splats [G]) — unclamped
-    per-band pair and in-band splat counts: the saturation signals and
-    the rebalancing input for the equal-count boundary controller in
-    render.Renderer.
-    """
-    from .expand import (
-        OUT_CONIC,
-        OUT_CXCY,
-        OUT_KEY0,
-        OUT_KEY1,
-        OUT_RGBA,
-        OUT_VALUES,
-        emit_pairs_banded,
-    )
-
-    rects = splat_tile_rects(clip_data, config)
-    row_packs = splat_row_packs(clip_data, rects, config)
-    counts_b = band_counts(rects, row_packs, band_rows)
-
-    depth_bits = (
-        DEPTH_BITS_PACKED if config.depth_bits == DEPTH_BITS_PACKED else 24
-    )
-    qdepth = quantize_depth(clip_data.clip_z, depth_bits)
-    rgb_u32 = pack_rgb_u32(colors)
-    geom = (
-        (rects.x0.astype(jnp.float32) * 256.0 + rects.y0.astype(jnp.float32)) * 256.0
-        + rects.w.astype(jnp.float32)
-    )
-    cols = (
-        geom,
-        qdepth.astype(jnp.float32),
-        clip_data.cx,
-        clip_data.cy,
-        clip_data.con_a,
-        clip_data.con_b,
-        clip_data.con_c,
-        rgb_u32.astype(jnp.float32),
-        opacities,
-        *row_packs.packs,
-    )
-
-    out, band_totals, band_splats = emit_pairs_banded(
-        cols, counts_b, band_rows, capacity, config,
-        compact_capacity=compact_capacity, interpret=interpret,
-    )
-
-    values = jax.lax.bitcast_convert_type(out[OUT_VALUES], jnp.int32)
-    attrs = (out[OUT_CXCY], out[OUT_CONIC], out[OUT_RGBA])
-    if config.depth_bits == DEPTH_BITS_PACKED:
-        keys = (out[OUT_KEY0],)
-    else:
-        keys = (out[OUT_KEY0], out[OUT_KEY1])
-
-    pairs = TilePairs(
-        keys=keys,
-        values=values,
-        attrs=attrs,
-        num_candidates=jnp.sum(band_totals).astype(jnp.int32),
-        num_pairs=jnp.sum(values >= 0).astype(jnp.int32),
-    )
-    return pairs, band_totals, band_splats

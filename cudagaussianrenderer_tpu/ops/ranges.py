@@ -105,7 +105,7 @@ def tile_ranges(
     packed uint32 key or (tile, depth).
 
     ``band_rows``/``band_capacity``: for band-major lists
-    (binning.build_tile_pairs_banded + sorting.sort_pairs_banded), band
+    (ops.banded build_tile_pairs_banded + sort_pairs_banded), band
     g's valid pairs start at slot g * band_capacity and its sentinel run
     sits between bands, so starts are the band offset plus the tile's
     WITHIN-BAND cumulative count.  Per-tile counts come from the same

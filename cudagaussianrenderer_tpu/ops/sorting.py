@@ -53,41 +53,3 @@ def sort_pairs(
         off += 1
     attrs = sorted_ops[off:]
     return keys, values, attrs
-
-
-def sort_pairs_banded(
-    pairs: TilePairs,
-    n_bands: int,
-    *,
-    with_values: bool = False,
-    stable: bool = False,
-) -> Tuple[Tuple[jnp.ndarray, ...], Optional[jnp.ndarray], Tuple[jnp.ndarray, ...]]:
-    """Batched per-band sort of a band-major pair list
-    (binning.build_tile_pairs_banded).
-
-    Each band's segment sorts independently along the last axis of a
-    [n_bands, capacity / n_bands] view — a batched sort runs far fewer
-    bitonic passes than the flat sort of the same total (log2(seg)^2 vs
-    log2(C)^2; measured 2-4.7x cheaper per pair, docs/PERF_NOTES.md).
-    The concatenation is globally tile-ordered because bands partition
-    the tile rows in order; per-band sentinel runs sit BETWEEN bands and
-    are skipped via the band-offset range starts (ranges.tile_ranges
-    band arguments), never addressed by the rasterizer.
-    """
-    num_keys = len(pairs.keys)
-    extra = (pairs.values,) if with_values else ()
-    ops = (*pairs.keys, *extra, *pairs.attrs)
-    cap = ops[0].shape[0]
-    seg = cap // n_bands
-    ops2 = tuple(o.reshape(n_bands, seg) for o in ops)
-    sorted_ops = jax.lax.sort(
-        ops2, dimension=1, num_keys=num_keys, is_stable=stable or with_values
-    )
-    flat = tuple(o.reshape(cap) for o in sorted_ops)
-    keys = flat[:num_keys]
-    off = num_keys
-    values = None
-    if with_values:
-        values = flat[off]
-        off += 1
-    return keys, values, flat[off:]

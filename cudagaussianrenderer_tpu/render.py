@@ -27,7 +27,8 @@ import numpy as np
 from .config import RenderConfig
 from .models.camera import Camera
 from .models.scene import GaussianScene
-from .ops.binning import build_tile_pairs, build_tile_pairs_banded
+from .ops.banded import build_tile_pairs_banded, sort_pairs_banded
+from .ops.binning import build_tile_pairs
 from .ops.expand import BLOCKS_PER_STEP as _KERNEL_BPS
 from .ops.expand import MAX_BLOCK as _KERNEL_BLOCK
 from .ops.expand import PREP_BLK as _PREP_BLK
@@ -36,7 +37,7 @@ from .ops.projection import project_splats
 from .ops.ranges import tile_ranges
 from .ops.raster import pack_pair_data, rasterize_tiles, tiles_to_image
 from .ops.sh import evaluate_sh_colors
-from .ops.sorting import sort_pairs, sort_pairs_banded
+from .ops.sorting import sort_pairs
 
 
 def _splat_colors(scene: GaussianScene, camera_data: dict) -> jnp.ndarray:

@@ -1,7 +1,7 @@
 """Band-segmented sort path (config.sort_bands): correctness vs flat.
 
-The banded pipeline — band-major emission (ops.expand.emit_pairs_banded),
-batched per-band sort (sorting.sort_pairs_banded), band-offset range
+The banded pipeline — band-major emission (ops.banded.emit_pairs_banded),
+batched per-band sort (ops.banded.sort_pairs_banded), band-offset range
 starts (ranges.tile_ranges band args) — must produce the SAME pair set
 as the flat pipeline for any splat order and any band boundaries; images
 may differ only by unstable-sort tie order (<= a couple of levels).
@@ -18,10 +18,12 @@ import jax.numpy as jnp
 from cudagaussianrenderer_tpu.config import RenderConfig
 from cudagaussianrenderer_tpu.models.camera import Camera, orbit_cameras
 from cudagaussianrenderer_tpu.models.scene import random_scene
-from cudagaussianrenderer_tpu.ops.binning import (
+from cudagaussianrenderer_tpu.ops.banded import (
     band_counts,
-    build_tile_pairs,
     build_tile_pairs_banded,
+)
+from cudagaussianrenderer_tpu.ops.binning import (
+    build_tile_pairs,
     splat_row_packs,
     splat_tile_rects,
 )

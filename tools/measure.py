@@ -768,9 +768,8 @@ def cmd_bandsort():
     # batched vs flat sort at the bench shapes.
     import dataclasses as _dc
 
-    from cudagaussianrenderer_tpu.ops.binning import (
-        build_tile_pairs, build_tile_pairs_banded,
-    )
+    from cudagaussianrenderer_tpu.ops.banded import build_tile_pairs_banded
+    from cudagaussianrenderer_tpu.ops.binning import build_tile_pairs
     from cudagaussianrenderer_tpu.ops.projection import project_splats
     from cudagaussianrenderer_tpu.render import _splat_colors
 
