@@ -150,8 +150,21 @@ def _interleave_rows(incl, cols, np_cols, clamp, interpret):
         else:
             rolled = pltpu.roll(incl_b, 1, axis=1)
         excl_b = jnp.where(lane == 0, carry_ref[0], rolled)
-        put(0, jnp.minimum(excl_b, clamp).astype(jnp.float32))
-        put(1, jnp.minimum(incl_b, clamp).astype(jnp.float32))
+        # The pad block's prefix rows CONTINUE at the carried total
+        # (excl == incl -> zero counts) instead of dropping to zero,
+        # keeping the prefix rows globally monotone — windows straddling
+        # the live -> pad boundary then carry a well-formed (contiguous,
+        # sorted) interval partition, an invariant any future consumer
+        # of the rows array can rely on.
+        pad_pfx = jnp.broadcast_to(
+            jnp.minimum(carry_ref[0], clamp), (1, PREP_BLK)
+        ).astype(jnp.float32)
+        out_ref[0:1, :] = jnp.where(
+            live, jnp.minimum(excl_b, clamp).astype(jnp.float32), pad_pfx
+        )
+        out_ref[1:2, :] = jnp.where(
+            live, jnp.minimum(incl_b, clamp).astype(jnp.float32), pad_pfx
+        )
 
         @pl.when(live)
         def _():
@@ -533,13 +546,38 @@ def _emit_block(
             b * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
         ).astype(jnp.float32)
 
-        def body(wi, acc):
-            slot = jnp.where(
+        def limb_split(win):
+            # Split every row into its bf16 truncation limbs (8 mantissa
+            # bits each; f32 = hi + mid + lo exactly) in-VREG.  Exact:
+            # each match row is one-hot, so every output element IS one
+            # limb value; the telescoping limb re-sum in f32
+            # reconstructs the original f32 bit-exactly.
+            mask = jnp.uint32(0xFFFF0000)
+            hi = pltpu.bitcast(
+                pltpu.bitcast(win, jnp.uint32) & mask, jnp.float32
+            )
+            r1 = win - hi
+            mid = pltpu.bitcast(
+                pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32
+            )
+            lo = r1 - mid
+            parts = [hi, mid, lo][:sel_limbs]
+            return jnp.concatenate(parts).astype(jnp.bfloat16)
+
+        def resum(sel):
+            out = sel[0:16]
+            for p in range(1, sel_limbs):
+                out = out + sel[16 * p : 16 * (p + 1)]
+            return out
+
+        def slot_of(wi):
+            return jnp.where(
                 wi == 0,
                 my_w0,
                 jnp.where(wi == 1, my_w1, jax.lax.rem(wi, 2)),
             )
 
+        def pipeline(wi, slot):
             @pl.when((wi + 1 < num_windows) & (wi > 0))
             def _():
                 start(1 - jax.lax.rem(wi, 2), a0, wi + 1)
@@ -548,43 +586,33 @@ def _emit_block(
             def _():
                 wait(slot, a0, wi)
 
+        def body(wi, acc):
+            slot = slot_of(wi)
+            pipeline(wi, slot)
             win = win_buf[slot]  # [16, WINDOW] f32
             # Interval test as ONE unsigned compare: (j - excl) <u count
             # wraps negative j - excl to huge values, so a single compare
-            # replaces (excl <= j) & (j < incl) — the [block, W] compare
-            # matrix is the kernel's dominant VPU cost.  The prefix rows
-            # are exact integers <= capacity + 1 < 2^24, so the f32->i32
-            # converts (on [1, W] rows, cheap) are exact.
+            # replaces (excl <= j) & (j < incl) — the [block, W] match
+            # matrix build + its MXU materialization dominate the kernel
+            # (2.3 of 4.1 ms measured; a sub-block corner-screened
+            # formulation measured WORSE at every granularity — Mosaic
+            # per-branch overhead, round-5 PERF_NOTES — so the dense
+            # full-window match stands).  The prefix rows are exact
+            # integers <= capacity + 1 < 2^24, so the f32->i32 converts
+            # (on [1, W] rows, cheap) are exact.
             excl_i = win[0:1, :].astype(jnp.int32)
             cnt_u = pltpu.bitcast(
                 win[1:2, :].astype(jnp.int32) - excl_i, jnp.uint32
             )
             d_u = pltpu.bitcast(j_sub - excl_i, jnp.uint32)
             match = (d_u < cnt_u).astype(jnp.bfloat16)
-            # Split every row into its three bf16 truncation limbs (8
-            # mantissa bits each; f32 = hi + mid + lo exactly) in-VREG,
-            # then ONE M=48 selection matmul — 3x the sublane utilization
-            # of three per-part M=16 matmuls.  Exact: each match row is
-            # one-hot, so every output element IS one limb value; the
-            # telescoping limb re-sum in f32 reconstructs the original
-            # f32 bit-exactly.
-            mask = jnp.uint32(0xFFFF0000)
-            hi = pltpu.bitcast(pltpu.bitcast(win, jnp.uint32) & mask, jnp.float32)
-            r1 = win - hi
-            mid = pltpu.bitcast(pltpu.bitcast(r1, jnp.uint32) & mask, jnp.float32)
-            lo = r1 - mid
-            parts = [hi, mid, lo][:sel_limbs]
-            limbs = jnp.concatenate(parts).astype(jnp.bfloat16)
             sel = jax.lax.dot_general(
-                limbs,
+                limb_split(win),
                 match,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [16 * limbs, block]
-            out = sel[0:16]
-            for p in range(1, sel_limbs):
-                out = out + sel[16 * p : 16 * (p + 1)]
-            return acc + out
+            return acc + resum(sel)
 
         acc = jax.lax.fori_loop(
             0, num_windows, body, jnp.zeros((16, block), jnp.float32)
