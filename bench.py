@@ -34,7 +34,7 @@ slow remote tunnel, under a timeout, and parses the LAST JSON line):
     enriched final JSON line.  If the stage phase crashes or exceeds
     the budget, the plain headline line is re-printed last and the
     script exits 0 — the driver always sees a parseable result.
-  * A wall-clock budget (``BENCH_BUDGET_S``, default 1500 s) gates each
+  * A wall-clock budget (``BENCH_BUDGET_S``, default 900 s) gates each
     phase: past ~40% spent before the capacity probe, the probe is
     skipped for a deterministic fallback capacity (pre-warmed too);
     past ~75%, the stage tables are skipped.
@@ -103,7 +103,7 @@ def main():
     ap.add_argument("--force-fallback-capacity", action="store_true")
     args = ap.parse_args()
 
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
 
     def over_budget(frac):
         return time.monotonic() - T_START > budget_s * frac
