@@ -18,7 +18,7 @@ one code path; nothing here is imported unless sort_bands > 1.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ forward+backward + an ~MB-scale all-reduce).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -771,7 +771,6 @@ def cmd_bandsort():
     from cudagaussianrenderer_tpu.ops.banded import build_tile_pairs_banded
     from cudagaussianrenderer_tpu.ops.binning import build_tile_pairs
     from cudagaussianrenderer_tpu.ops.projection import project_splats
-    from cudagaussianrenderer_tpu.render import _splat_colors
 
     cfg16 = _dc.replace(flat_cfg, sort_bands=16)
     br16 = jnp.asarray(uniform_band_rows(cfg16))
