@@ -326,3 +326,37 @@ def test_sorted_attrs_match_value_gather(pipeline_state):
         ]
     )
     np.testing.assert_array_equal(attrs[:, valid].astype(np.float64), want)
+
+
+@pytest.mark.slow
+def test_emit_production_no_pad_path_matches_fallback():
+    """The production interleave path (splat count an exact PREP_BLK
+    multiple: prefix rows derived in-kernel, trailing zero block) must
+    produce the same pair multiset as the jnp.pad fallback path the
+    small 256-padded CPU scenes exercise — including splats near the
+    array end whose emit windows overrun into the pad block."""
+    from collections import Counter
+
+    from cudagaussianrenderer_tpu.ops.expand import PREP_BLK
+
+    scene = random_scene(300, seed=4)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    config = RenderConfig(screen_size=128)
+
+    def multiset(s):
+        clip = project_splats(
+            s.means, s.scales, s.quats, cam.camera_data(), config,
+            opacities=s.opacities,
+        )
+        pairs = build_tile_pairs(
+            clip, s.colors, s.opacities, config, 4096, interpret=True
+        )
+        k = np.asarray(pairs.keys[0]).astype(np.uint64)
+        v = np.asarray(pairs.values)
+        m = v >= 0
+        return Counter(zip(k[m].tolist(), v[m].tolist()))
+
+    fallback = multiset(scene.pad_to_multiple(256))      # n % PREP_BLK != 0
+    prod = multiset(scene.pad_to_multiple(PREP_BLK))     # exact multiple
+    assert len(fallback) > 0
+    assert prod == fallback

@@ -100,3 +100,30 @@ def test_trace_bump_keeps_distant_splats_visible():
     texel_clip = 2.0 / 1024
     assert ext[0] > texel_clip  # 3-sigma of the bumped covariance
     assert np.asarray(clip.clip_xy)[0, 0] != -128.0
+
+
+def test_zero_opacity_splats_cull_outright():
+    """Opacity == 0 splats (the inert scene-padding entries) must emit
+    ZERO candidate pairs: projection culls them before binning, so
+    padding a scene never changes its pair list (round 5 — before, the
+    trace bump gave each ~texel extents and one pair-list slot)."""
+    from cudagaussianrenderer_tpu.ops.binning import (
+        splat_row_packs,
+        splat_tile_rects,
+    )
+
+    scene = random_scene(200, seed=11)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    config = RenderConfig(screen_size=128)
+
+    def candidates(s):
+        clip = project_splats(
+            s.means, s.scales, s.quats, cam.camera_data(), config,
+            opacities=s.opacities,
+        )
+        rects = splat_tile_rects(clip, config)
+        return int(np.asarray(splat_row_packs(clip, rects, config).counts.sum()))
+
+    base = candidates(scene)
+    assert base > 0
+    assert candidates(scene.pad_to(4096)) == base
