@@ -72,7 +72,7 @@ MAX_CAPACITY = MAX_EXACT_I32 - (1 << 18)
 
 # Input row layout of the windowed [16, NP] rows array (2 prefix rows +
 # 14 attribute rows = one sublane tile).  The array is built by the
-# _interleave_kernel below from flat 1D columns: an XLA jnp.stack of 14
+# _interleave_rows pass below from flat 1D columns: an XLA jnp.stack of 14
 # [1M] rows costs ~1.6 ms of strided sublane writes into (8, 128)-tiled
 # memory, while a Pallas pass writing whole (16, blk) tiles is
 # bandwidth-bound (~0.15 ms).

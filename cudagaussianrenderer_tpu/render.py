@@ -391,7 +391,7 @@ class Renderer:
         # scene's capacity_factor estimate exceeds the emit kernel's
         # exact-f32 limit, and an explicit config.capacity may not be a
         # block multiple — both crashed the first render() before.  The
-        # emit kernel's flat 1D outputs need whole 1024-slot blocks.
+        # emit kernel's flat 1D outputs need whole grid steps (4096).
         self.capacity = min(
             round_capacity(config.tile_capacity(self.scene.count), interpret),
             self.MAX_CAPACITY,
