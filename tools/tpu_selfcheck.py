@@ -84,6 +84,17 @@ def main():
             cfg=dict(screen_size=1024, sort_bands=16), capacity=1048576,
             ccap=16 * 1024,
         )),
+        # PRODUCTION interleave path: a splat count that is an exact
+        # PREP_BLK (4096) multiple takes the no-jnp.pad fast path —
+        # prefix rows derived in-kernel (pltpu.roll + SMEM carry across
+        # the sequential grid) and the trailing zero block providing
+        # the window-overrun pad.  CPU tests cover it in interpret mode
+        # only; this is the compiled-kernel gate (the production
+        # Renderer/bench scenes all run this path).
+        ("prod no-pad interleave 4096", dict(
+            n=500, seed=5, pad=4096, cfg=dict(screen_size=128),
+            capacity=16384,
+        )),
         # Tightened-margin guard for the 1-limb transmittance scan
         # (raster.SCAN_LIMBS=1 rounds log(1-alpha) to one bf16 limb,
         # measured worst-case 4 output LSBs): a dedicated scene at
@@ -97,7 +108,7 @@ def main():
         config = RenderConfig(**c["cfg"])
         scene = random_scene(
             c["n"], seed=c["seed"], sh_degree=c.get("sh", 0), **c.get("scene_kw", {})
-        ).pad_to_multiple(256)
+        ).pad_to_multiple(c.get("pad", 256))
         cam = Camera(aspect=config.aspect).framed(scene.bounds_min, scene.bounds_max)
         capacity = c.get("capacity", 16384)
         ccap = c.get("ccap", 0)
