@@ -49,6 +49,18 @@ class RenderConfig:
     # per-splat pixel error bounded below one output level.  False
     # restores the reference's exact fixed-sigma extents.
     opacity_aware_extents: bool = True
+    # Pixel-center-aware strip runs.  Pixels sample at integer
+    # coordinates (clip = px * 2/S - 1, no half-texel offset,
+    # GaussianRender.cu:933-939), so a tile the ellipse grazes only in
+    # the last ~1 px before a pixel row/column has NO pixel center
+    # inside the (opacity-truncated) support: every contribution is
+    # below the 8-bit output floor.  Emitting only tiles whose
+    # pixel-center span intersects the ellipse cuts ~6% of pairs at the
+    # bench workload (round-5 PERF_NOTES) with the same sub-LSB error
+    # class as opacity_aware_extents.  False restores the reference's
+    # tile-rect overlap semantics (its exact test keeps the grazers,
+    # cu:375-405).
+    center_sampled_runs: bool = True
 
     # --- tile list ---
     # Initial capacity = capacity_factor * splat_count (reference: Demo.cpp:325).

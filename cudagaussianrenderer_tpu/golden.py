@@ -150,15 +150,18 @@ def _ellipse_local(cx, cy, cos_t, sin_t, e0, e1, px, py):
 
 
 def _segment_circle(p0, p1):
-    d = np.asarray(p1) - np.asarray(p0)
-    ls = float(d @ d)
+    # Zero-extent ellipses (opacity-truncated to nothing) put inf/nan
+    # into the unit-circle coordinates; every arithmetic path below
+    # yields a non-hit for them, so just silence the invalid-op noise.
     with np.errstate(divide="ignore", invalid="ignore"):
+        d = np.asarray(p1) - np.asarray(p0)
+        ls = float(d @ d)
         t = -(np.asarray(p0) @ d) / ls
-    if np.isnan(t):
-        t = 0.0
-    t = min(1.0, max(0.0, t))
-    proj = np.asarray(p0) + t * d
-    return bool(proj @ proj < 1.0)
+        if np.isnan(t):
+            t = 0.0
+        t = min(1.0, max(0.0, t))
+        proj = np.asarray(p0) + t * d
+        return bool(proj @ proj < 1.0)
 
 
 def golden_ellipse_rect_overlap(center, cos_sin, extent, rmin, rmax) -> bool:
@@ -220,12 +223,36 @@ def golden_render(
     dmax = float(2**depth_bits - 1)
 
     # Bin: per splat, AABB in tile space then exact test per candidate.
+    # Under config.center_sampled_runs (the default) the per-tile test
+    # uses the tile's PIXEL-CENTER span ([16t, 16t+15] px per axis —
+    # pixels sample at integer coordinates) instead of the full rect,
+    # mirroring ops.binning.splat_row_packs: tiles the ellipse grazes
+    # only in the pixel-free trailing sliver are never binned.
     tile_lists = [[] for _ in range(ntx * nty)]
     tile_clip_w = 2.0 * ts / w
     tile_clip_h = 2.0 * ts / h
+    span_f = 15.0 / 16.0 if getattr(config, "center_sampled_runs", True) else 1.0
+    # Opacity-aware extent truncation for BINNING, mirroring
+    # ops.projection (the conic — and so the blend density below — is
+    # untouched).  golden_project returns untruncated extents; without
+    # this mirror the center-sampled tile test can disagree with the
+    # production pipeline on grazing tiles of low-opacity splats.
+    if config.opacity_aware_extents:
+        a255 = 255.0 * np.asarray(opac, np.float64)
+        if config.falloff == "gaussian":
+            dxc = 2.0 * np.log(np.maximum(a255, 1e-12))
+            trunc = np.sqrt(np.clip(dxc, 0.0, 9.0)) / 3.0
+        else:
+            trunc = np.sqrt(
+                np.clip(1.0 - 1.0 / np.maximum(a255, 1e-12), 0.0, 1.0)
+            )
+    else:
+        trunc = np.ones(n)
+
     for i in range(n):
         cx, cy = proj["clip_xy"][i]
         cos_t, sin_t, e0, e1 = proj["ellipse"][i]
+        e0, e1 = e0 * trunc[i], e1 * trunc[i]
         hx = abs(cos_t * e0) + abs(sin_t * e1)
         hy = abs(sin_t * e0) + abs(cos_t * e1)
         fx0 = (cx - hx + 1) * 0.5 * ntx
@@ -240,7 +267,10 @@ def golden_render(
         for gy in range(y0, y1):
             for gx in range(x0, x1):
                 rmin = (gx * tile_clip_w - 1, gy * tile_clip_h - 1)
-                rmax = (rmin[0] + tile_clip_w, rmin[1] + tile_clip_h)
+                rmax = (
+                    rmin[0] + span_f * tile_clip_w,
+                    rmin[1] + span_f * tile_clip_h,
+                )
                 if golden_ellipse_rect_overlap(
                     (cx, cy), (cos_t, sin_t), (e0, e1), rmin, rmax
                 ):

@@ -186,12 +186,23 @@ def splat_row_packs(
     hf = rects.h.astype(jnp.float32)
     packable = rects.w <= MAX_PACK_W
 
+    # Pixel-center-aware runs (config.center_sampled_runs): the tile's
+    # pixel centers span only [16t, 16t + 15] px on each axis, so the
+    # row strip's k-interval ends 1/16 row early and the x-run keeps a
+    # tile iff its CENTER span touches the ellipse — tiles grazed only
+    # in the trailing pixel-free sliver are never emitted (their
+    # contribution is sub-LSB at every pixel; ~6% of pairs at the bench
+    # workload).  The rect-overlap semantics remain available for exact
+    # reference-parity tests.
+    centered = getattr(config, "center_sampled_runs", True)
+    y_span = (15.0 / 16.0) * tch if centered else tch
+
     packs = []
     count_f = jnp.zeros_like(x0f)
     pack = None
     for r in range(MAX_PACK_ROWS):
         ya = (y0f + float(r)) * tch - 1.0
-        yb = ya + tch
+        yb = ya + y_span
         da, db = ya - d.cy, yb - d.cy
         ka = jnp.clip(da, -ry, ry)
         kb = jnp.clip(db, -ry, ry)
@@ -209,8 +220,21 @@ def splat_row_packs(
             & (float(r) < hf)
             & packable
         )
-        xl_t = jnp.clip(jnp.floor((xlo - STRIP_EPS + 1.0) * sx), x0f, x1f)
-        xh_t = jnp.clip(jnp.ceil((xhi + STRIP_EPS + 1.0) * sx), x0f, x1f)
+        if centered:
+            # Keep tile t iff its center span [t, t + 15/16] (tile
+            # units) intersects [xlo, xhi]: first tile ceil(u_lo -
+            # 15/16), last tile floor(u_hi) (inclusive; centers start
+            # at the tile's low edge exactly).
+            xl_t = jnp.clip(
+                jnp.ceil((xlo - STRIP_EPS + 1.0) * sx - 15.0 / 16.0),
+                x0f, x1f,
+            )
+            xh_t = jnp.clip(
+                jnp.floor((xhi + STRIP_EPS + 1.0) * sx) + 1.0, x0f, x1f
+            )
+        else:
+            xl_t = jnp.clip(jnp.floor((xlo - STRIP_EPS + 1.0) * sx), x0f, x1f)
+            xh_t = jnp.clip(jnp.ceil((xhi + STRIP_EPS + 1.0) * sx), x0f, x1f)
         w_r = jnp.where(live, jnp.maximum(xh_t - xl_t, 0.0), 0.0)
         dx_r = jnp.where(w_r > 0, xl_t - x0f, 0.0)
         count_f = count_f + w_r

@@ -103,7 +103,11 @@ def test_overlap_vs_monte_carlo():
 def pipeline_state():
     scene = random_scene(512, seed=11)
     cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
-    config = RenderConfig(screen_size=256)
+    # Rect-overlap semantics: these tests validate the strip runs
+    # against the golden per-candidate ellipse/RECT test; the default
+    # center-sampled runs deliberately drop pixel-free grazing tiles
+    # (validated separately by test_center_sampled_runs_*).
+    config = RenderConfig(screen_size=256, center_sampled_runs=False)
     capacity = 16384  # ample: the 512-splat fixture emits ~9k candidates
 
     @jax.jit
@@ -237,7 +241,10 @@ def test_sorted_ranges_partition_list(pipeline_state):
 @pytest.mark.slow
 def test_lex_sort_mode_equivalent(pipeline_state):
     scene, cam, config, clip, capacity, pairs19 = pipeline_state
-    cfg32 = RenderConfig(screen_size=256, depth_bits=32)
+    # Match the fixture config (rect-overlap semantics).
+    cfg32 = RenderConfig(
+        screen_size=256, depth_bits=32, center_sampled_runs=False
+    )
 
     @jax.jit
     def fn32(clip):
@@ -360,3 +367,61 @@ def test_emit_production_no_pad_path_matches_fallback():
     prod = multiset(scene.pad_to_multiple(PREP_BLK))     # exact multiple
     assert len(fallback) > 0
     assert prod == fallback
+
+
+@pytest.mark.slow
+def test_center_sampled_runs_drop_only_centerless_tiles():
+    """center_sampled_runs (the default) must emit a subset of the
+    rect-overlap pair set, and every dropped tile must contain NO pixel
+    center inside the splat's ellipse — i.e. only sub-output-floor
+    grazers are dropped (f64 check over all 256 pixel centers)."""
+    from cudagaussianrenderer_tpu.ops.binning import splat_row_packs
+
+    scene = random_scene(400, seed=13)
+    cam = Camera(aspect=1.0).framed(scene.bounds_min, scene.bounds_max)
+    cfg_c = RenderConfig(screen_size=256)
+    cfg_r = RenderConfig(screen_size=256, center_sampled_runs=False)
+
+    def pair_set(cfg):
+        clip = project_splats(
+            scene.means, scene.scales, scene.quats, cam.camera_data(), cfg,
+            opacities=scene.opacities,
+        )
+        pairs = build_tile_pairs(
+            clip, scene.colors, scene.opacities, cfg, 16384, interpret=True
+        )
+        k = np.asarray(pairs.keys[0])
+        v = np.asarray(pairs.values)
+        m = v >= 0
+        return clip, set(
+            zip(v[m].tolist(), (k[m] >> DEPTH_BITS_PACKED).tolist())
+        )
+
+    clip, centered = pair_set(cfg_c)
+    _, rect = pair_set(cfg_r)
+    dropped = rect - centered
+    # Ignore tall-rect full-width fallthrough rows (identical in both
+    # modes) by construction; the subset relation can only be violated
+    # by the run formulas themselves.
+    assert len(centered - rect) == 0
+    assert len(dropped) > 0  # the fixture must exercise the cut
+
+    cx = np.asarray(clip.cx, np.float64)
+    cy = np.asarray(clip.cy, np.float64)
+    ct = np.asarray(clip.cos_t, np.float64)
+    st = np.asarray(clip.sin_t, np.float64)
+    e0 = np.maximum(np.asarray(clip.e0, np.float64), 1e-12)
+    e1 = np.maximum(np.asarray(clip.e1, np.float64), 1e-12)
+    ts = cfg_c.tile_size
+    tps = cfg_c.tiles_per_screen
+    px = np.arange(ts)
+    gx, gy = np.meshgrid(px, px)
+    for splat, tile in dropped:
+        tx, ty = tile % tps, tile // tps
+        pcx = (tx * ts + gx) * (2.0 / cfg_c.screen_w) - 1.0
+        pcy = (ty * ts + gy) * (2.0 / cfg_c.screen_h) - 1.0
+        dx, dy = pcx - cx[splat], pcy - cy[splat]
+        u = (dx * ct[splat] + dy * st[splat]) / e0[splat]
+        v = (dy * ct[splat] - dx * st[splat]) / e1[splat]
+        # No pixel center inside the ellipse (small f32->f64 slack).
+        assert (u * u + v * v).min() > 1.0 - 1e-3, (splat, tile)

@@ -82,7 +82,10 @@ def test_strip_emission_matches_exact_test(case):
     theta = rng.uniform(0, 2 * np.pi, n)
     e1 = e0 * ecc
 
-    config = RenderConfig(screen_size=1024)
+    # Validates the runs against the f64 exact RECT test - use the
+    # rect-overlap semantics (center-sampled runs drop pixel-free
+    # grazing tiles by design; tested in test_binning).
+    config = RenderConfig(screen_size=1024, center_sampled_runs=False)
     clip = _clip_data(cx, cy, theta, e0, e1)
     rects = jax.jit(lambda c: splat_tile_rects(c, config))(clip)
     rp = jax.jit(lambda c, r: splat_row_packs(c, r, config))(clip, rects)
