@@ -321,7 +321,12 @@ def test_balanced_bands_match_single_device():
 
     n_dev = min(4, len(jax.devices()))
     mesh = make_mesh(n_dev)
-    config = RenderConfig(screen_size=128)
+    # Stable sort: the heavily-overdrawn skewed fixture has many equal
+    # 19-bit depth keys per tile, and the balanced-band vs flat pair
+    # ORDER among ties differs; both paths emit splat-major, so the
+    # stable sort makes the tile segments identical and the comparison
+    # exact instead of threshold-chasing tie noise.
+    config = RenderConfig(screen_size=128, stable_sort=True)
     bconfig = dataclasses.replace(config, balanced_bands=True)
     scene = random_scene(512 * n_dev, seed=7).pad_to_multiple(256 * n_dev)
     # Skew: squash all splats into the top 15% of the bounding box so the
